@@ -33,7 +33,7 @@ def _build() -> bool:
 
     srcs = sorted(glob.glob(f"{_REF}/src/*.cpp"))
     cmd = [
-        "g++", "-O2", "-std=c++20", "-ffp-contract=off", "-shared", "-fPIC",
+        "g++", "-O2", "-std=c++20", "-DNDEBUG", "-ffp-contract=off", "-shared", "-fPIC",
         f"-I{_REF}/include", "-I/tmp/ref_oracle", *srcs, "-o", _LIB_PATH,
     ]
     try:
