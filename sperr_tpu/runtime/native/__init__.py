@@ -1,0 +1,100 @@
+"""Native (C++) SPECK entropy engine: build, load, and ctypes wrapper.
+
+The shared library is compiled on first use with g++ -O3 into the package
+directory.  ctypes calls release the GIL, so a Python thread pool over
+chunks scales across host cores (the reference's OpenMP model).
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+import threading
+from typing import Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "speck.cpp")
+_LIB = os.path.join(_DIR, "libsperr_speck.so")
+_lock = threading.Lock()
+
+_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+def _build_lib() -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-DNDEBUG", "-shared", "-fPIC",
+        "-march=native", _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+    except subprocess.CalledProcessError:
+        # Portable fallback without -march=native.
+        cmd.remove("-march=native")
+        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+
+
+def _load():
+    with _lock:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            _build_lib()
+        lib = ct.CDLL(_LIB)
+    lib.st_speck_encode.restype = ct.c_int64
+    lib.st_speck_encode.argtypes = [
+        ct.c_int, ct.c_int, ct.c_void_p, ct.c_void_p,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.POINTER(ct.c_void_p),
+    ]
+    lib.st_speck_decode.restype = ct.c_int64
+    lib.st_speck_decode.argtypes = [
+        ct.c_int, ct.c_int, ct.c_void_p, ct.c_uint64,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_void_p, ct.c_void_p,
+    ]
+    lib.st_free.argtypes = [ct.c_void_p]
+    return lib
+
+
+class NativeEngine:
+    """SPECK entropy engine backed by the C++ library (byte-identical streams)."""
+
+    name = "native"
+
+    def __init__(self):
+        self._lib = _load()
+
+    def encode(self, ndim, mags, signs, dims, width, budget_bits) -> bytes:
+        m = np.ascontiguousarray(mags, dtype=_DTYPES[width])
+        s = np.ascontiguousarray(signs, dtype=np.uint8)
+        nx, ny, nz = dims
+        out = ct.c_void_p(None)
+        rtn = self._lib.st_speck_encode(
+            ndim, width, m.ctypes.data_as(ct.c_void_p), s.ctypes.data_as(ct.c_void_p),
+            nx, ny, nz, budget_bits, ct.byref(out),
+        )
+        if rtn < 0:
+            raise RuntimeError(f"native speck encode failed: {rtn}")
+        buf = ct.string_at(out, rtn)
+        self._lib.st_free(out)
+        return buf
+
+    def decode(self, ndim, stream, dims, width) -> Tuple[np.ndarray, np.ndarray]:
+        nx, ny, nz = dims
+        n = nx * ny * nz
+        mags = np.empty(n, dtype=_DTYPES[width])
+        signs = np.empty(n, dtype=np.uint8)
+        buf = bytes(stream)
+        rtn = self._lib.st_speck_decode(
+            ndim, width, buf, len(buf), nx, ny, nz,
+            mags.ctypes.data_as(ct.c_void_p), signs.ctypes.data_as(ct.c_void_p),
+        )
+        if rtn < 0:
+            raise RuntimeError(f"native speck decode failed: {rtn}")
+        return mags.astype(np.uint64), signs.astype(bool)
+
+    def encode_1d(self, mags, signs, total_len, width) -> bytes:
+        return self.encode(1, mags, signs, (total_len, 1, 1), width, 0)
+
+    def decode_1d(self, stream, total_len, width):
+        return self.decode(1, stream, (total_len, 1, 1), width)
