@@ -1,0 +1,459 @@
+"""TPU-batched chunk pipeline: dense stages on device, entropy on host.
+
+This is the production execution engine.  Equal-shaped chunks are stacked on
+a leading batch axis; one jitted program per chunk shape runs
+
+    condition (means) -> DWT -> estimate q -> midtread quantize
+    [PWE: inverse path + outlier detection]
+
+for the whole batch, sharded across a `jax.sharding.Mesh` over the 'chunks'
+axis, so chunk data-parallelism is SPMD over devices (the reference's OpenMP
+loop reimagined for a TPU pod; see SPERR3D_OMP_C.cpp:94).  Only quantized
+magnitudes/signs (and small per-chunk scalars) return to the host, where the
+native SPECK engine encodes each chunk on a thread pool and the container is
+gathered in chunk order.
+
+Streams are format-identical to the reference; arithmetic runs at device
+precision (f32 on TPU — see ops/cdf97_jax.py docstring).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..codec import outlier as outlier_mod
+from ..codec import speck_int_np as sp
+from ..ops import cdf97_jax as cdfj
+from ..ops import condition as cond_host
+from ..ops import quantize_jax as qzj
+from ..runtime.engine import default_engine
+from ..stream import tools
+from ..utils.dims import chunk_volume
+from ..utils.packing import pack_8_booleans
+
+_MODES = ("psnr", "pwe", "rate")
+
+
+def make_chunk_mesh(devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.array(devices), axis_names=("chunks",))
+
+
+# ---------------------------------------------------------------------------
+# Device-side dense stages (jitted per chunk shape / mode).
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("mode", "quality", "cap", "out_cap"))
+def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: int):
+    """Like _dense_encode, but compacts significant coefficients on device.
+
+    Returns per chunk: indices (i32) and *signed* quantized values (i32) of
+    the `nnz` nonzero coefficients (padded to `cap`), plus outlier positions/
+    errors for PWE (padded to `out_cap`).  This keeps the device->host
+    transfer proportional to the information content instead of the volume —
+    the decisive factor both over PCIe in real deployments and over this
+    environment's device tunnel.
+    """
+    B = batch.shape[0]
+    n = batch.shape[1] * batch.shape[2] * batch.shape[3]
+    flat = batch.reshape(B, n)
+    dt = batch.dtype
+
+    v0 = flat[:, 0:1]
+    is_const = jnp.all(flat == v0, axis=1)
+    mean = jnp.mean(flat, axis=1)
+    conditioned = flat - mean[:, None]
+
+    coeffs = cdfj.dwt3d(conditioned.reshape(batch.shape)).reshape(B, n)
+
+    if mode == "psnr":
+        rng = jnp.max(conditioned, axis=1) - jnp.min(conditioned, axis=1)
+        q = qzj.estimate_q_psnr_batched(coeffs, rng, quality)
+    elif mode == "pwe":
+        q = jnp.full((B,), quality * 1.5, dtype=dt)
+    else:
+        q = jnp.max(jnp.abs(coeffs), axis=1) / dt.type(qzj.RATE_MAX_MAG_DEVICE)
+
+    ll = jnp.rint(coeffs * (1.0 / q)[:, None]).astype(jnp.int32)
+    nnz = jnp.sum(ll != 0, axis=1).astype(jnp.int32)
+    maxmag = jnp.max(jnp.abs(ll), axis=1)
+
+    def compact(row):
+        (idx,) = jnp.nonzero(row != 0, size=cap, fill_value=n)
+        vals = jnp.where(idx < n, row[jnp.minimum(idx, n - 1)], 0)
+        return idx.astype(jnp.int32), vals
+
+    idx, vals = jax.vmap(compact)(ll)
+
+    out = dict(
+        is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
+        nnz=nnz, idx=idx, vals=vals, maxmag=maxmag,
+    )
+    if mode == "pwe":
+        signs = ll >= 0
+        mags = jnp.abs(ll)
+        rec = qzj.midtread_inv_quantize_batched(mags, signs, q)
+        rec = cdfj.idwt3d(rec.reshape(batch.shape)).reshape(B, n)
+        diff = conditioned - rec
+        omask = jnp.abs(diff) > dt.type(quality)
+        n_out = jnp.sum(omask, axis=1).astype(jnp.int32)
+
+        def compact_out(m, d):
+            (oi,) = jnp.nonzero(m, size=out_cap, fill_value=n)
+            ov = jnp.where(oi < n, d[jnp.minimum(oi, n - 1)], 0.0)
+            return oi.astype(jnp.int32), ov
+
+        out["n_out"], (out["out_idx"], out["out_vals"]) = n_out, jax.vmap(compact_out)(
+            omask, diff
+        )
+    return out
+
+
+@partial(jax.jit, static_argnames=("mode", "quality"))
+def _dense_encode(batch, mode: str, quality: float):
+    """batch: (B, lz, ly, lx) device dtype. Returns per-chunk dense results."""
+    B = batch.shape[0]
+    n = batch.shape[1] * batch.shape[2] * batch.shape[3]
+    flat = batch.reshape(B, n)
+    dt = batch.dtype
+
+    v0 = flat[:, 0:1]
+    is_const = jnp.all(flat == v0, axis=1)
+    mean = jnp.mean(flat, axis=1)
+    conditioned = flat - mean[:, None]
+
+    coeffs = cdfj.dwt3d(conditioned.reshape(batch.shape)).reshape(B, n)
+
+    if mode == "psnr":
+        rng = jnp.max(conditioned, axis=1) - jnp.min(conditioned, axis=1)
+        q = qzj.estimate_q_psnr_batched(coeffs, rng, quality)
+    elif mode == "pwe":
+        q = jnp.full((B,), quality * 1.5, dtype=dt)
+    else:  # rate: magnitudes must stay exactly representable at device precision
+        q = jnp.max(jnp.abs(coeffs), axis=1) / dt.type(qzj.RATE_MAX_MAG_DEVICE)
+
+    mags, signs, maxmag = qzj.midtread_quantize_batched(coeffs, q)
+
+    out = dict(
+        is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
+        mags=mags, signs=signs, maxmag=maxmag,
+    )
+    if mode == "pwe":
+        rec = qzj.midtread_inv_quantize_batched(mags, signs, q)
+        rec = cdfj.idwt3d(rec.reshape(batch.shape)).reshape(B, n)
+        diff = conditioned - rec
+        out["outlier_mask"] = jnp.abs(diff) > dt.type(quality)
+        out["diff"] = diff
+    return out
+
+
+@partial(jax.jit, static_argnames=("shape3",))
+def _dense_decode(mags, signs, q, mean, shape3):
+    B = mags.shape[0]
+    coeffs = qzj.midtread_inv_quantize_batched(mags, signs, q)
+    rec = cdfj.idwt3d(coeffs.reshape((B,) + shape3))
+    return rec + mean[:, None, None, None].astype(rec.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+def _width_for(maxmag: int) -> int:
+    if maxmag <= 0xFF:
+        return 8
+    if maxmag <= 0xFFFF:
+        return 16
+    if maxmag <= 0xFFFFFFFF:
+        return 32
+    return 64
+
+
+def _condi_header(is_const: bool, v0: float, nval: int, mean: float, q: float) -> bytes:
+    import struct
+
+    if is_const:
+        flags = pack_8_booleans([True, 0, 0, 0, 0, 0, 0, True])
+        return struct.pack("<BQd", flags, nval, float(v0))
+    flags = pack_8_booleans([True, 0, 0, 0, 0, 0, 0, False])
+    return struct.pack("<Bdd", flags, float(mean), float(q))
+
+
+class TpuCompressor3D:
+    """Chunked 3D compressor with device-batched dense stages.
+
+    `mesh`: optional jax Mesh with a 'chunks' axis; chunk batches are sharded
+    over it.  `dtype`: device compute dtype (float32 on TPU).
+    """
+
+    def __init__(
+        self,
+        vol_dims: Tuple[int, int, int],
+        chunk_dims: Tuple[int, int, int] = (256, 256, 256),
+        mesh: Optional[Mesh] = None,
+        dtype=jnp.float32,
+        engine=None,
+        num_threads: Optional[int] = None,
+    ):
+        self.vol_dims = tuple(int(d) for d in vol_dims)
+        self.chunk_dims = tuple(
+            min(max(1, int(chunk_dims[i])), self.vol_dims[i]) for i in range(3)
+        )
+        self.mesh = mesh
+        self.dtype = dtype
+        self.engine = engine or default_engine()
+        self.num_threads = num_threads
+        # Per-chunk capacity (fraction of n) for the on-device significant-
+        # coefficient compaction; overflow falls back to a dense fetch.
+        self.sparse_cap_frac = 0.25
+
+    def _shard(self, arr):
+        if self.mesh is None:
+            return arr
+        B = arr.shape[0]
+        ndev = self.mesh.devices.size
+        if B % ndev != 0:
+            return arr  # uneven remainder group: keep replicated/default
+        return jax.device_put(arr, NamedSharding(self.mesh, P("chunks")))
+
+    def compress(self, vol: np.ndarray, mode: str, quality: float) -> bytes:
+        assert mode in _MODES
+        nx, ny, nz = self.vol_dims
+        is_float = np.asarray(vol).dtype == np.float32
+        vol3 = np.asarray(vol).reshape(nz, ny, nx)
+        chunks = chunk_volume(self.vol_dims, self.chunk_dims)
+
+        # Group chunks by shape so each group is one batched jit invocation.
+        groups: Dict[Tuple[int, int, int], List[int]] = {}
+        for i, c in enumerate(chunks):
+            groups.setdefault((c[5], c[3], c[1]), []).append(i)
+
+        streams: List[Optional[bytes]] = [None] * len(chunks)
+
+        for shape, idxs in groups.items():
+            lz, ly, lx = shape
+            n = lx * ly * lz
+            batch = np.stack(
+                [
+                    np.ascontiguousarray(
+                        vol3[c[4] : c[4] + c[5], c[2] : c[2] + c[3], c[0] : c[0] + c[1]]
+                    )
+                    for c in (chunks[i] for i in idxs)
+                ]
+            ).astype(np.dtype(self.dtype))
+            dev = self._shard(jnp.asarray(batch))
+            cap = max(1024, int(n * self.sparse_cap_frac))
+            out_cap = max(256, n // 64)
+            res = _dense_encode_sparse(dev, mode, float(quality), cap, out_cap)
+            # Pull small per-chunk scalars first; decide dense fallback.
+            nnz = np.asarray(jax.device_get(res["nnz"]))
+            small = {
+                k: np.asarray(jax.device_get(res[k]))
+                for k in ("is_const", "v0", "mean", "q", "maxmag")
+            }
+            n_out = (
+                np.asarray(jax.device_get(res["n_out"])) if mode == "pwe" else None
+            )
+            dense = None
+            if (nnz > cap).any() or (mode == "pwe" and (n_out > out_cap).any()):
+                dense = jax.device_get(_dense_encode(dev, mode, float(quality)))
+            else:
+                # Slice the compacted arrays to the actual occupancy on the
+                # device before fetching: transfer ~ max(nnz), not cap.
+                def _trim(name, counts, capn):
+                    m = int(counts.max()) if counts.size else 0
+                    m = min(capn, ((m + 1023) // 1024) * 1024) if m else 0
+                    if m == 0:
+                        return np.zeros((len(idxs), 0), dtype=np.int32)
+                    return np.asarray(jax.device_get(res[name][:, :m]))
+
+                sparse = {
+                    "idx": _trim("idx", nnz, cap),
+                    "vals": _trim("vals", nnz, cap),
+                }
+                if mode == "pwe":
+                    sparse["out_idx"] = _trim("out_idx", n_out, out_cap)
+                    sparse["out_vals"] = _trim("out_vals", n_out, out_cap)
+
+            budget = int(quality * n) if mode == "rate" else 0
+
+            def encode_one(k: int) -> bytes:
+                gi = idxs[k]
+                if bool(small["is_const"][k]):
+                    return _condi_header(True, float(small["v0"][k]), n, 0.0, 0.0)
+                q = float(small["q"][k])
+                width = _width_for(int(small["maxmag"][k]))
+                if dense is not None:
+                    mags = dense["mags"][k]
+                    signs = dense["signs"][k]
+                else:
+                    mags = np.zeros(n, dtype=np.int32)
+                    signs = np.ones(n, dtype=bool)
+                    m = int(nnz[k])
+                    ki, kv = sparse["idx"][k][:m], sparse["vals"][k][:m]
+                    mags[ki] = np.abs(kv)
+                    signs[ki] = kv >= 0
+                condi = _condi_header(False, 0.0, 0, float(small["mean"][k]), q)
+                body = self.engine.encode(3, mags, signs, (lx, ly, lz), width, budget)
+                out_stream = b""
+                if mode == "pwe":
+                    if dense is not None:
+                        mask = dense["outlier_mask"][k]
+                        pos = np.flatnonzero(mask)
+                        errs = np.asarray(dense["diff"][k][pos], dtype=np.float64)
+                    else:
+                        m = int(n_out[k])
+                        pos = sparse["out_idx"][k][:m]
+                        errs = np.asarray(sparse["out_vals"][k][:m], dtype=np.float64)
+                    if pos.size:
+                        out_stream = outlier_mod.encode_outliers(
+                            pos, errs, n, float(quality)
+                        )
+                return condi + body + out_stream
+
+            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                for k, s in enumerate(pool.map(encode_one, range(len(idxs)))):
+                    streams[idxs[k]] = s
+
+        header = tools.generate_header(
+            self.vol_dims, self.chunk_dims, [len(s) for s in streams], is_float
+        )
+        return header + b"".join(streams)
+
+
+class TpuDecompressor3D:
+    """Chunked 3D decompressor: host entropy decode, device-batched IDWT."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, dtype=jnp.float32, engine=None,
+                 num_threads: Optional[int] = None):
+        self.mesh = mesh
+        self.dtype = dtype
+        self.engine = engine or default_engine()
+        self.num_threads = num_threads
+
+    def decompress(
+        self, stream: bytes, to_host: bool = True
+    ) -> Tuple[object, Tuple[int, int, int]]:
+        """Decode a container stream.
+
+        to_host=True returns a numpy volume.  to_host=False keeps the
+        reconstruction device-resident and returns a dict
+        {(z0,y0,x0,lz,ly,lx) -> jax.Array} of chunk blocks — for TPU-native
+        consumers the decompressed field feeds device computation directly
+        and never pays the device->host transfer.
+        """
+        h = tools.parse_header(stream)
+        nx, ny, nz = h.vol_dims
+        chunks = chunk_volume(h.vol_dims, h.chunk_dims)
+        vol = np.empty((nz, ny, nx), dtype=np.dtype(self.dtype)) if to_host else {}
+
+        groups: Dict[Tuple[int, int, int], List[int]] = {}
+        for i, c in enumerate(chunks):
+            groups.setdefault((c[5], c[3], c[1]), []).append(i)
+
+        for shape, idxs in groups.items():
+            lz, ly, lx = shape
+            n = lx * ly * lz
+            B = len(idxs)
+            mags = np.zeros((B, n), dtype=np.int32)
+            signs = np.ones((B, n), dtype=bool)
+            qs = np.zeros(B, dtype=np.float64)
+            means = np.zeros(B, dtype=np.float64)
+            consts: List[Optional[float]] = [None] * B
+            outliers: List = [None] * B
+
+            def decode_one(k: int):
+                import struct
+
+                gi = idxs[k]
+                off, ln = h.chunk_offsets[gi * 2], h.chunk_offsets[gi * 2 + 1]
+                cs = stream[off : off + ln]
+                condi = cs[:17]
+                if cond_host.is_constant(condi[0]):
+                    _, val = struct.unpack_from("<Qd", condi, 1)
+                    consts[k] = val
+                    return
+                qs[k] = cond_host.retrieve_q(condi)
+                (means[k],) = struct.unpack_from("<d", condi, 1)
+                pos = 17
+                num_bp = cs[pos]
+                width = sp.uint_width_for_num_bitplanes(num_bp)
+                full_len = sp.speck_int_stream_full_len(cs[pos : pos + 9])
+                speck_len = min(full_len, len(cs) - pos)
+                m, g = self.engine.decode(
+                    3, cs[pos : pos + speck_len], (lx, ly, lz), width
+                )
+                mags[k] = m.astype(np.int32)
+                signs[k] = g
+                pos += speck_len
+                if pos + 9 <= len(cs):
+                    o_len = sp.speck_int_stream_full_len(cs[pos : pos + 9])
+                    if len(cs) - pos == o_len:
+                        outliers[k] = outlier_mod.decode_outliers(
+                            cs[pos : pos + o_len], n, qs[k] / 1.5
+                        )
+
+            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                list(pool.map(decode_one, range(B)))
+
+            # Narrow the host->device transfer when magnitudes allow it.
+            if mags.size and mags.max() < 32768:
+                mags = mags.astype(np.int16)
+            dev_mags = self._shard(jnp.asarray(mags))
+            dev_signs = self._shard(jnp.asarray(signs))
+            dt = np.dtype(self.dtype)
+            rec = _dense_decode(
+                dev_mags, dev_signs,
+                jnp.asarray(qs, dtype=dt), jnp.asarray(means, dtype=dt),
+                (lz, ly, lx),
+            )
+
+            if to_host:
+                rech = np.array(jax.device_get(rec))
+                for k, gi in enumerate(idxs):
+                    c = chunks[gi]
+                    zz, yy, xx = (
+                        slice(c[4], c[4] + c[5]),
+                        slice(c[2], c[2] + c[3]),
+                        slice(c[0], c[0] + c[1]),
+                    )
+                    if consts[k] is not None:
+                        vol[zz, yy, xx] = consts[k]
+                        continue
+                    block = rech[k]
+                    if outliers[k] is not None:
+                        pos, corr = outliers[k]
+                        flat = block.reshape(-1)
+                        flat[pos] += corr.astype(flat.dtype)
+                        block = flat.reshape(block.shape)
+                    vol[zz, yy, xx] = block
+            else:
+                for k, gi in enumerate(idxs):
+                    c = chunks[gi]
+                    key = (c[4], c[2], c[0], c[5], c[3], c[1])
+                    if consts[k] is not None:
+                        vol[key] = jnp.full((c[5], c[3], c[1]), consts[k], dtype=dt)
+                        continue
+                    block = rec[k]
+                    if outliers[k] is not None:
+                        pos, corr = outliers[k]
+                        flat = block.reshape(-1)
+                        flat = flat.at[jnp.asarray(pos)].add(
+                            jnp.asarray(corr, dtype=flat.dtype)
+                        )
+                        block = flat.reshape(block.shape)
+                    vol[key] = block
+        return vol, h.vol_dims
+
+    def _shard(self, arr):
+        if self.mesh is None:
+            return arr
+        ndev = self.mesh.devices.size
+        if arr.shape[0] % ndev != 0:
+            return arr
+        return jax.device_put(arr, NamedSharding(self.mesh, P("chunks")))

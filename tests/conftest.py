@@ -7,7 +7,16 @@ os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+import jax
+
+# The JAX_PLATFORMS env var is not honored under the axon TPU plugin; force
+# the CPU backend through the config API so tests never touch the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: jitted transforms recompile once per shape, ever.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import sys
 

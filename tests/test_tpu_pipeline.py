@@ -1,0 +1,97 @@
+"""Device-batched chunk pipeline: mesh sharding, roundtrip, cross-decode."""
+
+import jax
+import numpy as np
+import pytest
+
+from sperr_tpu.parallel import batched
+from sperr_tpu.parallel.chunked3d import Sperr3DDecompressor
+
+import oracle
+
+
+def _vol(nx, ny, nz, seed=21):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0:nz, 0:ny, 0:nx]
+    f = np.sin(x * 0.2) * np.cos(y * 0.15) * np.sin(z * 0.1 + 1.0)
+    return (f + 0.02 * rng.normal(size=f.shape)).astype(np.float32)
+
+
+def test_mesh_has_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("mode,quality", [("pwe", 1e-3), ("psnr", 60.0), ("rate", 2.0)])
+def test_roundtrip_modes(mode, quality):
+    vol = _vol(32, 32, 64)
+    comp = batched.TpuCompressor3D((32, 32, 64), (32, 32, 32))
+    stream = comp.compress(vol, mode, quality)
+    dec = batched.TpuDecompressor3D()
+    out, dims = dec.decompress(stream)
+    assert dims == (32, 32, 64)
+    err = np.abs(out.astype(np.float64) - vol.astype(np.float64)).max()
+    if mode == "pwe":
+        assert err <= quality
+    else:
+        assert err < 0.1  # sane reconstruction
+
+
+def test_mesh_sharded_compress():
+    mesh = batched.make_chunk_mesh()
+    vol = _vol(32, 32, 256)  # 8 equal chunks of 32^3 -> one per device
+    comp = batched.TpuCompressor3D((32, 32, 256), (32, 32, 32), mesh=mesh)
+    stream = comp.compress(vol, "pwe", 1e-3)
+    # Sharded result must equal the unsharded one byte-for-byte.
+    stream_ref = batched.TpuCompressor3D((32, 32, 256), (32, 32, 32)).compress(
+        vol, "pwe", 1e-3
+    )
+    assert stream == stream_ref
+
+    dec = batched.TpuDecompressor3D(mesh=mesh)
+    out, _ = dec.decompress(stream)
+    assert np.abs(out.astype(np.float64) - vol.astype(np.float64)).max() <= 1e-3
+
+
+def test_stream_decodable_by_host_engine():
+    """TPU-mode streams are format-valid: the exact host decoder reads them."""
+    vol = _vol(24, 24, 48)
+    stream = batched.TpuCompressor3D((24, 24, 48), (24, 24, 24)).compress(
+        vol, "pwe", 5e-4
+    )
+    out, dims = Sperr3DDecompressor().decompress(bytes(stream))
+    assert dims == (24, 24, 48)
+    # Host f64 decode differs from device f32 decode only at f32 roundoff;
+    # the PWE bound must still hold with a small slack for cross-precision.
+    err = np.abs(out.reshape(vol.shape) - vol.astype(np.float64)).max()
+    assert err <= 5e-4 * (1 + 1e-3) + 1e-6
+
+
+@pytest.mark.skipif(oracle.get_lib() is None, reason="oracle unavailable")
+def test_stream_decodable_by_reference():
+    """The reference binary itself decodes TPU-mode streams."""
+    vol = _vol(24, 24, 48)
+    stream = batched.TpuCompressor3D((24, 24, 48), (24, 24, 24)).compress(
+        vol, "pwe", 5e-4
+    )
+    ref_out, ref_dims = oracle.decomp_3d(bytes(stream))
+    assert ref_dims == (24, 24, 48)
+    err = np.abs(ref_out.reshape(vol.shape) - vol.astype(np.float64)).max()
+    assert err <= 5e-4 * (1 + 1e-3) + 1e-6
+
+    # And it must agree with our host decoder bit-for-bit.
+    host_out, _ = Sperr3DDecompressor().decompress(bytes(stream))
+    np.testing.assert_array_equal(host_out.ravel(), ref_out)
+
+
+def test_constant_chunks():
+    vol = np.full((32, 32, 32), 2.5, dtype=np.float32)
+    stream = batched.TpuCompressor3D((32, 32, 32), (32, 32, 32)).compress(
+        vol, "psnr", 80.0
+    )
+    out, _ = batched.TpuDecompressor3D().decompress(stream)
+    np.testing.assert_array_equal(out, vol)
+    # 17-byte conditioner stream + container header
+    from sperr_tpu.stream import tools
+
+    h = tools.parse_header(stream)
+    assert h.chunk_offsets[1] == 17
