@@ -1,0 +1,78 @@
+"""Multi-host gather logic: single-process equivalence + assembly unit tests."""
+
+import numpy as np
+
+from sperr_tpu.parallel import distributed as dist
+from sperr_tpu.parallel.chunked3d import Sperr3DCompressor
+from sperr_tpu.utils.dims import chunk_volume
+
+
+def _vol(nx, ny, nz, seed=31):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0:nz, 0:ny, 0:nx]
+    return (np.sin(x * 0.2) * np.cos(y * 0.11) * np.sin(z * 0.21)
+            + 0.02 * rng.normal(size=(nz, ny, nx))).astype(np.float32)
+
+
+def test_single_process_equals_host_driver():
+    nx, ny, nz = 40, 30, 50
+    vol = _vol(nx, ny, nz)
+
+    def loader(c):
+        x0, lx, y0, ly, z0, lz = c
+        return vol[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx]
+
+    stream = dist.compress_distributed(
+        loader, (nx, ny, nz), (16, 16, 16), "psnr", 65.0, is_float=True,
+        pid=0, nprocs=1,
+    )
+    ref = Sperr3DCompressor((nx, ny, nz), (16, 16, 16)).compress(vol, "psnr", 65.0)
+    assert stream == bytes(ref)
+
+
+def test_multiprocess_assembly_simulated():
+    """Simulate N processes locally: each compresses its round-robin chunks;
+    the assembled container must equal the single-host stream."""
+    nx, ny, nz = 33, 33, 33
+    vol = _vol(nx, ny, nz, seed=8)
+    chunk_dims = (16, 16, 16)
+    chunks = chunk_volume((nx, ny, nz), chunk_dims)
+    nprocs = 3
+
+    def loader(c):
+        x0, lx, y0, ly, z0, lz = c
+        return vol[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx]
+
+    # Per-process local work (what each host would compute).
+    from sperr_tpu.codec.speck_flt import SpeckFloatCodec
+
+    payloads, lens = [], np.zeros((nprocs, len(chunks)), dtype=np.int64)
+    for p in range(nprocs):
+        mine = dist.local_chunk_ids(len(chunks), p, nprocs)
+        streams = []
+        for i in mine:
+            c = chunks[i]
+            codec = SpeckFloatCodec(3, (c[1], c[3], c[5]))
+            s = codec.compress(
+                np.asarray(loader(c), dtype=np.float64).reshape(-1), "psnr", 70.0
+            )
+            streams.append(s)
+            lens[p, i] = len(s)
+        payloads.append(b"".join(streams))
+
+    # Assembly (what process 0 does after the DCN gathers).
+    all_lens = lens.sum(axis=0)
+    ordered = [b""] * len(chunks)
+    for p in range(nprocs):
+        mine = dist.local_chunk_ids(len(chunks), p, nprocs)
+        parts = dist.split_concat(payloads[p], [int(all_lens[i]) for i in mine])
+        for k, i in enumerate(mine):
+            ordered[i] = parts[k]
+    from sperr_tpu.stream import tools
+
+    stream = tools.generate_header(
+        (nx, ny, nz), chunk_dims, [len(s) for s in ordered], True
+    ) + b"".join(ordered)
+
+    ref = Sperr3DCompressor((nx, ny, nz), chunk_dims).compress(vol, "psnr", 70.0)
+    assert stream == bytes(ref)
