@@ -17,6 +17,7 @@ header || chunk_0 || chunk_1 || ... (ordered gather).
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
@@ -40,6 +41,15 @@ def _scatter_chunk(vol: np.ndarray, small: np.ndarray, c) -> None:
     vol[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx] = small.reshape(lz, ly, lx)
 
 
+def _native_codec():
+    try:
+        from ..runtime.native import NativeChunkCodec
+
+        return NativeChunkCodec()
+    except Exception:
+        return None
+
+
 class Sperr3DCompressor:
     """Multi-chunk 3D compressor (reference: SPERR3D_OMP_C)."""
 
@@ -49,13 +59,17 @@ class Sperr3DCompressor:
         chunk_dims: Tuple[int, int, int] = (256, 256, 256),
         num_threads: int = 0,
         engine=None,
+        use_native: Optional[bool] = None,
     ):
         self.vol_dims = tuple(int(d) for d in vol_dims)
         self.chunk_dims = tuple(
             min(max(1, int(chunk_dims[i])), self.vol_dims[i]) for i in range(3)
         )
-        self.num_threads = num_threads if num_threads > 0 else None
+        self.num_threads = num_threads if num_threads > 0 else (os.cpu_count() or 1)
         self.engine = engine
+        self.native = _native_codec() if use_native in (None, True) else None
+        if use_native and self.native is None:
+            raise RuntimeError("native chunk codec unavailable")
 
     def compress(self, vol: np.ndarray, mode: str, quality: float) -> bytes:
         """vol: array of shape (nz, ny, nx) or flat (x fastest); any float dtype."""
@@ -64,9 +78,20 @@ class Sperr3DCompressor:
         vol3 = np.asarray(vol).reshape(nz, ny, nx)
         chunks = chunk_volume(self.vol_dims, self.chunk_dims)
 
-        def run(c):
-            codec = SpeckFloatCodec(3, (c[1], c[3], c[5]), engine=self.engine)
-            return codec.compress(_gather_chunk(vol3, c), mode, quality)
+        if self.native is not None and self.engine is None:
+
+            def run(c):
+                x0, lx, y0, ly, z0, lz = c
+                blk = np.ascontiguousarray(
+                    vol3[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx]
+                )
+                return self.native.compress(blk, 3, (lx, ly, lz), mode, quality)
+
+        else:
+
+            def run(c):
+                codec = SpeckFloatCodec(3, (c[1], c[3], c[5]), engine=self.engine)
+                return codec.compress(_gather_chunk(vol3, c), mode, quality)
 
         if len(chunks) == 1:
             streams = [run(chunks[0])]
@@ -83,9 +108,10 @@ class Sperr3DCompressor:
 class Sperr3DDecompressor:
     """Multi-chunk 3D decompressor (reference: SPERR3D_OMP_D)."""
 
-    def __init__(self, num_threads: int = 0, engine=None):
-        self.num_threads = num_threads if num_threads > 0 else None
+    def __init__(self, num_threads: int = 0, engine=None, use_native: Optional[bool] = None):
+        self.num_threads = num_threads if num_threads > 0 else (os.cpu_count() or 1)
         self.engine = engine
+        self.native = _native_codec() if use_native in (None, True) else None
         self.header: Optional[tools.Sperr3DHeader] = None
         self.hierarchy: List[np.ndarray] = []
 
@@ -110,9 +136,17 @@ class Sperr3DDecompressor:
                 chunk_volume(vol_res[i], chunk_res[i]) for i in range(len(vol_res))
             ]
 
+        use_native = self.native is not None and self.engine is None and not multi_res
+
         def run(i):
             c = chunks[i]
             off, ln = h.chunk_offsets[i * 2], h.chunk_offsets[i * 2 + 1]
+            if use_native:
+                vals = self.native.decompress(
+                    stream[off : off + ln], 3, (c[1], c[3], c[5])
+                )
+                _scatter_chunk(vol, vals, c)
+                return
             codec = SpeckFloatCodec(3, (c[1], c[3], c[5]), engine=self.engine)
             vals, hier = codec.decompress(stream[off : off + ln], multi_res=multi_res)
             _scatter_chunk(vol, vals, c)

@@ -16,17 +16,20 @@ from typing import Tuple
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "speck.cpp")
-_LIB = os.path.join(_DIR, "libsperr_speck.so")
+_SRC = os.path.join(_DIR, "flt.cpp")  # includes speck.cpp (single TU)
+_SRC_DEPS = (os.path.join(_DIR, "speck.cpp"), _SRC)
+_LIB = os.path.join(_DIR, "libsperr_native.so")
 _lock = threading.Lock()
 
 _DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
 
 
 def _build_lib() -> None:
+    # -ffp-contract=off: the float pipeline must round exactly once per op
+    # for byte-parity of streams with the exact host engine / reference.
     cmd = [
-        "g++", "-O3", "-std=c++17", "-DNDEBUG", "-shared", "-fPIC",
-        "-march=native", _SRC, "-o", _LIB,
+        "g++", "-O3", "-std=c++17", "-DNDEBUG", "-ffp-contract=off",
+        "-shared", "-fPIC", "-march=native", _SRC, "-o", _LIB,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=600)
@@ -38,7 +41,9 @@ def _build_lib() -> None:
 
 def _load():
     with _lock:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not os.path.exists(_LIB) or any(
+            os.path.getmtime(_LIB) < os.path.getmtime(s) for s in _SRC_DEPS
+        ):
             _build_lib()
         lib = ct.CDLL(_LIB)
     lib.st_speck_encode.restype = ct.c_int64
@@ -53,6 +58,17 @@ def _load():
         ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_void_p, ct.c_void_p,
     ]
     lib.st_free.argtypes = [ct.c_void_p]
+    lib.st_compress_chunk.restype = ct.c_int64
+    lib.st_compress_chunk.argtypes = [
+        ct.c_int, ct.c_void_p, ct.c_int,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.c_int, ct.c_double, ct.POINTER(ct.c_void_p),
+    ]
+    lib.st_decompress_chunk.restype = ct.c_int64
+    lib.st_decompress_chunk.argtypes = [
+        ct.c_int, ct.c_void_p, ct.c_uint64,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_void_p,
+    ]
     return lib
 
 
@@ -98,3 +114,45 @@ class NativeEngine:
 
     def decode_1d(self, stream, total_len, width):
         return self.decode(1, stream, (total_len, 1, 1), width)
+
+
+_MODE_CODES = {"rate": 1, "psnr": 2, "pwe": 3}
+
+
+class NativeChunkCodec:
+    """Full per-chunk float pipeline in C++ (condition->DWT->quantize->SPECK).
+
+    Byte-identical streams to the exact host engine; ~reference-C++ speed.
+    """
+
+    def __init__(self):
+        self._lib = _load()
+
+    def compress(self, data: np.ndarray, ndim: int, dims, mode: str, quality: float) -> bytes:
+        arr = np.ascontiguousarray(data)
+        is_float = 1 if arr.dtype == np.float32 else 0
+        if not is_float:
+            arr = np.ascontiguousarray(arr, dtype=np.float64)
+        nx, ny, nz = dims
+        out = ct.c_void_p(None)
+        rtn = self._lib.st_compress_chunk(
+            ndim, arr.ctypes.data_as(ct.c_void_p), is_float,
+            nx, ny, nz, _MODE_CODES[mode], quality, ct.byref(out),
+        )
+        if rtn < 0:
+            raise RuntimeError(f"native chunk compress failed: {rtn}")
+        buf = ct.string_at(out, rtn)
+        self._lib.st_free(out)
+        return buf
+
+    def decompress(self, stream: bytes, ndim: int, dims) -> np.ndarray:
+        nx, ny, nz = dims
+        n = nx * ny * nz
+        out = np.empty(n, dtype=np.float64)
+        buf = bytes(stream)
+        rtn = self._lib.st_decompress_chunk(
+            ndim, buf, len(buf), nx, ny, nz, out.ctypes.data_as(ct.c_void_p)
+        )
+        if rtn < 0:
+            raise RuntimeError(f"native chunk decompress failed: {rtn}")
+        return out

@@ -1,0 +1,639 @@
+// Native per-chunk float pipeline: conditioner -> CDF 9/7 DWT -> q estimation
+// -> midtread quantization -> [PWE outlier coding] -> SPECK entropy stage,
+// and the inverse.  Produces byte-identical streams to the exact host engine
+// (sperr_tpu/codec/speck_flt.py) and hence to the reference binaries; the
+// behavioral spec lives in /root/reference/src/SPECK_FLT.cpp, CDF97.cpp,
+// Conditioner.cpp, Outlier_Coder.cpp.
+//
+// Compile with -ffp-contract=off: every floating-point op here must round
+// exactly once for stream parity.
+
+#include "speck.cpp"  // bit coders + utilities (single-TU build)
+
+#include <cfenv>
+#include <cmath>
+
+namespace {
+
+// ------------------------------------------------------------- CDF 9/7 ----
+// Lifting constants derived exactly as in CDF97.h:135-147.
+struct Cdf97Const {
+  double ALPHA, BETA, GAMMA, DELTA, EPSILON, INV_EPSILON;
+  Cdf97Const() {
+    const double h[5] = {0.602949018236, 0.266864118443, -0.078223266529,
+                         -0.016864118443, 0.026748757411};
+    const double r0 = h[0] - 2.0 * h[4] * h[1] / h[3];
+    const double r1 = h[2] - h[4] - h[4] * h[1] / h[3];
+    const double s0 = h[1] - h[3] - h[3] * r0 / r1;
+    const double t0 = h[0] - 2.0 * (h[2] - h[4]);
+    ALPHA = h[4] / h[3];
+    BETA = h[3] / r1;
+    GAMMA = r1 / s0;
+    DELTA = s0 / t0;
+    EPSILON = std::sqrt(2.0) * t0;
+    INV_EPSILON = 1.0 / EPSILON;
+  }
+};
+static const Cdf97Const CC;
+
+// One forward lifting level over deinterleaved [even|odd] data of length n.
+void lift_fwd(double* buf, size_t n) {
+  const size_t el = n - n / 2, ol = n / 2;
+  double* e = buf;
+  double* o = buf + el;
+  for (size_t i = 0; i + 1 < ol; i++) o[i] += CC.ALPHA * (e[i] + e[i + 1]);
+  o[ol - 1] += CC.ALPHA * (e[ol - 1] + e[el - 1]);
+  e[0] += 2.0 * CC.BETA * o[0];
+  for (size_t i = 1; i + 1 < el; i++) e[i] += CC.BETA * (o[i - 1] + o[i]);
+  e[el - 1] += CC.BETA * (o[el - 2] + o[ol - 1]);
+  for (size_t i = 0; i + 1 < ol; i++) o[i] += CC.GAMMA * (e[i] + e[i + 1]);
+  o[ol - 1] += CC.GAMMA * (e[ol - 1] + e[el - 1]);
+  e[0] = CC.EPSILON * (e[0] + 2.0 * CC.DELTA * o[0]);
+  for (size_t i = 1; i + 1 < el; i++)
+    e[i] = CC.EPSILON * (e[i] + CC.DELTA * (o[i - 1] + o[i]));
+  e[el - 1] = CC.EPSILON * (e[el - 1] + CC.DELTA * (o[el - 2] + o[ol - 1]));
+  for (size_t i = 0; i < ol; i++) o[i] *= -CC.INV_EPSILON;
+}
+
+void lift_inv(double* buf, size_t n) {
+  const size_t el = n - n / 2, ol = n / 2;
+  double* e = buf;
+  double* o = buf + el;
+  for (size_t i = 0; i < ol; i++) o[i] *= -CC.EPSILON;
+  e[0] = e[0] * CC.INV_EPSILON - 2.0 * CC.DELTA * o[0];
+  for (size_t i = 1; i + 1 < el; i++)
+    e[i] = e[i] * CC.INV_EPSILON - CC.DELTA * (o[i - 1] + o[i]);
+  e[el - 1] = e[el - 1] * CC.INV_EPSILON - CC.DELTA * (o[el - 2] + o[ol - 1]);
+  for (size_t i = 0; i + 1 < ol; i++) o[i] -= CC.GAMMA * (e[i] + e[i + 1]);
+  o[ol - 1] -= CC.GAMMA * (e[ol - 1] + e[el - 1]);
+  e[0] -= 2.0 * CC.BETA * o[0];
+  for (size_t i = 1; i + 1 < el; i++) e[i] -= CC.BETA * (o[i - 1] + o[i]);
+  e[el - 1] -= CC.BETA * (o[el - 2] + o[ol - 1]);
+  for (size_t i = 0; i + 1 < ol; i++) o[i] -= CC.ALPHA * (e[i] + e[i + 1]);
+  o[ol - 1] -= CC.ALPHA * (e[ol - 1] + e[el - 1]);
+}
+
+void deinterleave(const double* src, size_t n, double* dst) {
+  const size_t el = n - n / 2;
+  for (size_t i = 0; i < el; i++) dst[i] = src[2 * i];
+  for (size_t i = 0; i < n / 2; i++) dst[el + i] = src[2 * i + 1];
+}
+
+void interleave(const double* src, size_t n, double* dst) {
+  const size_t el = n - n / 2;
+  for (size_t i = 0; i < el; i++) dst[2 * i] = src[i];
+  for (size_t i = 0; i < n / 2; i++) dst[2 * i + 1] = src[el + i];
+}
+
+struct Wavelet {
+  std::vector<double> tmp, tmp2;
+
+  void fwd_axis_x(double* p, size_t len, size_t rows, size_t row_stride) {
+    tmp.resize(len);
+    for (size_t r = 0; r < rows; r++) {
+      double* row = p + r * row_stride;
+      deinterleave(row, len, tmp.data());
+      lift_fwd(tmp.data(), len);
+      std::memcpy(row, tmp.data(), len * sizeof(double));
+    }
+  }
+  void inv_axis_x(double* p, size_t len, size_t rows, size_t row_stride) {
+    tmp.resize(len);
+    for (size_t r = 0; r < rows; r++) {
+      double* row = p + r * row_stride;
+      lift_inv(row, len);
+      interleave(row, len, tmp.data());
+      std::memcpy(row, tmp.data(), len * sizeof(double));
+    }
+  }
+  // Strided (non-contiguous) axis: gather a block of K columns, transform,
+  // scatter back.  K=16 keeps it cache-friendly.
+  void fwd_axis_strided(double* p, size_t len, size_t ncols, size_t col_stride,
+                        size_t elem_stride) {
+    constexpr size_t K = 16;
+    tmp.resize(len * K);
+    tmp2.resize(len);
+    for (size_t c0 = 0; c0 < ncols; c0 += K) {
+      size_t k = std::min(K, ncols - c0);
+      for (size_t i = 0; i < len; i++)
+        for (size_t j = 0; j < k; j++)
+          tmp[j * len + i] = p[(c0 + j) * col_stride + i * elem_stride];
+      for (size_t j = 0; j < k; j++) {
+        deinterleave(tmp.data() + j * len, len, tmp2.data());
+        lift_fwd(tmp2.data(), len);
+        std::memcpy(tmp.data() + j * len, tmp2.data(), len * sizeof(double));
+      }
+      for (size_t i = 0; i < len; i++)
+        for (size_t j = 0; j < k; j++)
+          p[(c0 + j) * col_stride + i * elem_stride] = tmp[j * len + i];
+    }
+  }
+  void inv_axis_strided(double* p, size_t len, size_t ncols, size_t col_stride,
+                        size_t elem_stride) {
+    constexpr size_t K = 16;
+    tmp.resize(len * K);
+    tmp2.resize(len);
+    for (size_t c0 = 0; c0 < ncols; c0 += K) {
+      size_t k = std::min(K, ncols - c0);
+      for (size_t i = 0; i < len; i++)
+        for (size_t j = 0; j < k; j++)
+          tmp[j * len + i] = p[(c0 + j) * col_stride + i * elem_stride];
+      for (size_t j = 0; j < k; j++) {
+        lift_inv(tmp.data() + j * len, len);
+        interleave(tmp.data() + j * len, len, tmp2.data());
+        std::memcpy(tmp.data() + j * len, tmp2.data(), len * sizeof(double));
+      }
+      for (size_t i = 0; i < len; i++)
+        for (size_t j = 0; j < k; j++)
+          p[(c0 + j) * col_stride + i * elem_stride] = tmp[j * len + i];
+    }
+  }
+
+  // One 2D level on the (lx, ly) top-left corner of a plane with row stride.
+  void level2_fwd(double* plane, size_t lx, size_t ly, size_t stride) {
+    fwd_axis_x(plane, lx, ly, stride);
+    // columns: each column x < lx, elements y < ly with stride `stride`
+    for_cols_fwd(plane, lx, ly, stride);
+  }
+  void for_cols_fwd(double* plane, size_t lx, size_t ly, size_t stride) {
+    fwd_axis_strided(plane, ly, lx, 1, stride);
+  }
+  void level2_inv(double* plane, size_t lx, size_t ly, size_t stride) {
+    inv_axis_strided(plane, ly, lx, 1, stride);
+    inv_axis_x(plane, lx, ly, stride);
+  }
+
+  void dwt2d(double* plane, size_t nx, size_t ny, size_t levels, size_t stride) {
+    for (size_t lev = 0; lev < levels; lev++) {
+      size_t lx, dx, ly, dy;
+      approx_detail(nx, lev, &lx, &dx);
+      approx_detail(ny, lev, &ly, &dy);
+      level2_fwd(plane, lx, ly, stride);
+    }
+  }
+  void idwt2d(double* plane, size_t nx, size_t ny, size_t levels, size_t stride) {
+    for (size_t lev = levels; lev > 0; lev--) {
+      size_t lx, dx, ly, dy;
+      approx_detail(nx, lev - 1, &lx, &dx);
+      approx_detail(ny, lev - 1, &ly, &dy);
+      level2_inv(plane, lx, ly, stride);
+    }
+  }
+
+  void dwt1d(double* p, size_t n, size_t levels) {
+    size_t len = n;
+    for (size_t lev = 0; lev < levels; lev++) {
+      fwd_axis_x(p, len, 1, 0);
+      len -= len / 2;
+    }
+  }
+  void idwt1d(double* p, size_t n, size_t levels) {
+    for (size_t lev = levels; lev > 0; lev--) {
+      size_t lo, hi;
+      approx_detail(n, lev - 1, &lo, &hi);
+      inv_axis_x(p, lo, 1, 0);
+    }
+  }
+
+  void dwt3d(double* v, size_t nx, size_t ny, size_t nz) {
+    size_t dy_lev = 0;
+    if (can_use_dyadic(nx, ny, nz, &dy_lev)) {
+      for (size_t lev = 0; lev < dy_lev; lev++) {
+        size_t lx, ly, lz, d;
+        approx_detail(nx, lev, &lx, &d);
+        approx_detail(ny, lev, &ly, &d);
+        approx_detail(nz, lev, &lz, &d);
+        // XY planes first (z < lz), then Z columns.
+        for (size_t z = 0; z < lz; z++) level2_fwd(v + z * nx * ny, lx, ly, nx);
+        for (size_t y = 0; y < ly; y++)
+          fwd_axis_strided(v + y * nx, lz, lx, 1, nx * ny);
+      }
+    } else {
+      // Wavelet packet: full 1D along Z, then full 2D per slice.
+      size_t zl = num_of_xforms(nz);
+      for (size_t y = 0; y < ny; y++) {
+        size_t len = nz;
+        for (size_t lev = 0; lev < zl; lev++) {
+          fwd_axis_strided(v + y * nx, len, nx, 1, nx * ny);
+          len -= len / 2;
+        }
+      }
+      size_t xyl = num_of_xforms(nx < ny ? nx : ny);
+      for (size_t z = 0; z < nz; z++) dwt2d(v + z * nx * ny, nx, ny, xyl, nx);
+    }
+  }
+
+  void idwt3d(double* v, size_t nx, size_t ny, size_t nz) {
+    size_t dy_lev = 0;
+    if (can_use_dyadic(nx, ny, nz, &dy_lev)) {
+      for (size_t lev = dy_lev; lev > 0; lev--) {
+        size_t lx, ly, lz, d;
+        approx_detail(nx, lev - 1, &lx, &d);
+        approx_detail(ny, lev - 1, &ly, &d);
+        approx_detail(nz, lev - 1, &lz, &d);
+        for (size_t y = 0; y < ly; y++)
+          inv_axis_strided(v + y * nx, lz, lx, 1, nx * ny);
+        for (size_t z = 0; z < lz; z++) level2_inv(v + z * nx * ny, lx, ly, nx);
+      }
+    } else {
+      size_t xyl = num_of_xforms(nx < ny ? nx : ny);
+      for (size_t z = 0; z < nz; z++) idwt2d(v + z * nx * ny, nx, ny, xyl, nx);
+      size_t zl = num_of_xforms(nz);
+      for (size_t y = 0; y < ny; y++) {
+        for (size_t lev = zl; lev > 0; lev--) {
+          size_t lo, hi;
+          approx_detail(nz, lev - 1, &lo, &hi);
+          inv_axis_strided(v + y * nx, lo, nx, 1, nx * ny);
+        }
+      }
+    }
+  }
+};
+
+void wavelet_fwd(int ndim, double* v, size_t nx, size_t ny, size_t nz) {
+  Wavelet w;
+  if (ndim == 3)
+    w.dwt3d(v, nx, ny, nz);
+  else if (ndim == 2)
+    w.dwt2d(v, nx, ny, num_of_xforms(nx < ny ? nx : ny), nx);
+  else
+    w.dwt1d(v, nx, num_of_xforms(nx));
+}
+
+void wavelet_inv(int ndim, double* v, size_t nx, size_t ny, size_t nz) {
+  Wavelet w;
+  if (ndim == 3)
+    w.idwt3d(v, nx, ny, nz);
+  else if (ndim == 2)
+    w.idwt2d(v, nx, ny, num_of_xforms(nx < ny ? nx : ny), nx);
+  else
+    w.idwt1d(v, nx, num_of_xforms(nx));
+}
+
+// ----------------------------------------------------------- conditioner --
+size_t adjust_strides(size_t len) {
+  size_t num = 2048;
+  if (len % num == 0) return num;
+  for (size_t c = num; c <= 32768; c++)
+    if (len % c == 0) return c;
+  for (size_t c = num; c > 0; c--)
+    if (len % c == 0) return c;
+  return 1;
+}
+
+double strided_mean(const double* p, size_t n) {
+  size_t ns = adjust_strides(n);
+  size_t stride = n / ns;
+  double sum = 0.0;
+  std::vector<double> per(ns);
+  for (size_t s = 0; s < ns; s++) {
+    double acc = 0.0;
+    const double* b = p + s * stride;
+    for (size_t i = 0; i < stride; i++) acc += b[i];
+    per[s] = acc / double(stride);
+  }
+  for (size_t s = 0; s < ns; s++) sum += per[s];
+  return sum / double(ns);
+}
+
+// ------------------------------------------------------------ quantizer ---
+double estimate_mse_midtread(const double* p, size_t n, double q) {
+  const size_t stride = 4096;
+  const size_t ns = n / stride;
+  std::vector<double> sums(ns + 1);
+  const double rcp = 1.0 / q;
+  for (size_t s = 0; s < ns; s++) {
+    double acc = 0.0;
+    const double* b = p + s * stride;
+    for (size_t i = 0; i < stride; i++) {
+      double d = std::fma(-q, std::rint(b[i] * rcp), b[i]);
+      acc += d * d;
+    }
+    sums[s] = acc;
+  }
+  double acc = 0.0;
+  for (size_t i = ns * stride; i < n; i++) {
+    double d = std::fma(-q, std::rint(p[i] * rcp), p[i]);
+    acc += d * d;
+  }
+  sums[ns] = acc;
+  double total = 0.0;
+  for (double v : sums) total += v;
+  return total / double(n);
+}
+
+constexpr double DBL_BIG_ODD = 9007199254740991.0;  // 0x1.fffffffffffffp52
+
+double estimate_q(int mode, double quality, double param, const double* p,
+                  size_t n, bool high_prec) {
+  if (mode == 2) {  // psnr
+    double t_mse = (param * param) * std::pow(10.0, -quality / 10.0);
+    double q = 2.0 * std::sqrt(t_mse * 3.0);
+    const double shrink = std::exp2(0.25);
+    while (estimate_mse_midtread(p, n, q) > t_mse) q /= shrink;
+    return q;
+  }
+  if (mode == 3) return quality * 1.5;  // pwe
+  return param / (high_prec ? DBL_BIG_ODD : 4294967295.0);  // rate
+}
+
+// Quantize into sign/magnitude; returns uint width in bits.
+template <typename U>
+void quantize_into(const double* p, size_t n, double q, std::vector<U>& mags,
+                   std::vector<uint8_t>& signs) {
+  const double inv = 1.0 / q;
+  mags.resize(n);
+  signs.resize(n);
+  for (size_t i = 0; i < n; i++) {
+    long long ll = std::llrint(p[i] * inv);
+    signs[i] = ll >= 0;
+    mags[i] = U(ll < 0 ? -(unsigned long long)ll : (unsigned long long)ll);
+  }
+}
+
+int pick_width(const double* p, size_t n, double q) {
+  size_t arg = 0;
+  double best = -1.0;
+  for (size_t i = 0; i < n; i++) {
+    double a = std::fabs(p[i]);
+    if (a > best) {
+      best = a;
+      arg = i;
+    }
+  }
+  long long maxll = std::llrint(std::fabs(p[arg]) / q);
+  if (maxll <= 0xFF) return 8;
+  if (maxll <= 0xFFFF) return 16;
+  if (maxll <= 0xFFFFFFFFll) return 32;
+  return 64;
+}
+
+template <typename U>
+void inv_quantize(const std::vector<U>& mags, const std::vector<uint8_t>& signs,
+                  double q, double* out) {
+  const size_t n = mags.size();
+  for (size_t i = 0; i < n; i++) {
+    double v = q * double(mags[i]);
+    out[i] = signs[i] ? v : -v;
+  }
+}
+
+// ------------------------------------------------------------- outliers ---
+struct OutlierList {
+  std::vector<uint64_t> pos;
+  std::vector<double> err;
+};
+
+template <typename U>
+std::vector<uint8_t> speck_encode_vec(int ndim, const std::vector<U>& mags,
+                                      const std::vector<uint8_t>& signs, size_t nx,
+                                      size_t ny, size_t nz, size_t budget_bits) {
+  uint8_t* buf = nullptr;
+  int64_t len = encode_any<U>(ndim, mags.data(), signs.data(), nx, ny, nz,
+                              budget_bits, &buf);
+  std::vector<uint8_t> out(buf, buf + len);
+  std::free(buf);
+  return out;
+}
+
+std::vector<uint8_t> encode_outliers(const OutlierList& los, size_t total_len,
+                                     double tol) {
+  double maxerr = 0.0;
+  for (double e : los.err) maxerr = std::max(maxerr, std::fabs(e));
+  long long maxint = std::llrint(maxerr);  // raw-error width quirk (normative)
+  int width = maxint <= 0xFF ? 8 : maxint <= 0xFFFF ? 16 : maxint <= 0xFFFFFFFFll ? 32 : 64;
+
+  const double inv = 1.0 / tol;
+  auto run = [&](auto tag) {
+    using U = decltype(tag);
+    std::vector<U> mags(total_len, 0);
+    std::vector<uint8_t> signs(total_len, 1);
+    for (size_t k = 0; k < los.pos.size(); k++) {
+      long long ll = std::llrint(los.err[k] * inv);
+      signs[los.pos[k]] = ll >= 0;
+      mags[los.pos[k]] = U(ll < 0 ? -(unsigned long long)ll : (unsigned long long)ll);
+    }
+    return speck_encode_vec<U>(1, mags, signs, total_len, 1, 1, 0);
+  };
+  switch (width) {
+    case 8: return run(uint8_t{});
+    case 16: return run(uint16_t{});
+    case 32: return run(uint32_t{});
+    default: return run(uint64_t{});
+  }
+}
+
+void decode_outliers(const uint8_t* stream, size_t len, size_t total_len,
+                     double tol, double* add_to) {
+  int nbp = stream[0];
+  int width = nbp <= 8 ? 8 : nbp <= 16 ? 16 : nbp <= 32 ? 32 : 64;
+  auto run = [&](auto tag) {
+    using U = decltype(tag);
+    std::vector<U> mags(total_len);
+    std::vector<uint8_t> signs(total_len);
+    decode_any<U>(1, stream, len, total_len, 1, 1, mags.data(), signs.data());
+    for (size_t i = 0; i < total_len; i++) {
+      if (mags[i] == 0) continue;
+      double v = mags[i] == 1 ? 1.1 : double(mags[i]) - 0.25;
+      add_to[i] += v * (tol * (signs[i] ? 1.0 : -1.0));
+    }
+  };
+  switch (width) {
+    case 8: run(uint8_t{}); break;
+    case 16: run(uint16_t{}); break;
+    case 32: run(uint32_t{}); break;
+    default: run(uint64_t{}); break;
+  }
+}
+
+// --------------------------------------------------------------- headers --
+// pack_8_booleans convention: b[0] -> bit 7 (sperr_helper.cpp magic trick).
+void write_condi(uint8_t* h, bool constant, double mean_or_val, uint64_t nval,
+                 double q) {
+  h[0] = constant ? 0x81 : 0x80;  // [subtract-mean, 0.., constant]
+  if (constant) {
+    std::memcpy(h + 1, &nval, 8);
+    std::memcpy(h + 9, &mean_or_val, 8);
+  } else {
+    std::memcpy(h + 1, &mean_or_val, 8);
+    std::memcpy(h + 9, &q, 8);
+  }
+}
+
+// ------------------------------------------------------------- pipeline ---
+std::vector<uint8_t> compress_chunk(int ndim, std::vector<double>& vals, size_t nx,
+                                    size_t ny, size_t nz, int mode, double quality) {
+  const size_t n = vals.size();
+  std::fesetround(FE_TONEAREST);
+
+  // Conditioner: constant detection, then mean subtraction.
+  bool constant = true;
+  for (size_t i = 1; i < n; i++)
+    if (vals[i] != vals[0]) {
+      constant = false;
+      break;
+    }
+  std::vector<uint8_t> stream(17);
+  if (constant) {
+    write_condi(stream.data(), true, vals[0], n, 0.0);
+    return stream;
+  }
+  double mean = strided_mean(vals.data(), n);
+  for (size_t i = 0; i < n; i++) vals[i] -= mean;
+
+  std::vector<double> orig;
+  double param = 0.0;
+  if (mode == 3) orig = vals;  // pwe
+  if (mode == 2) {             // psnr: data range
+    double mn = vals[0], mx = vals[0];
+    for (size_t i = 1; i < n; i++) {
+      mn = std::min(mn, vals[i]);
+      mx = std::max(mx, vals[i]);
+    }
+    param = mx - mn;
+  }
+
+  wavelet_fwd(ndim, vals.data(), nx, ny, nz);
+
+  if (mode == 1) {  // rate: largest |coeff|
+    size_t arg = 0;
+    double best = -1.0;
+    for (size_t i = 0; i < n; i++) {
+      double a = std::fabs(vals[i]);
+      if (a > best) {
+        best = a;
+        arg = i;
+      }
+    }
+    param = std::fabs(vals[arg]);
+  }
+  size_t budget = mode == 1 ? size_t(quality * double(n)) : 0;
+
+  for (int high_prec = 0; high_prec < 2; high_prec++) {
+    double q = estimate_q(mode, quality, param, vals.data(), n, high_prec);
+    write_condi(stream.data(), false, mean, 0, q);
+
+    int width = pick_width(vals.data(), n, q);
+    std::vector<uint8_t> body, outlier_stream;
+
+    auto run = [&](auto tag) {
+      using U = decltype(tag);
+      std::vector<U> mags;
+      std::vector<uint8_t> signs;
+      quantize_into<U>(vals.data(), n, q, mags, signs);
+      if (mode == 3) {  // PWE: reconstruct, collect outliers
+        std::vector<double> rec(n);
+        inv_quantize<U>(mags, signs, q, rec.data());
+        wavelet_inv(ndim, rec.data(), nx, ny, nz);
+        OutlierList los;
+        for (size_t i = 0; i < n; i++) {
+          double d = orig[i] - rec[i];
+          if (std::fabs(d) > quality) {
+            los.pos.push_back(i);
+            los.err.push_back(d);
+          }
+        }
+        if (!los.pos.empty()) outlier_stream = encode_outliers(los, n, quality);
+      }
+      body = speck_encode_vec<U>(ndim, mags, signs, nx, ny, nz, budget);
+    };
+    switch (width) {
+      case 8: run(uint8_t{}); break;
+      case 16: run(uint16_t{}); break;
+      case 32: run(uint32_t{}); break;
+      default: run(uint64_t{}); break;
+    }
+
+    if (mode == 1 && !high_prec && body.size() * 8 < budget) continue;
+
+    stream.insert(stream.end(), body.begin(), body.end());
+    stream.insert(stream.end(), outlier_stream.begin(), outlier_stream.end());
+    return stream;
+  }
+  return stream;  // unreachable
+}
+
+int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
+                     size_t ny, size_t nz, double* out) {
+  const size_t n = nx * ny * nz;
+  if (len < 17) return -1;
+  if (stream[0] & 0x01) {  // constant field
+    double val;
+    std::memcpy(&val, stream + 9, 8);
+    for (size_t i = 0; i < n; i++) out[i] = val;
+    return 0;
+  }
+  double mean, q;
+  std::memcpy(&mean, stream + 1, 8);
+  std::memcpy(&q, stream + 9, 8);
+  size_t pos = 17;
+  if (len < pos + 9) return -2;
+
+  int nbp = stream[pos];
+  uint64_t nbits;
+  std::memcpy(&nbits, stream + pos + 1, 8);
+  size_t full = 9 + (nbits + 7) / 8;
+  size_t speck_len = std::min(full, len - pos);
+  int width = nbp <= 8 ? 8 : nbp <= 16 ? 16 : nbp <= 32 ? 32 : 64;
+
+  auto run = [&](auto tag) {
+    using U = decltype(tag);
+    std::vector<U> mags(n);
+    std::vector<uint8_t> signs(n);
+    decode_any<U>(ndim, stream + pos, speck_len, nx, ny, nz, mags.data(),
+                  signs.data());
+    inv_quantize<U>(mags, signs, q, out);
+  };
+  switch (width) {
+    case 8: run(uint8_t{}); break;
+    case 16: run(uint16_t{}); break;
+    case 32: run(uint32_t{}); break;
+    default: run(uint64_t{}); break;
+  }
+  pos += speck_len;
+
+  wavelet_inv(ndim, out, nx, ny, nz);
+
+  // Outlier stream, if complete.
+  if (pos + 9 <= len) {
+    uint64_t obits;
+    std::memcpy(&obits, stream + pos + 1, 8);
+    size_t olen = 9 + (obits + 7) / 8;
+    if (len - pos == olen) decode_outliers(stream + pos, olen, n, q / 1.5, out);
+  }
+
+  for (size_t i = 0; i < n; i++) out[i] += mean;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full per-chunk pipeline.  mode: 1=rate(bpp), 2=psnr, 3=pwe.
+// `src` is f64 (is_float==0) or f32 (is_float==1); out is malloc'd.
+int64_t st_compress_chunk(int ndim, const void* src, int is_float, uint64_t nx,
+                          uint64_t ny, uint64_t nz, int mode, double quality,
+                          uint8_t** out) {
+  size_t n = size_t(nx) * ny * nz;
+  std::vector<double> vals(n);
+  if (is_float) {
+    const float* p = static_cast<const float*>(src);
+    for (size_t i = 0; i < n; i++) vals[i] = p[i];
+  } else {
+    std::memcpy(vals.data(), src, n * sizeof(double));
+  }
+  auto stream = compress_chunk(ndim, vals, nx, ny, nz, mode, quality);
+  uint8_t* buf = static_cast<uint8_t*>(std::malloc(stream.size()));
+  if (!buf) return -1;
+  std::memcpy(buf, stream.data(), stream.size());
+  *out = buf;
+  return int64_t(stream.size());
+}
+
+int64_t st_decompress_chunk(int ndim, const uint8_t* stream, uint64_t len,
+                            uint64_t nx, uint64_t ny, uint64_t nz, double* out) {
+  return decompress_chunk(ndim, stream, len, nx, ny, nz, out);
+}
+
+}  // extern "C"
