@@ -63,14 +63,31 @@ def generate_header(
     return bytes(out)
 
 
+class StreamError(ValueError):
+    """Raised for malformed or unsupported SPERR container streams."""
+
+
 def parse_header(stream: bytes) -> Sperr3DHeader:
+    from .. import SPERR_VERSION_MAJOR
+
+    if len(stream) < HEADER_MAGIC_1CHUNK + 4:
+        raise StreamError(f"stream too short for a container header: {len(stream)}B")
     h = Sperr3DHeader()
     h.major_version = stream[0]
+    if h.major_version != SPERR_VERSION_MAJOR:
+        raise StreamError(
+            f"unsupported stream version {h.major_version} "
+            f"(expected {SPERR_VERSION_MAJOR})"
+        )
     b8 = unpack_8_booleans(stream[1])
     h.is_portion, h.is_3d, h.is_float, h.multi_chunk = b8[0], b8[1], b8[2], b8[3]
+    if not h.is_3d:
+        raise StreamError("not a 3D container stream (2D streams carry a 10-byte header)")
     pos = 2
     vx, vy, vz = struct.unpack_from("<III", stream, pos)
     pos += 12
+    if vx == 0 or vy == 0 or vz == 0:
+        raise StreamError(f"invalid volume dims in header: {(vx, vy, vz)}")
     h.vol_dims = (vx, vy, vz)
     if h.multi_chunk:
         cx, cy, cz = struct.unpack_from("<HHH", stream, pos)
@@ -84,6 +101,10 @@ def parse_header(stream: bytes) -> Sperr3DHeader:
     h.header_len = (
         HEADER_MAGIC_NCHUNKS if h.multi_chunk else HEADER_MAGIC_1CHUNK
     ) + 4 * num_chunks
+    if len(stream) < h.header_len:
+        raise StreamError(
+            f"stream shorter than its header: {len(stream)} < {h.header_len}"
+        )
     lens = struct.unpack_from(f"<{num_chunks}I", stream, pos)
     h.stream_len = h.header_len + sum(lens)
     offsets: List[int] = []

@@ -1,0 +1,52 @@
+"""Error handling on malformed streams + multi-resolution hierarchy checks."""
+
+import numpy as np
+import pytest
+
+from sperr_tpu.parallel.chunked3d import Sperr3DCompressor, Sperr3DDecompressor
+from sperr_tpu.stream import tools
+from sperr_tpu.utils.dims import coarsened_resolutions_chunked
+
+
+def test_malformed_streams_raise_stream_error():
+    with pytest.raises(tools.StreamError):
+        tools.parse_header(b"\x00" * 4)  # too short
+    with pytest.raises(tools.StreamError):
+        tools.parse_header(b"\x07" + b"\x00" * 40)  # wrong version
+    with pytest.raises(tools.StreamError):
+        tools.parse_header(b"\x00" * 40)  # zero dims / not 3D
+    # 2D flagged stream rejected by the 3D parser
+    h2d = tools.generate_2d_header((8, 8), True) + b"\x00" * 30
+    with pytest.raises(tools.StreamError):
+        tools.parse_header(h2d)
+    with pytest.raises(tools.StreamError):
+        Sperr3DDecompressor().decompress(b"\x00" * 40)
+
+
+def test_truncated_header_raises():
+    vol = np.zeros((16, 16, 16), dtype=np.float32) + np.arange(16, dtype=np.float32)
+    s = Sperr3DCompressor((16, 16, 16), (16, 16, 16)).compress(vol, "psnr", 50.0)
+    with pytest.raises(tools.StreamError):
+        tools.parse_header(s[:10])
+
+
+def test_multires_hierarchy_shapes():
+    """Multi-chunk multi-resolution decode (sperr3d_omp_unit_test.cpp:306-345)."""
+    nx = ny = nz = 64
+    rng = np.random.default_rng(12)
+    z, y, x = np.mgrid[0:nz, 0:ny, 0:nx]
+    vol = (np.sin(x * 0.2) * np.cos(y * 0.2) * np.sin(z * 0.2)
+           + 0.01 * rng.normal(size=(nz, ny, nx))).astype(np.float32)
+    stream = Sperr3DCompressor((nx, ny, nz), (32, 32, 32)).compress(vol, "psnr", 75.0)
+    dec = Sperr3DDecompressor()
+    out, dims = dec.decompress(bytes(stream), multi_res=True)
+    res = coarsened_resolutions_chunked((nx, ny, nz), (32, 32, 32))
+    assert len(res) == len(dec.hierarchy) > 0
+    for arr, r in zip(dec.hierarchy, res):
+        assert arr.shape == (r[2], r[1], r[0])
+    # Coarsest level should still resemble a downsampled field (finite, sane).
+    assert np.isfinite(dec.hierarchy[0]).all()
+    # Full-res output accurate.
+    mse = float(np.mean((out - vol.astype(np.float64)) ** 2))
+    rngv = float(vol.max() - vol.min())
+    assert 10 * np.log10(rngv * rngv / mse) > 74.0
