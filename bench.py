@@ -48,22 +48,29 @@ TOL = 1e-2
 
 
 def run_host(vol):
+    """Host-native fast mode (f32 pipeline): the per-chip throughput path for
+    f32 inputs; the f64 parity mode is the interchange path."""
     from sperr_tpu.parallel.chunked3d import Sperr3DCompressor, Sperr3DDecompressor
 
     n = vol.shape[0]
-    comp = Sperr3DCompressor((n, n, n), (256, 256, 256))
-    dec = Sperr3DDecompressor()
+    comp = Sperr3DCompressor((n, n, n), (256, 256, 256), precision=32)
+    dec = Sperr3DDecompressor(precision=32)
     stream = comp.compress(vol, "pwe", TOL)  # warm (builds native lib)
     out, _ = dec.decompress(bytes(stream))
 
-    t0 = time.perf_counter()
-    stream = comp.compress(vol, "pwe", TOL)
-    t1 = time.perf_counter()
-    out, _ = dec.decompress(bytes(stream))
-    t2 = time.perf_counter()
-    err = float(np.abs(out - vol.astype(np.float64)).max())
+    # Best of 2: this box is a noisy shared VM.
+    enc_t, dec_t = [], []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stream = comp.compress(vol, "pwe", TOL)
+        t1 = time.perf_counter()
+        out, _ = dec.decompress(bytes(stream))
+        t2 = time.perf_counter()
+        enc_t.append(t1 - t0)
+        dec_t.append(t2 - t1)
+    err = float(np.abs(out.astype(np.float64) - vol.astype(np.float64)).max())
     assert err <= TOL, f"PWE bound violated (host): {err}"
-    return t1 - t0, t2 - t1, len(stream), err
+    return min(enc_t), min(dec_t), len(stream), err
 
 
 def run_tpu(vol):

@@ -41,11 +41,11 @@ def _scatter_chunk(vol: np.ndarray, small: np.ndarray, c) -> None:
     vol[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx] = small.reshape(lz, ly, lx)
 
 
-def _native_codec():
+def _native_codec(precision: int = 64):
     try:
         from ..runtime.native import NativeChunkCodec
 
-        return NativeChunkCodec()
+        return NativeChunkCodec(precision=precision)
     except Exception:
         return None
 
@@ -60,6 +60,7 @@ class Sperr3DCompressor:
         num_threads: int = 0,
         engine=None,
         use_native: Optional[bool] = None,
+        precision: int = 64,
     ):
         self.vol_dims = tuple(int(d) for d in vol_dims)
         self.chunk_dims = tuple(
@@ -67,9 +68,11 @@ class Sperr3DCompressor:
         )
         self.num_threads = num_threads if num_threads > 0 else (os.cpu_count() or 1)
         self.engine = engine
-        self.native = _native_codec() if use_native in (None, True) else None
+        self.native = _native_codec(precision) if use_native in (None, True) else None
         if use_native and self.native is None:
             raise RuntimeError("native chunk codec unavailable")
+        if precision != 64 and self.native is None:
+            raise RuntimeError("precision=32 requires the native codec")
 
     def compress(self, vol: np.ndarray, mode: str, quality: float) -> bytes:
         """vol: array of shape (nz, ny, nx) or flat (x fastest); any float dtype."""
@@ -108,10 +111,17 @@ class Sperr3DCompressor:
 class Sperr3DDecompressor:
     """Multi-chunk 3D decompressor (reference: SPERR3D_OMP_D)."""
 
-    def __init__(self, num_threads: int = 0, engine=None, use_native: Optional[bool] = None):
+    def __init__(
+        self,
+        num_threads: int = 0,
+        engine=None,
+        use_native: Optional[bool] = None,
+        precision: int = 64,
+    ):
         self.num_threads = num_threads if num_threads > 0 else (os.cpu_count() or 1)
         self.engine = engine
-        self.native = _native_codec() if use_native in (None, True) else None
+        self.precision = precision
+        self.native = _native_codec(precision) if use_native in (None, True) else None
         self.header: Optional[tools.Sperr3DHeader] = None
         self.hierarchy: List[np.ndarray] = []
 
@@ -123,7 +133,8 @@ class Sperr3DDecompressor:
         self.header = h
         nx, ny, nz = h.vol_dims
         chunks = chunk_volume(h.vol_dims, h.chunk_dims)
-        vol = np.empty((nz, ny, nx), dtype=np.float64)
+        out_dtype = np.float64 if self.precision == 64 else np.float32
+        vol = np.empty((nz, ny, nx), dtype=out_dtype)
 
         vol_res = coarsened_resolutions_chunked(h.vol_dims, h.chunk_dims)
         chunk_res = coarsened_resolutions(h.chunk_dims)

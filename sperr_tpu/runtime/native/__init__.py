@@ -69,6 +69,17 @@ def _load():
         ct.c_int, ct.c_void_p, ct.c_uint64,
         ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_void_p,
     ]
+    lib.st_compress_chunk2.restype = ct.c_int64
+    lib.st_compress_chunk2.argtypes = [
+        ct.c_int, ct.c_void_p, ct.c_int,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.c_int, ct.c_double, ct.c_int, ct.POINTER(ct.c_void_p),
+    ]
+    lib.st_decompress_chunk2.restype = ct.c_int64
+    lib.st_decompress_chunk2.argtypes = [
+        ct.c_int, ct.c_void_p, ct.c_uint64,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_int, ct.c_void_p,
+    ]
     return lib
 
 
@@ -122,11 +133,16 @@ _MODE_CODES = {"rate": 1, "psnr": 2, "pwe": 3}
 class NativeChunkCodec:
     """Full per-chunk float pipeline in C++ (condition->DWT->quantize->SPECK).
 
-    Byte-identical streams to the exact host engine; ~reference-C++ speed.
+    precision=64 (default): byte-identical streams to the exact host engine
+    (and the reference binaries).  precision=32: fast mode — half the memory
+    traffic; streams stay format-valid SPERR, quality bounded by f32
+    roundoff (same contract as the TPU engine).
     """
 
-    def __init__(self):
+    def __init__(self, precision: int = 64):
+        assert precision in (32, 64)
         self._lib = _load()
+        self.precision = precision
 
     def compress(self, data: np.ndarray, ndim: int, dims, mode: str, quality: float) -> bytes:
         arr = np.ascontiguousarray(data)
@@ -135,9 +151,9 @@ class NativeChunkCodec:
             arr = np.ascontiguousarray(arr, dtype=np.float64)
         nx, ny, nz = dims
         out = ct.c_void_p(None)
-        rtn = self._lib.st_compress_chunk(
+        rtn = self._lib.st_compress_chunk2(
             ndim, arr.ctypes.data_as(ct.c_void_p), is_float,
-            nx, ny, nz, _MODE_CODES[mode], quality, ct.byref(out),
+            nx, ny, nz, _MODE_CODES[mode], quality, self.precision, ct.byref(out),
         )
         if rtn < 0:
             raise RuntimeError(f"native chunk compress failed: {rtn}")
@@ -148,10 +164,12 @@ class NativeChunkCodec:
     def decompress(self, stream: bytes, ndim: int, dims) -> np.ndarray:
         nx, ny, nz = dims
         n = nx * ny * nz
-        out = np.empty(n, dtype=np.float64)
+        dtype = np.float64 if self.precision == 64 else np.float32
+        out = np.empty(n, dtype=dtype)
         buf = bytes(stream)
-        rtn = self._lib.st_decompress_chunk(
-            ndim, buf, len(buf), nx, ny, nz, out.ctypes.data_as(ct.c_void_p)
+        rtn = self._lib.st_decompress_chunk2(
+            ndim, buf, len(buf), nx, ny, nz, self.precision,
+            out.ctypes.data_as(ct.c_void_p),
         )
         if rtn < 0:
             raise RuntimeError(f"native chunk decompress failed: {rtn}")

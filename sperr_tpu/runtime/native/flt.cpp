@@ -1,12 +1,15 @@
 // Native per-chunk float pipeline: conditioner -> CDF 9/7 DWT -> q estimation
 // -> midtread quantization -> [PWE outlier coding] -> SPECK entropy stage,
-// and the inverse.  Produces byte-identical streams to the exact host engine
-// (sperr_tpu/codec/speck_flt.py) and hence to the reference binaries; the
-// behavioral spec lives in /root/reference/src/SPECK_FLT.cpp, CDF97.cpp,
-// Conditioner.cpp, Outlier_Coder.cpp.
+// and the inverse.  Templated on the working precision F:
+//   F = double: byte-identical streams to the exact host engine and the
+//               reference binaries (behavioral spec: SPECK_FLT.cpp,
+//               CDF97.cpp, Conditioner.cpp, Outlier_Coder.cpp).
+//   F = float:  fast mode — half the memory traffic; streams remain
+//               format-valid SPERR (q/mean still stored as f64), quality
+//               bounded by f32 roundoff (same contract as the TPU engine).
 //
-// Compile with -ffp-contract=off: every floating-point op here must round
-// exactly once for stream parity.
+// Compile with -ffp-contract=off: every floating-point op in the F=double
+// path must round exactly once for stream parity.
 
 #include "speck.cpp"  // bit coders + utilities (single-TU build)
 
@@ -16,10 +19,11 @@
 namespace {
 
 // ------------------------------------------------------------- CDF 9/7 ----
-// Lifting constants derived exactly as in CDF97.h:135-147.
-struct Cdf97Const {
+// Lifting constants derived exactly as in CDF97.h:135-147 (in double), then
+// narrowed to the working precision.
+struct Cdf97Base {
   double ALPHA, BETA, GAMMA, DELTA, EPSILON, INV_EPSILON;
-  Cdf97Const() {
+  Cdf97Base() {
     const double h[5] = {0.602949018236, 0.266864118443, -0.078223266529,
                          -0.016864118443, 0.026748757411};
     const double r0 = h[0] - 2.0 * h[4] * h[1] / h[3];
@@ -34,81 +38,92 @@ struct Cdf97Const {
     INV_EPSILON = 1.0 / EPSILON;
   }
 };
-static const Cdf97Const CC;
+static const Cdf97Base CCD;
 
-// One forward lifting level over deinterleaved [even|odd] data of length n.
-void lift_fwd(double* buf, size_t n) {
+template <typename F>
+struct Cdf97C {
+  static inline const F A = F(CCD.ALPHA), B = F(CCD.BETA), G = F(CCD.GAMMA),
+                        D = F(CCD.DELTA), E = F(CCD.EPSILON),
+                        IE = F(CCD.INV_EPSILON);
+};
+
+template <typename F>
+void lift_fwd(F* buf, size_t n) {
+  using C = Cdf97C<F>;
   const size_t el = n - n / 2, ol = n / 2;
-  double* e = buf;
-  double* o = buf + el;
-  for (size_t i = 0; i + 1 < ol; i++) o[i] += CC.ALPHA * (e[i] + e[i + 1]);
-  o[ol - 1] += CC.ALPHA * (e[ol - 1] + e[el - 1]);
-  e[0] += 2.0 * CC.BETA * o[0];
-  for (size_t i = 1; i + 1 < el; i++) e[i] += CC.BETA * (o[i - 1] + o[i]);
-  e[el - 1] += CC.BETA * (o[el - 2] + o[ol - 1]);
-  for (size_t i = 0; i + 1 < ol; i++) o[i] += CC.GAMMA * (e[i] + e[i + 1]);
-  o[ol - 1] += CC.GAMMA * (e[ol - 1] + e[el - 1]);
-  e[0] = CC.EPSILON * (e[0] + 2.0 * CC.DELTA * o[0]);
-  for (size_t i = 1; i + 1 < el; i++)
-    e[i] = CC.EPSILON * (e[i] + CC.DELTA * (o[i - 1] + o[i]));
-  e[el - 1] = CC.EPSILON * (e[el - 1] + CC.DELTA * (o[el - 2] + o[ol - 1]));
-  for (size_t i = 0; i < ol; i++) o[i] *= -CC.INV_EPSILON;
+  F* e = buf;
+  F* o = buf + el;
+  for (size_t i = 0; i + 1 < ol; i++) o[i] += C::A * (e[i] + e[i + 1]);
+  o[ol - 1] += C::A * (e[ol - 1] + e[el - 1]);
+  e[0] += F(2) * C::B * o[0];
+  for (size_t i = 1; i + 1 < el; i++) e[i] += C::B * (o[i - 1] + o[i]);
+  e[el - 1] += C::B * (o[el - 2] + o[ol - 1]);
+  for (size_t i = 0; i + 1 < ol; i++) o[i] += C::G * (e[i] + e[i + 1]);
+  o[ol - 1] += C::G * (e[ol - 1] + e[el - 1]);
+  e[0] = C::E * (e[0] + F(2) * C::D * o[0]);
+  for (size_t i = 1; i + 1 < el; i++) e[i] = C::E * (e[i] + C::D * (o[i - 1] + o[i]));
+  e[el - 1] = C::E * (e[el - 1] + C::D * (o[el - 2] + o[ol - 1]));
+  for (size_t i = 0; i < ol; i++) o[i] *= -C::IE;
 }
 
-void lift_inv(double* buf, size_t n) {
+template <typename F>
+void lift_inv(F* buf, size_t n) {
+  using C = Cdf97C<F>;
   const size_t el = n - n / 2, ol = n / 2;
-  double* e = buf;
-  double* o = buf + el;
-  for (size_t i = 0; i < ol; i++) o[i] *= -CC.EPSILON;
-  e[0] = e[0] * CC.INV_EPSILON - 2.0 * CC.DELTA * o[0];
-  for (size_t i = 1; i + 1 < el; i++)
-    e[i] = e[i] * CC.INV_EPSILON - CC.DELTA * (o[i - 1] + o[i]);
-  e[el - 1] = e[el - 1] * CC.INV_EPSILON - CC.DELTA * (o[el - 2] + o[ol - 1]);
-  for (size_t i = 0; i + 1 < ol; i++) o[i] -= CC.GAMMA * (e[i] + e[i + 1]);
-  o[ol - 1] -= CC.GAMMA * (e[ol - 1] + e[el - 1]);
-  e[0] -= 2.0 * CC.BETA * o[0];
-  for (size_t i = 1; i + 1 < el; i++) e[i] -= CC.BETA * (o[i - 1] + o[i]);
-  e[el - 1] -= CC.BETA * (o[el - 2] + o[ol - 1]);
-  for (size_t i = 0; i + 1 < ol; i++) o[i] -= CC.ALPHA * (e[i] + e[i + 1]);
-  o[ol - 1] -= CC.ALPHA * (e[ol - 1] + e[el - 1]);
+  F* e = buf;
+  F* o = buf + el;
+  for (size_t i = 0; i < ol; i++) o[i] *= -C::E;
+  e[0] = e[0] * C::IE - F(2) * C::D * o[0];
+  for (size_t i = 1; i + 1 < el; i++) e[i] = e[i] * C::IE - C::D * (o[i - 1] + o[i]);
+  e[el - 1] = e[el - 1] * C::IE - C::D * (o[el - 2] + o[ol - 1]);
+  for (size_t i = 0; i + 1 < ol; i++) o[i] -= C::G * (e[i] + e[i + 1]);
+  o[ol - 1] -= C::G * (e[ol - 1] + e[el - 1]);
+  e[0] -= F(2) * C::B * o[0];
+  for (size_t i = 1; i + 1 < el; i++) e[i] -= C::B * (o[i - 1] + o[i]);
+  e[el - 1] -= C::B * (o[el - 2] + o[ol - 1]);
+  for (size_t i = 0; i + 1 < ol; i++) o[i] -= C::A * (e[i] + e[i + 1]);
+  o[ol - 1] -= C::A * (e[ol - 1] + e[el - 1]);
 }
 
-void deinterleave(const double* src, size_t n, double* dst) {
+template <typename F>
+void deinterleave(const F* src, size_t n, F* dst) {
   const size_t el = n - n / 2;
   for (size_t i = 0; i < el; i++) dst[i] = src[2 * i];
   for (size_t i = 0; i < n / 2; i++) dst[el + i] = src[2 * i + 1];
 }
 
-void interleave(const double* src, size_t n, double* dst) {
+template <typename F>
+void interleave(const F* src, size_t n, F* dst) {
   const size_t el = n - n / 2;
   for (size_t i = 0; i < el; i++) dst[2 * i] = src[i];
   for (size_t i = 0; i < n / 2; i++) dst[2 * i + 1] = src[el + i];
 }
 
+template <typename F>
 struct Wavelet {
-  std::vector<double> tmp, tmp2;
+  std::vector<F> tmp, tmp2;
 
-  void fwd_axis_x(double* p, size_t len, size_t rows, size_t row_stride) {
+  void fwd_axis_x(F* p, size_t len, size_t rows, size_t row_stride) {
     tmp.resize(len);
     for (size_t r = 0; r < rows; r++) {
-      double* row = p + r * row_stride;
+      F* row = p + r * row_stride;
       deinterleave(row, len, tmp.data());
       lift_fwd(tmp.data(), len);
-      std::memcpy(row, tmp.data(), len * sizeof(double));
+      std::memcpy(row, tmp.data(), len * sizeof(F));
     }
   }
-  void inv_axis_x(double* p, size_t len, size_t rows, size_t row_stride) {
+  void inv_axis_x(F* p, size_t len, size_t rows, size_t row_stride) {
     tmp.resize(len);
     for (size_t r = 0; r < rows; r++) {
-      double* row = p + r * row_stride;
+      F* row = p + r * row_stride;
       lift_inv(row, len);
       interleave(row, len, tmp.data());
-      std::memcpy(row, tmp.data(), len * sizeof(double));
+      std::memcpy(row, tmp.data(), len * sizeof(F));
     }
   }
   // Strided (non-contiguous) axis: gather a block of K columns, transform,
-  // scatter back.  K=16 keeps it cache-friendly.
-  void fwd_axis_strided(double* p, size_t len, size_t ncols, size_t col_stride,
+  // scatter back.  K keeps the gather cache-friendly.
+  void fwd_axis_strided(F* p, size_t len, size_t ncols, size_t col_stride,
                         size_t elem_stride) {
     constexpr size_t K = 16;
     tmp.resize(len * K);
@@ -121,14 +136,14 @@ struct Wavelet {
       for (size_t j = 0; j < k; j++) {
         deinterleave(tmp.data() + j * len, len, tmp2.data());
         lift_fwd(tmp2.data(), len);
-        std::memcpy(tmp.data() + j * len, tmp2.data(), len * sizeof(double));
+        std::memcpy(tmp.data() + j * len, tmp2.data(), len * sizeof(F));
       }
       for (size_t i = 0; i < len; i++)
         for (size_t j = 0; j < k; j++)
           p[(c0 + j) * col_stride + i * elem_stride] = tmp[j * len + i];
     }
   }
-  void inv_axis_strided(double* p, size_t len, size_t ncols, size_t col_stride,
+  void inv_axis_strided(F* p, size_t len, size_t ncols, size_t col_stride,
                         size_t elem_stride) {
     constexpr size_t K = 16;
     tmp.resize(len * K);
@@ -141,7 +156,7 @@ struct Wavelet {
       for (size_t j = 0; j < k; j++) {
         lift_inv(tmp.data() + j * len, len);
         interleave(tmp.data() + j * len, len, tmp2.data());
-        std::memcpy(tmp.data() + j * len, tmp2.data(), len * sizeof(double));
+        std::memcpy(tmp.data() + j * len, tmp2.data(), len * sizeof(F));
       }
       for (size_t i = 0; i < len; i++)
         for (size_t j = 0; j < k; j++)
@@ -149,21 +164,16 @@ struct Wavelet {
     }
   }
 
-  // One 2D level on the (lx, ly) top-left corner of a plane with row stride.
-  void level2_fwd(double* plane, size_t lx, size_t ly, size_t stride) {
+  void level2_fwd(F* plane, size_t lx, size_t ly, size_t stride) {
     fwd_axis_x(plane, lx, ly, stride);
-    // columns: each column x < lx, elements y < ly with stride `stride`
-    for_cols_fwd(plane, lx, ly, stride);
-  }
-  void for_cols_fwd(double* plane, size_t lx, size_t ly, size_t stride) {
     fwd_axis_strided(plane, ly, lx, 1, stride);
   }
-  void level2_inv(double* plane, size_t lx, size_t ly, size_t stride) {
+  void level2_inv(F* plane, size_t lx, size_t ly, size_t stride) {
     inv_axis_strided(plane, ly, lx, 1, stride);
     inv_axis_x(plane, lx, ly, stride);
   }
 
-  void dwt2d(double* plane, size_t nx, size_t ny, size_t levels, size_t stride) {
+  void dwt2d(F* plane, size_t nx, size_t ny, size_t levels, size_t stride) {
     for (size_t lev = 0; lev < levels; lev++) {
       size_t lx, dx, ly, dy;
       approx_detail(nx, lev, &lx, &dx);
@@ -171,7 +181,7 @@ struct Wavelet {
       level2_fwd(plane, lx, ly, stride);
     }
   }
-  void idwt2d(double* plane, size_t nx, size_t ny, size_t levels, size_t stride) {
+  void idwt2d(F* plane, size_t nx, size_t ny, size_t levels, size_t stride) {
     for (size_t lev = levels; lev > 0; lev--) {
       size_t lx, dx, ly, dy;
       approx_detail(nx, lev - 1, &lx, &dx);
@@ -180,14 +190,14 @@ struct Wavelet {
     }
   }
 
-  void dwt1d(double* p, size_t n, size_t levels) {
+  void dwt1d(F* p, size_t n, size_t levels) {
     size_t len = n;
     for (size_t lev = 0; lev < levels; lev++) {
       fwd_axis_x(p, len, 1, 0);
       len -= len / 2;
     }
   }
-  void idwt1d(double* p, size_t n, size_t levels) {
+  void idwt1d(F* p, size_t n, size_t levels) {
     for (size_t lev = levels; lev > 0; lev--) {
       size_t lo, hi;
       approx_detail(n, lev - 1, &lo, &hi);
@@ -195,7 +205,7 @@ struct Wavelet {
     }
   }
 
-  void dwt3d(double* v, size_t nx, size_t ny, size_t nz) {
+  void dwt3d(F* v, size_t nx, size_t ny, size_t nz) {
     size_t dy_lev = 0;
     if (can_use_dyadic(nx, ny, nz, &dy_lev)) {
       for (size_t lev = 0; lev < dy_lev; lev++) {
@@ -203,13 +213,11 @@ struct Wavelet {
         approx_detail(nx, lev, &lx, &d);
         approx_detail(ny, lev, &ly, &d);
         approx_detail(nz, lev, &lz, &d);
-        // XY planes first (z < lz), then Z columns.
         for (size_t z = 0; z < lz; z++) level2_fwd(v + z * nx * ny, lx, ly, nx);
         for (size_t y = 0; y < ly; y++)
           fwd_axis_strided(v + y * nx, lz, lx, 1, nx * ny);
       }
     } else {
-      // Wavelet packet: full 1D along Z, then full 2D per slice.
       size_t zl = num_of_xforms(nz);
       for (size_t y = 0; y < ny; y++) {
         size_t len = nz;
@@ -223,7 +231,7 @@ struct Wavelet {
     }
   }
 
-  void idwt3d(double* v, size_t nx, size_t ny, size_t nz) {
+  void idwt3d(F* v, size_t nx, size_t ny, size_t nz) {
     size_t dy_lev = 0;
     if (can_use_dyadic(nx, ny, nz, &dy_lev)) {
       for (size_t lev = dy_lev; lev > 0; lev--) {
@@ -250,8 +258,9 @@ struct Wavelet {
   }
 };
 
-void wavelet_fwd(int ndim, double* v, size_t nx, size_t ny, size_t nz) {
-  Wavelet w;
+template <typename F>
+void wavelet_fwd(int ndim, F* v, size_t nx, size_t ny, size_t nz) {
+  Wavelet<F> w;
   if (ndim == 3)
     w.dwt3d(v, nx, ny, nz);
   else if (ndim == 2)
@@ -260,8 +269,9 @@ void wavelet_fwd(int ndim, double* v, size_t nx, size_t ny, size_t nz) {
     w.dwt1d(v, nx, num_of_xforms(nx));
 }
 
-void wavelet_inv(int ndim, double* v, size_t nx, size_t ny, size_t nz) {
-  Wavelet w;
+template <typename F>
+void wavelet_inv(int ndim, F* v, size_t nx, size_t ny, size_t nz) {
+  Wavelet<F> w;
   if (ndim == 3)
     w.idwt3d(v, nx, ny, nz);
   else if (ndim == 2)
@@ -281,67 +291,74 @@ size_t adjust_strides(size_t len) {
   return 1;
 }
 
-double strided_mean(const double* p, size_t n) {
+template <typename F>
+F strided_mean(const F* p, size_t n) {
   size_t ns = adjust_strides(n);
   size_t stride = n / ns;
-  double sum = 0.0;
-  std::vector<double> per(ns);
+  std::vector<F> per(ns);
   for (size_t s = 0; s < ns; s++) {
-    double acc = 0.0;
-    const double* b = p + s * stride;
+    F acc = 0;
+    const F* b = p + s * stride;
     for (size_t i = 0; i < stride; i++) acc += b[i];
-    per[s] = acc / double(stride);
+    per[s] = acc / F(stride);
   }
+  F sum = 0;
   for (size_t s = 0; s < ns; s++) sum += per[s];
-  return sum / double(ns);
+  return sum / F(ns);
 }
 
 // ------------------------------------------------------------ quantizer ---
-double estimate_mse_midtread(const double* p, size_t n, double q) {
+template <typename F>
+double estimate_mse_midtread(const F* p, size_t n, F q) {
   const size_t stride = 4096;
   const size_t ns = n / stride;
-  std::vector<double> sums(ns + 1);
-  const double rcp = 1.0 / q;
+  std::vector<F> sums(ns + 1);
+  const F rcp = F(1) / q;
   for (size_t s = 0; s < ns; s++) {
-    double acc = 0.0;
-    const double* b = p + s * stride;
+    F acc = 0;
+    const F* b = p + s * stride;
     for (size_t i = 0; i < stride; i++) {
-      double d = std::fma(-q, std::rint(b[i] * rcp), b[i]);
+      F d = std::fma(-q, std::rint(b[i] * rcp), b[i]);
       acc += d * d;
     }
     sums[s] = acc;
   }
-  double acc = 0.0;
+  F acc = 0;
   for (size_t i = ns * stride; i < n; i++) {
-    double d = std::fma(-q, std::rint(p[i] * rcp), p[i]);
+    F d = std::fma(-q, std::rint(p[i] * rcp), p[i]);
     acc += d * d;
   }
   sums[ns] = acc;
-  double total = 0.0;
-  for (double v : sums) total += v;
-  return total / double(n);
+  F total = 0;
+  for (F v : sums) total += v;
+  return double(total) / double(n);
 }
 
 constexpr double DBL_BIG_ODD = 9007199254740991.0;  // 0x1.fffffffffffffp52
+// f32 fast mode: magnitudes must stay exactly representable in float.
+constexpr double F32_RATE_MAX = 1048575.0;  // 2^20 - 1
 
-double estimate_q(int mode, double quality, double param, const double* p,
-                  size_t n, bool high_prec) {
+template <typename F>
+double estimate_q(int mode, double quality, double param, const F* p, size_t n,
+                  bool high_prec) {
   if (mode == 2) {  // psnr
     double t_mse = (param * param) * std::pow(10.0, -quality / 10.0);
     double q = 2.0 * std::sqrt(t_mse * 3.0);
     const double shrink = std::exp2(0.25);
-    while (estimate_mse_midtread(p, n, q) > t_mse) q /= shrink;
+    while (estimate_mse_midtread(p, n, F(q)) > t_mse) q /= shrink;
     return q;
   }
   if (mode == 3) return quality * 1.5;  // pwe
-  return param / (high_prec ? DBL_BIG_ODD : 4294967295.0);  // rate
+  if constexpr (std::is_same_v<F, float>)
+    return param / F32_RATE_MAX;  // rate, fast mode
+  else
+    return param / (high_prec ? DBL_BIG_ODD : 4294967295.0);  // rate
 }
 
-// Quantize into sign/magnitude; returns uint width in bits.
-template <typename U>
-void quantize_into(const double* p, size_t n, double q, std::vector<U>& mags,
+template <typename F, typename U>
+void quantize_into(const F* p, size_t n, F q, std::vector<U>& mags,
                    std::vector<uint8_t>& signs) {
-  const double inv = 1.0 / q;
+  const F inv = F(1) / q;
   mags.resize(n);
   signs.resize(n);
   for (size_t i = 0; i < n; i++) {
@@ -351,11 +368,12 @@ void quantize_into(const double* p, size_t n, double q, std::vector<U>& mags,
   }
 }
 
-int pick_width(const double* p, size_t n, double q) {
+template <typename F>
+int pick_width(const F* p, size_t n, F q) {
   size_t arg = 0;
-  double best = -1.0;
+  F best = -1;
   for (size_t i = 0; i < n; i++) {
-    double a = std::fabs(p[i]);
+    F a = std::fabs(p[i]);
     if (a > best) {
       best = a;
       arg = i;
@@ -368,12 +386,12 @@ int pick_width(const double* p, size_t n, double q) {
   return 64;
 }
 
-template <typename U>
+template <typename F, typename U>
 void inv_quantize(const std::vector<U>& mags, const std::vector<uint8_t>& signs,
-                  double q, double* out) {
+                  F q, F* out) {
   const size_t n = mags.size();
   for (size_t i = 0; i < n; i++) {
-    double v = q * double(mags[i]);
+    F v = q * F(mags[i]);
     out[i] = signs[i] ? v : -v;
   }
 }
@@ -423,8 +441,9 @@ std::vector<uint8_t> encode_outliers(const OutlierList& los, size_t total_len,
   }
 }
 
+template <typename F>
 void decode_outliers(const uint8_t* stream, size_t len, size_t total_len,
-                     double tol, double* add_to) {
+                     double tol, F* add_to) {
   int nbp = stream[0];
   int width = nbp <= 8 ? 8 : nbp <= 16 ? 16 : nbp <= 32 ? 32 : 64;
   auto run = [&](auto tag) {
@@ -435,7 +454,7 @@ void decode_outliers(const uint8_t* stream, size_t len, size_t total_len,
     for (size_t i = 0; i < total_len; i++) {
       if (mags[i] == 0) continue;
       double v = mags[i] == 1 ? 1.1 : double(mags[i]) - 0.25;
-      add_to[i] += v * (tol * (signs[i] ? 1.0 : -1.0));
+      add_to[i] += F(v * (tol * (signs[i] ? 1.0 : -1.0)));
     }
   };
   switch (width) {
@@ -461,12 +480,12 @@ void write_condi(uint8_t* h, bool constant, double mean_or_val, uint64_t nval,
 }
 
 // ------------------------------------------------------------- pipeline ---
-std::vector<uint8_t> compress_chunk(int ndim, std::vector<double>& vals, size_t nx,
+template <typename F>
+std::vector<uint8_t> compress_chunk(int ndim, std::vector<F>& vals, size_t nx,
                                     size_t ny, size_t nz, int mode, double quality) {
   const size_t n = vals.size();
   std::fesetround(FE_TONEAREST);
 
-  // Conditioner: constant detection, then mean subtraction.
   bool constant = true;
   for (size_t i = 1; i < n; i++)
     if (vals[i] != vals[0]) {
@@ -475,59 +494,59 @@ std::vector<uint8_t> compress_chunk(int ndim, std::vector<double>& vals, size_t 
     }
   std::vector<uint8_t> stream(17);
   if (constant) {
-    write_condi(stream.data(), true, vals[0], n, 0.0);
+    write_condi(stream.data(), true, double(vals[0]), n, 0.0);
     return stream;
   }
-  double mean = strided_mean(vals.data(), n);
+  F mean = strided_mean(vals.data(), n);
   for (size_t i = 0; i < n; i++) vals[i] -= mean;
 
-  std::vector<double> orig;
+  std::vector<F> orig;
   double param = 0.0;
   if (mode == 3) orig = vals;  // pwe
   if (mode == 2) {             // psnr: data range
-    double mn = vals[0], mx = vals[0];
+    F mn = vals[0], mx = vals[0];
     for (size_t i = 1; i < n; i++) {
       mn = std::min(mn, vals[i]);
       mx = std::max(mx, vals[i]);
     }
-    param = mx - mn;
+    param = double(mx - mn);
   }
 
   wavelet_fwd(ndim, vals.data(), nx, ny, nz);
 
   if (mode == 1) {  // rate: largest |coeff|
     size_t arg = 0;
-    double best = -1.0;
+    F best = -1;
     for (size_t i = 0; i < n; i++) {
-      double a = std::fabs(vals[i]);
+      F a = std::fabs(vals[i]);
       if (a > best) {
         best = a;
         arg = i;
       }
     }
-    param = std::fabs(vals[arg]);
+    param = double(std::fabs(vals[arg]));
   }
   size_t budget = mode == 1 ? size_t(quality * double(n)) : 0;
 
   for (int high_prec = 0; high_prec < 2; high_prec++) {
-    double q = estimate_q(mode, quality, param, vals.data(), n, high_prec);
-    write_condi(stream.data(), false, mean, 0, q);
+    double q = estimate_q<F>(mode, quality, param, vals.data(), n, high_prec);
+    write_condi(stream.data(), false, double(mean), 0, q);
 
-    int width = pick_width(vals.data(), n, q);
+    int width = pick_width(vals.data(), n, F(q));
     std::vector<uint8_t> body, outlier_stream;
 
     auto run = [&](auto tag) {
       using U = decltype(tag);
       std::vector<U> mags;
       std::vector<uint8_t> signs;
-      quantize_into<U>(vals.data(), n, q, mags, signs);
+      quantize_into<F, U>(vals.data(), n, F(q), mags, signs);
       if (mode == 3) {  // PWE: reconstruct, collect outliers
-        std::vector<double> rec(n);
-        inv_quantize<U>(mags, signs, q, rec.data());
+        std::vector<F> rec(n);
+        inv_quantize<F, U>(mags, signs, F(q), rec.data());
         wavelet_inv(ndim, rec.data(), nx, ny, nz);
         OutlierList los;
         for (size_t i = 0; i < n; i++) {
-          double d = orig[i] - rec[i];
+          double d = double(orig[i]) - double(rec[i]);
           if (std::fabs(d) > quality) {
             los.pos.push_back(i);
             los.err.push_back(d);
@@ -544,7 +563,9 @@ std::vector<uint8_t> compress_chunk(int ndim, std::vector<double>& vals, size_t 
       default: run(uint64_t{}); break;
     }
 
-    if (mode == 1 && !high_prec && body.size() * 8 < budget) continue;
+    if (mode == 1 && !high_prec && body.size() * 8 < budget &&
+        !std::is_same_v<F, float>)
+      continue;
 
     stream.insert(stream.end(), body.begin(), body.end());
     stream.insert(stream.end(), outlier_stream.begin(), outlier_stream.end());
@@ -553,14 +574,15 @@ std::vector<uint8_t> compress_chunk(int ndim, std::vector<double>& vals, size_t 
   return stream;  // unreachable
 }
 
+template <typename F>
 int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
-                     size_t ny, size_t nz, double* out) {
+                     size_t ny, size_t nz, F* out) {
   const size_t n = nx * ny * nz;
   if (len < 17) return -1;
   if (stream[0] & 0x01) {  // constant field
     double val;
     std::memcpy(&val, stream + 9, 8);
-    for (size_t i = 0; i < n; i++) out[i] = val;
+    for (size_t i = 0; i < n; i++) out[i] = F(val);
     return 0;
   }
   double mean, q;
@@ -582,7 +604,7 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
     std::vector<uint8_t> signs(n);
     decode_any<U>(ndim, stream + pos, speck_len, nx, ny, nz, mags.data(),
                   signs.data());
-    inv_quantize<U>(mags, signs, q, out);
+    inv_quantize<F, U>(mags, signs, F(q), out);
   };
   switch (width) {
     case 8: run(uint8_t{}); break;
@@ -594,7 +616,6 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
 
   wavelet_inv(ndim, out, nx, ny, nz);
 
-  // Outlier stream, if complete.
   if (pos + 9 <= len) {
     uint64_t obits;
     std::memcpy(&obits, stream + pos + 1, 8);
@@ -602,7 +623,7 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
     if (len - pos == olen) decode_outliers(stream + pos, olen, n, q / 1.5, out);
   }
 
-  for (size_t i = 0; i < n; i++) out[i] += mean;
+  for (size_t i = 0; i < n; i++) out[i] += F(mean);
   return 0;
 }
 
@@ -611,19 +632,32 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
 extern "C" {
 
 // Full per-chunk pipeline.  mode: 1=rate(bpp), 2=psnr, 3=pwe.
-// `src` is f64 (is_float==0) or f32 (is_float==1); out is malloc'd.
-int64_t st_compress_chunk(int ndim, const void* src, int is_float, uint64_t nx,
-                          uint64_t ny, uint64_t nz, int mode, double quality,
-                          uint8_t** out) {
+// `src`: f64 (is_float==0) or f32 (is_float==1).
+// `precision`: 64 = exact/parity mode (f64), 32 = fast mode (f32).
+int64_t st_compress_chunk2(int ndim, const void* src, int is_float, uint64_t nx,
+                           uint64_t ny, uint64_t nz, int mode, double quality,
+                           int precision, uint8_t** out) {
   size_t n = size_t(nx) * ny * nz;
-  std::vector<double> vals(n);
-  if (is_float) {
-    const float* p = static_cast<const float*>(src);
-    for (size_t i = 0; i < n; i++) vals[i] = p[i];
+  std::vector<uint8_t> stream;
+  if (precision == 32) {
+    std::vector<float> vals(n);
+    if (is_float)
+      std::memcpy(vals.data(), src, n * sizeof(float));
+    else {
+      const double* p = static_cast<const double*>(src);
+      for (size_t i = 0; i < n; i++) vals[i] = float(p[i]);
+    }
+    stream = compress_chunk<float>(ndim, vals, nx, ny, nz, mode, quality);
   } else {
-    std::memcpy(vals.data(), src, n * sizeof(double));
+    std::vector<double> vals(n);
+    if (is_float) {
+      const float* p = static_cast<const float*>(src);
+      for (size_t i = 0; i < n; i++) vals[i] = p[i];
+    } else {
+      std::memcpy(vals.data(), src, n * sizeof(double));
+    }
+    stream = compress_chunk<double>(ndim, vals, nx, ny, nz, mode, quality);
   }
-  auto stream = compress_chunk(ndim, vals, nx, ny, nz, mode, quality);
   uint8_t* buf = static_cast<uint8_t*>(std::malloc(stream.size()));
   if (!buf) return -1;
   std::memcpy(buf, stream.data(), stream.size());
@@ -631,9 +665,26 @@ int64_t st_compress_chunk(int ndim, const void* src, int is_float, uint64_t nx,
   return int64_t(stream.size());
 }
 
+int64_t st_compress_chunk(int ndim, const void* src, int is_float, uint64_t nx,
+                          uint64_t ny, uint64_t nz, int mode, double quality,
+                          uint8_t** out) {
+  return st_compress_chunk2(ndim, src, is_float, nx, ny, nz, mode, quality, 64, out);
+}
+
+// `precision`: 64 -> out is double*, 32 -> out is float*.
+int64_t st_decompress_chunk2(int ndim, const uint8_t* stream, uint64_t len,
+                             uint64_t nx, uint64_t ny, uint64_t nz, int precision,
+                             void* out) {
+  if (precision == 32)
+    return decompress_chunk<float>(ndim, stream, len, nx, ny, nz,
+                                   static_cast<float*>(out));
+  return decompress_chunk<double>(ndim, stream, len, nx, ny, nz,
+                                  static_cast<double*>(out));
+}
+
 int64_t st_decompress_chunk(int ndim, const uint8_t* stream, uint64_t len,
                             uint64_t nx, uint64_t ny, uint64_t nz, double* out) {
-  return decompress_chunk(ndim, stream, len, nx, ny, nz, out);
+  return st_decompress_chunk2(ndim, stream, len, nx, ny, nz, 64, out);
 }
 
 }  // extern "C"
