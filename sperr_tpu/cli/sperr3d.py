@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunks", type=int, nargs=3, default=(256, 256, 256))
     p.add_argument("--omp", type=int, default=0, help="host threads (0 = all)")
     p.add_argument("--exec", dest="exec_mode", default="host", choices=("host", "tpu"))
+    p.add_argument(
+        "--precision", type=int, default=64, choices=(32, 64),
+        help="host pipeline precision: 64 = reference-bit-exact, 32 = fast",
+    )
     p.add_argument("--bitstream", default="")
     p.add_argument("--decomp_f", default="")
     p.add_argument("--decomp_d", default="")
@@ -69,7 +73,8 @@ def run(argv=None) -> int:
             from ..parallel.chunked3d import Sperr3DCompressor
 
             comp = Sperr3DCompressor(
-                (nx, ny, nz), tuple(args.chunks), num_threads=args.omp
+                (nx, ny, nz), tuple(args.chunks), num_threads=args.omp,
+                precision=args.precision,
             )
             stream = comp.compress(vol, mode, quality)
 
@@ -118,7 +123,9 @@ def _decompress(stream: bytes, args):
         return TpuDecompressor3D().decompress(stream)
     from ..parallel.chunked3d import Sperr3DDecompressor
 
-    return Sperr3DDecompressor(num_threads=args.omp).decompress(stream)
+    return Sperr3DDecompressor(
+        num_threads=args.omp, precision=args.precision
+    ).decompress(stream)
 
 
 def _decompress_full(stream: bytes, args):
@@ -130,7 +137,7 @@ def _decompress_full(stream: bytes, args):
         return out, dims, []
     from ..parallel.chunked3d import Sperr3DDecompressor
 
-    dec = Sperr3DDecompressor(num_threads=args.omp)
+    dec = Sperr3DDecompressor(num_threads=args.omp, precision=args.precision)
     out, dims = dec.decompress(stream, multi_res=multi)
     return out, dims, dec.hierarchy
 
