@@ -27,8 +27,11 @@ _DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
 def _build_lib() -> None:
     # -ffp-contract=off: the float pipeline must round exactly once per op
     # for byte-parity of streams with the exact host engine / reference.
+    # -fno-math-errno lets rint/fabs loops vectorize (neither sets errno);
+    # value semantics are unchanged, so stream parity is preserved.
     cmd = [
         "g++", "-O3", "-std=c++17", "-DNDEBUG", "-ffp-contract=off",
+        "-fno-math-errno",
         "-shared", "-fPIC", "-march=native", _SRC, "-o", _LIB,
     ]
     try:

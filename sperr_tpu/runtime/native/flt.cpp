@@ -358,28 +358,26 @@ double estimate_q(int mode, double quality, double param, const F* p, size_t n,
 template <typename F, typename U>
 void quantize_into(const F* p, size_t n, F q, std::vector<U>& mags,
                    std::vector<uint8_t>& signs) {
+  // rint + cast == llrint for in-range values under FE_TONEAREST (width was
+  // picked from the max magnitude), and rint vectorizes to packed rounding.
   const F inv = F(1) / q;
   mags.resize(n);
   signs.resize(n);
   for (size_t i = 0; i < n; i++) {
-    long long ll = std::llrint(p[i] * inv);
-    signs[i] = ll >= 0;
-    mags[i] = U(ll < 0 ? -(unsigned long long)ll : (unsigned long long)ll);
+    F r = std::rint(p[i] * inv);
+    signs[i] = !(r < F(0));  // -0.0 counts as non-negative, like llrint
+    mags[i] = U(std::fabs(r));
   }
 }
 
 template <typename F>
 int pick_width(const F* p, size_t n, F q) {
-  size_t arg = 0;
-  F best = -1;
+  F best = 0;  // pure max-reduction: vectorizes
   for (size_t i = 0; i < n; i++) {
     F a = std::fabs(p[i]);
-    if (a > best) {
-      best = a;
-      arg = i;
-    }
+    best = a > best ? a : best;
   }
-  long long maxll = std::llrint(std::fabs(p[arg]) / q);
+  long long maxll = std::llrint(best / q);
   if (maxll <= 0xFF) return 8;
   if (maxll <= 0xFFFF) return 16;
   if (maxll <= 0xFFFFFFFFll) return 32;
@@ -390,9 +388,11 @@ template <typename F, typename U>
 void inv_quantize(const std::vector<U>& mags, const std::vector<uint8_t>& signs,
                   F q, F* out) {
   const size_t n = mags.size();
+  const U* mp = mags.data();
+  const uint8_t* sp = signs.data();
   for (size_t i = 0; i < n; i++) {
-    F v = q * F(mags[i]);
-    out[i] = signs[i] ? v : -v;
+    F v = q * F(mp[i]);
+    out[i] = sp[i] ? v : -v;  // exact negation: identical either branch order
   }
 }
 

@@ -106,6 +106,13 @@ ST_INLINE bool any_byte_ge(const uint8_t* p, size_t n, unsigned t) {
   return false;
 }
 
+// Max byte in [p, p+n).  Auto-vectorizes to packed unsigned byte max.
+ST_INLINE uint8_t max_byte(const uint8_t* p, size_t n) {
+  uint8_t m = 0;
+  for (size_t i = 0; i < n; i++) m = p[i] > m ? p[i] : m;
+  return m;
+}
+
 // First index with byte >= t, or -1.
 ST_INLINE int64_t first_byte_ge(const uint8_t* p, size_t n, unsigned t) {
   const uint64_t k = uint64_t(128 - t) * 0x0101010101010101ull;
@@ -178,6 +185,10 @@ struct Mask {
 struct Set3 {
   uint64_t morton = 0;
   uint16_t sx = 0, sy = 0, sz = 0, lx = 0, ly = 0, lz = 0;
+  // ENC only: memoized max of msb+1 over the set (static during encode), so
+  // per-bitplane significance decisions are O(1) instead of re-scanning the
+  // morton range every pass.
+  uint8_t mx = 0;
   ST_INLINE size_t nelem() const { return size_t(lx) * ly * lz; }
 };
 
@@ -195,14 +206,14 @@ ST_INLINE uint32_t partition_xyz(const Set3& s, uint32_t lev, Set3 out[8]) {
   lev += (dx != 0) + (dy != 0) + (dz != 0);
   const uint16_t x0 = s.sx, x1 = s.sx + ax, y0 = s.sy, y1 = s.sy + ay, z0 = s.sz,
                  z1 = s.sz + az;
-  out[0] = {0, x0, y0, z0, (uint16_t)ax, (uint16_t)ay, (uint16_t)az};
-  out[1] = {0, x1, y0, z0, (uint16_t)dx, (uint16_t)ay, (uint16_t)az};
-  out[2] = {0, x0, y1, z0, (uint16_t)ax, (uint16_t)dy, (uint16_t)az};
-  out[3] = {0, x1, y1, z0, (uint16_t)dx, (uint16_t)dy, (uint16_t)az};
-  out[4] = {0, x0, y0, z1, (uint16_t)ax, (uint16_t)ay, (uint16_t)dz};
-  out[5] = {0, x1, y0, z1, (uint16_t)dx, (uint16_t)ay, (uint16_t)dz};
-  out[6] = {0, x0, y1, z1, (uint16_t)ax, (uint16_t)dy, (uint16_t)dz};
-  out[7] = {0, x1, y1, z1, (uint16_t)dx, (uint16_t)dy, (uint16_t)dz};
+  out[0] = {0, x0, y0, z0, (uint16_t)ax, (uint16_t)ay, (uint16_t)az, 0};
+  out[1] = {0, x1, y0, z0, (uint16_t)dx, (uint16_t)ay, (uint16_t)az, 0};
+  out[2] = {0, x0, y1, z0, (uint16_t)ax, (uint16_t)dy, (uint16_t)az, 0};
+  out[3] = {0, x1, y1, z0, (uint16_t)dx, (uint16_t)dy, (uint16_t)az, 0};
+  out[4] = {0, x0, y0, z1, (uint16_t)ax, (uint16_t)ay, (uint16_t)dz, 0};
+  out[5] = {0, x1, y0, z1, (uint16_t)dx, (uint16_t)ay, (uint16_t)dz, 0};
+  out[6] = {0, x0, y1, z1, (uint16_t)ax, (uint16_t)dy, (uint16_t)dz, 0};
+  out[7] = {0, x1, y1, z1, (uint16_t)dx, (uint16_t)dy, (uint16_t)dz, 0};
   uint64_t m = s.morton;
   for (int i = 0; i < 8; i++) {
     out[i].morton = m;
@@ -293,37 +304,50 @@ struct Codec3D {
       for (size_t t = lis.size(); t-- > 0;) {
         for (auto& s : lis[t]) {
           s.morton = off;
-          deposit(s);
+          s.mx = deposit(s);
           off += s.nelem();
         }
       }
     }
   }
 
-  void deposit(const Set3& s) {
-    // Lay msb+1 of every coeff in `s` into msb[] in recursive-partition order.
+  uint8_t deposit(const Set3& s) {
+    // Lay msb+1 of every coeff in `s` into msb[] in recursive-partition order;
+    // returns the max over the set (memoized significance).
     const size_t ne = s.nelem();
-    if (ne == 0) return;
+    if (ne == 0) return 0;
     if (s.lx == 2 && s.ly == 2 && s.lz <= 2) {
       // Common tails: unrolled x-fastest order per z-layer.
       size_t base = size_t(s.sz) * nx * ny + size_t(s.sy) * nx + s.sx;
       uint64_t m = s.morton;
+      uint8_t mx = 0;
       for (unsigned z = 0; z < s.lz; z++) {
         size_t id = base + z * nx * ny;
-        msb[m++] = val_msbp1(id);
-        msb[m++] = val_msbp1(id + 1);
-        msb[m++] = val_msbp1(id + nx);
-        msb[m++] = val_msbp1(id + nx + 1);
+        uint8_t a = val_msbp1(id), b = val_msbp1(id + 1), c = val_msbp1(id + nx),
+                d = val_msbp1(id + nx + 1);
+        msb[m++] = a;
+        msb[m++] = b;
+        msb[m++] = c;
+        msb[m++] = d;
+        uint8_t ab = a > b ? a : b, cd = c > d ? c : d;
+        uint8_t e = ab > cd ? ab : cd;
+        mx = e > mx ? e : mx;
       }
-      return;
+      return mx;
     }
     if (ne == 1) {
-      msb[s.morton] = val_msbp1(size_t(s.sz) * nx * ny + size_t(s.sy) * nx + s.sx);
-      return;
+      uint8_t v = val_msbp1(size_t(s.sz) * nx * ny + size_t(s.sy) * nx + s.sx);
+      msb[s.morton] = v;
+      return v;
     }
     Set3 subs[8];
     partition_xyz(s, 0, subs);
-    for (int i = 0; i < 8; i++) deposit(subs[i]);
+    uint8_t mx = 0;
+    for (int i = 0; i < 8; i++) {
+      uint8_t v = deposit(subs[i]);
+      mx = v > mx ? v : mx;
+    }
+    return mx;
   }
 
   ST_INLINE uint8_t val_msbp1(size_t idx) const {
@@ -376,7 +400,7 @@ struct Codec3D {
     Set3& s = lis[lev][i];
     bool sig;
     if constexpr (ENC) {
-      sig = decide ? any_byte_ge(msb.data() + s.morton, s.nelem(), thr_msbp1) : true;
+      sig = decide ? (s.mx >= thr_msbp1) : true;
       if (decide) sink.put(sig);
     } else {
       sig = decide ? src.get() : true;
@@ -418,6 +442,8 @@ struct Codec3D {
         lip.set(idx);
         process_p(idx, keep[k].morton, counter, decide);
       } else {
+        if constexpr (ENC)  // one scan at creation; O(1) tests thereafter
+          keep[k].mx = max_byte(msb.data() + keep[k].morton, keep[k].nelem());
         lis[nl].push_back(keep[k]);
         process_s(nl, lis[nl].size() - 1, counter, decide);
       }
@@ -569,6 +595,7 @@ struct Codec3D {
 // =================================================================== 2D ====
 struct Set2 {
   uint32_t sx = 0, sy = 0, lx = 0, ly = 0;
+  uint8_t mx = 0;  // ENC only: memoized max msb+1 over the set
 };
 
 template <bool ENC, typename U>
@@ -584,6 +611,7 @@ struct Codec2D {
   // I-set state
   uint32_t i_sx = 0, i_sy = 0;
   int i_lev = 0;
+  uint8_t i_mx = 0;  // ENC: memoized max over the I-set (recomputed on shrink)
   BitSink sink;
   BitSource src;
   size_t budget = SIZE_MAX;
@@ -610,22 +638,29 @@ struct Codec2D {
         U v = coeff[i];
         msb[i] = v ? uint8_t(msb_pos(uint64_t(v)) + 1) : 0;
       }
+      lis[xf][0].mx = rect_max(lis[xf][0]);
+      i_mx = iset_max();
     }
   }
 
-  ST_INLINE bool set_sig(const Set2& s) const {
-    for (uint32_t y = s.sy; y < s.sy + s.ly; y++)
-      if (any_byte_ge(msb.data() + size_t(y) * nx + s.sx, s.lx, thr_msbp1)) return true;
-    return false;
+  ST_INLINE uint8_t rect_max(const Set2& s) const {
+    uint8_t m = 0;
+    for (uint32_t y = s.sy; y < s.sy + s.ly; y++) {
+      uint8_t v = max_byte(msb.data() + size_t(y) * nx + s.sx, s.lx);
+      m = v > m ? v : m;
+    }
+    return m;
   }
 
-  bool iset_sig() const {
+  uint8_t iset_max() const {
     size_t start = size_t(i_sy) * nx;
-    if (any_byte_ge(msb.data() + start, n - start, thr_msbp1)) return true;
+    uint8_t m = max_byte(msb.data() + start, n - start);
     size_t len = nx - i_sx;
-    for (uint32_t y = 0; y < i_sy; y++)
-      if (any_byte_ge(msb.data() + size_t(y) * nx + i_sx, len, thr_msbp1)) return true;
-    return false;
+    for (uint32_t y = 0; y < i_sy; y++) {
+      uint8_t v = max_byte(msb.data() + size_t(y) * nx + i_sx, len);
+      m = v > m ? v : m;
+    }
+    return m;
   }
 
   ST_INLINE void process_p(size_t idx, size_t& counter, bool decide) {
@@ -653,7 +688,7 @@ struct Codec2D {
   void process_s(size_t lev, size_t i, size_t& counter, bool decide) {
     bool sig;
     if constexpr (ENC) {
-      sig = decide ? set_sig(lis[lev][i]) : true;
+      sig = decide ? (lis[lev][i].mx >= thr_msbp1) : true;
       if (decide) sink.put(sig);
     } else {
       sig = decide ? src.get() : true;
@@ -669,7 +704,7 @@ struct Codec2D {
     if (i_lev <= 0) return;
     bool sig;
     if constexpr (ENC) {
-      sig = decide ? iset_sig() : true;
+      sig = decide ? (i_mx >= thr_msbp1) : true;
       if (decide) sink.put(sig);
     } else {
       sig = decide ? src.get() : true;
@@ -702,6 +737,7 @@ struct Codec2D {
         lip.set(idx);
         process_p(idx, counter, decide);
       } else {
+        if constexpr (ENC) keep[k].mx = rect_max(keep[k]);
         lis[nl].push_back(keep[k]);
         process_s(nl, lis[nl].size() - 1, counter, decide);
       }
@@ -722,9 +758,11 @@ struct Codec2D {
     i_sx += dx_;
     i_sy += dy_;
     i_lev--;
+    if constexpr (ENC) i_mx = i_lev > 0 ? iset_max() : 0;
     size_t counter = 0;
     for (int k = 0; k < 3; k++) {
       if (size_t(subs[k].lx) * subs[k].ly != 0) {
+        if constexpr (ENC) subs[k].mx = rect_max(subs[k]);
         lis[part_lev].push_back(subs[k]);
         process_s(part_lev, lis[part_lev].size() - 1, counter, true);
       }
