@@ -1,0 +1,724 @@
+"""Wavefront SPECK: vectorized per-bitplane 3D encoder (byte-identical).
+
+This is the re-architecture promised in SURVEY.md §7 step 4: the reference's
+bit-serial LIS recursion (/root/reference/src/SPECK_INT.cpp:111-163,
+SPECK3D_INT.cpp:100-212) is replaced by per-bitplane *array* passes.
+
+Key decomposition.  Every bit the serial coder emits falls in one of three
+per-pass segments, in this order (SPECK_INT.cpp:146-158):
+
+    [LIP walk] [LIS set walk (with embedded newly-exposed pixel bits)]
+    [refinement pass]
+
+and the *pixel-level* segments are pure functions of three static integers
+per pixel:
+
+    s  = num_bitplanes - msb(|coeff|)-1 .... pass where the pixel first
+                                             becomes significant (inf if 0)
+    e  = s(parent set)  .................... pass where the pixel is exposed
+                                             into LIP (its enclosing set gets
+                                             partitioned)
+    sign
+
+  * LIP-walk bits at pass p (ascending pixel index over members e < p <= s):
+    decision (s == p), then the sign if significant.
+  * Refinement bits at pass p (ascending index over pixels with s < p):
+    plain binary digit (mag >> (num_bp-1-p)) & 1.
+
+Both are emitted with numpy array ops (and map 1:1 onto TPU vector ops).
+Only the set walk remains control flow: one decision bit per live set per
+pass, where set significance is again static (s of the set = num_bp - msb of
+the set max).  Live-set counts are proportional to the compressed
+information, not the volume, and insignificant runs are emitted as batched
+zero arrays.
+
+The partition tree (morton layout, child tables) is a static function of the
+dims — built once with vectorized BFS and cached.  It reproduces the
+reference's dyadic / wavelet-packet initialization (SPECK3D_INT.cpp:22-97)
+and x-fastest octant order (:214-326).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..utils.dims import num_of_xforms, num_of_partitions
+
+_NEVER = 0x7FFF  # "pass" value larger than any real pass (num_bp <= 64)
+
+
+# ---------------------------------------------------------------------------
+# Static partition tree
+# ---------------------------------------------------------------------------
+class Tree:
+    """Static 3D SPECK partition forest for one `dims` (cached).
+
+    Nodes are sets with >= 2 elements, plus the initial root sets (which may
+    be single pixels for degenerate dims).  Every pixel appears exactly once
+    as a singleton child in the child table.
+    """
+
+    __slots__ = (
+        "dims", "n", "nlevels",
+        # node arrays
+        "node_level", "node_parent", "node_ch_start", "node_ch_count",
+        "node_depth_ranges",
+        # child table: parent-major, partition order
+        "ch_is_pixel", "ch_ref",
+        # pixel slots
+        "px_linear", "px_parent",
+        # roots, in the morton-assignment order (finest list first)
+        "root_ids", "root_levels", "big_level", "big_pos",
+    )
+
+
+def _initial_sets(nx: int, ny: int, nz: int):
+    """Replicates the reference's list initialization exactly
+    (SPECK3D_INT.cpp:22-97): returns (sets, big, big_level) where `sets` is a
+    list of (sx,sy,sz,lx,ly,lz,level) in push order and `big` is prepended to
+    its level's list."""
+
+    def split2(l):
+        return l - l // 2, l // 2
+
+    def part_xyz(s, lev):
+        sx, sy, sz, lx, ly, lz = s
+        ax, dx = split2(lx)
+        ay, dy = split2(ly)
+        az, dz = split2(lz)
+        nl = lev + (dx != 0) + (dy != 0) + (dz != 0)
+        x0, x1, y0, y1, z0, z1 = sx, sx + ax, sy, sy + ay, sz, sz + az
+        subs = [
+            (x0, y0, z0, ax, ay, az), (x1, y0, z0, dx, ay, az),
+            (x0, y1, z0, ax, dy, az), (x1, y1, z0, dx, dy, az),
+            (x0, y0, z1, ax, ay, dz), (x1, y0, z1, dx, ay, dz),
+            (x0, y1, z1, ax, dy, dz), (x1, y1, z1, dx, dy, dz),
+        ]
+        return subs, nl
+
+    def can_dyadic():
+        if nz < 2 or ny < 2:
+            return None
+        xy = num_of_xforms(min(nx, ny))
+        z = num_of_xforms(nz)
+        if xy == z or (xy >= 5 and z >= 5):
+            return min(xy, z)
+        return None
+
+    pushed: List[Tuple] = []  # (set6, level) in push order
+    big = (0, 0, 0, nx, ny, nz)
+    cur = 0
+    dy_lev = can_dyadic()
+    if dy_lev is not None:
+        for _ in range(dy_lev):
+            subs, nl = part_xyz(big, cur)
+            big = subs[0]
+            for k in range(1, 8):
+                pushed.append((subs[k], nl))
+            cur = nl
+    else:
+        xf_xy = num_of_xforms(min(nx, ny))
+        xf_z = num_of_xforms(nz)
+        xf = 0
+        while xf < xf_xy and xf < xf_z:
+            subs, nl = part_xyz(big, cur)
+            big = subs[0]
+            for k in range(1, 8):
+                pushed.append((subs[k], nl))
+            cur = nl
+            xf += 1
+        while xf < xf_xy:  # split X and Y only
+            sx, sy, sz, lx, ly, lz = big
+            ax, dx = split2(lx)
+            ay, dy = split2(ly)
+            nl = cur + (dx != 0) + (dy != 0)
+            pushed.append(((sx + ax, sy, sz, dx, ay, lz), nl))
+            pushed.append(((sx, sy + ay, sz, ax, dy, lz), nl))
+            pushed.append(((sx + ax, sy + ay, sz, dx, dy, lz), nl))
+            big = (sx, sy, sz, ax, ay, lz)
+            cur = nl
+            xf += 1
+        while xf < xf_z:  # split Z only
+            sx, sy, sz, lx, ly, lz = big
+            az, dz = split2(lz)
+            nl = cur + (dz != 0)
+            pushed.append(((sx, sy, sz + az, lx, ly, dz), nl))
+            big = (sx, sy, sz, lx, ly, az)
+            cur = nl
+            xf += 1
+    return pushed, big, cur
+
+
+def _children_of(sx, sy, sz, lx, ly, lz, morton, level):
+    """Vectorized octant partition of a batch of nodes (x-fastest order).
+    Returns per-child field arrays of shape [K, 8] plus nelem and level."""
+    ax, dx = lx - lx // 2, lx // 2
+    ay, dy = ly - ly // 2, ly // 2
+    az, dz = lz - lz // 2, lz // 2
+    csx = np.stack([sx, sx + ax, sx, sx + ax] * 2, axis=1)
+    csy = np.stack([sy, sy, sy + ay, sy + ay] * 2, axis=1)
+    csz = np.stack([sz] * 4 + [sz + az] * 4, axis=1)
+    clx = np.stack([ax, dx, ax, dx] * 2, axis=1)
+    cly = np.stack([ay, ay, dy, dy] * 2, axis=1)
+    clz = np.stack([az] * 4 + [dz] * 4, axis=1)
+    ne = clx.astype(np.int64) * cly * clz
+    clev = (level + (dx != 0) + (dy != 0) + (dz != 0)).astype(level.dtype)
+    # morton: parent morton + exclusive prefix of child sizes (x-fastest)
+    cm = morton[:, None] + np.cumsum(ne, axis=1) - ne
+    return csx, csy, csz, clx, cly, clz, ne, cm, clev
+
+
+_TREES: Dict[Tuple[int, int, int], Tree] = {}
+
+
+def build_tree(dims: Tuple[int, int, int]) -> Tree:
+    key = tuple(int(d) for d in dims)
+    t = _TREES.get(key)
+    if t is not None:
+        return t
+    nx, ny, nz = key
+    n = nx * ny * nz
+
+    pushed, big, big_level = _initial_sets(nx, ny, nz)
+    nlevels = num_of_partitions(nx) + num_of_partitions(ny) + num_of_partitions(nz) + 1
+
+    # Order the roots exactly as morton offsets are assigned in the encoder:
+    # levels finest-first, pushed order within a level, `big` first in its own.
+    per_level: List[List[Tuple]] = [[] for _ in range(nlevels)]
+    for s, lev in pushed:
+        per_level[lev].append(s)
+    per_level[big_level].insert(0, big)
+    roots: List[Tuple] = []
+    root_levels: List[int] = []
+    for lev in range(nlevels - 1, -1, -1):
+        for s in per_level[lev]:
+            roots.append(s)
+            root_levels.append(lev)
+
+    R = len(roots)
+    ra = np.array(roots, dtype=np.int64).reshape(R, 6)
+    rlev = np.array(root_levels, dtype=np.int16)
+    rne = ra[:, 3] * ra[:, 4] * ra[:, 5]
+    rmorton = np.cumsum(rne) - rne
+
+    # BFS over depths; nodes appended in (depth, parent-order) order.
+    node_level = [rlev]
+    node_parent = [np.full(R, -1, dtype=np.int64)]
+    depth_ranges: List[Tuple[int, int]] = [(0, R)]
+    ch_is_pixel: List[np.ndarray] = []
+    ch_ref: List[np.ndarray] = []
+    ch_counts: List[np.ndarray] = []  # per node, in node order
+    px_linear: List[np.ndarray] = []
+    px_parent: List[np.ndarray] = []
+
+    f_sx, f_sy, f_sz = ra[:, 0], ra[:, 1], ra[:, 2]
+    f_lx, f_ly, f_lz = ra[:, 3], ra[:, 4], ra[:, 5]
+    f_m, f_lev = rmorton, rlev
+    f_ids = np.arange(R, dtype=np.int64)
+    n_nodes = R
+    n_px = 0
+
+    while f_ids.size:
+        K = f_ids.size
+        # (a 1-elem root partitions into itself in slot 0; generic code works)
+        csx, csy, csz, clx, cly, clz, ne, cm, clev = _children_of(
+            f_sx, f_sy, f_sz, f_lx, f_ly, f_lz, f_m, f_lev
+        )
+        valid = ne > 0  # [K, 8]
+        is_px = valid & (ne == 1)
+        is_nd = valid & (ne > 1)
+
+        # child table rows, flattened parent-major (order preserved)
+        flat_valid = valid.ravel()
+        flat_ispx = is_px.ravel()[flat_valid]
+        rows_ref = np.empty(flat_valid.sum(), dtype=np.int64)
+
+        # pixel slots
+        px_mask = is_px.ravel()[flat_valid]
+        npx_new = int(px_mask.sum())
+        lin = (csz * (nx * ny) + csy * nx + csx).ravel()[flat_valid][px_mask]
+        pxpar = np.repeat(f_ids, 8).reshape(K, 8).ravel()[flat_valid][px_mask]
+        rows_ref[px_mask] = n_px + np.arange(npx_new)
+        px_linear.append(lin)
+        px_parent.append(pxpar)
+        n_px += npx_new
+
+        # new nodes
+        nd_mask = ~px_mask
+        nnd_new = int(nd_mask.sum())
+        rows_ref[nd_mask] = n_nodes + np.arange(nnd_new)
+        ch_is_pixel.append(px_mask)
+        ch_ref.append(rows_ref)
+        ch_counts.append(valid.sum(axis=1))
+
+        sel = is_nd.ravel()
+        nf_sx, nf_sy, nf_sz = csx.ravel()[sel], csy.ravel()[sel], csz.ravel()[sel]
+        nf_lx, nf_ly, nf_lz = clx.ravel()[sel], cly.ravel()[sel], clz.ravel()[sel]
+        nf_m = cm.ravel()[sel]
+        nf_lev = np.broadcast_to(clev[:, None], (K, 8)).ravel()[sel]
+        nf_par = np.repeat(f_ids, 8).reshape(K, 8).ravel()[sel]
+
+        node_level.append(nf_lev.astype(np.int16))
+        node_parent.append(nf_par)
+        depth_ranges.append((n_nodes, n_nodes + nnd_new))
+        n_nodes += nnd_new
+
+        f_sx, f_sy, f_sz, f_lx, f_ly, f_lz = nf_sx, nf_sy, nf_sz, nf_lx, nf_ly, nf_lz
+        f_m, f_lev = nf_m, nf_lev
+        f_ids = np.arange(n_nodes - nnd_new, n_nodes, dtype=np.int64)
+
+    t = Tree()
+    t.dims = key
+    t.n = n
+    t.nlevels = nlevels
+    t.node_level = np.concatenate(node_level).astype(np.int16)
+    t.node_parent = np.concatenate(node_parent)
+    counts = np.concatenate(ch_counts)
+    t.node_ch_count = counts
+    t.node_ch_start = np.cumsum(counts) - counts
+    t.node_depth_ranges = [r for r in depth_ranges if r[1] > r[0]]
+    t.ch_is_pixel = np.concatenate(ch_is_pixel)
+    t.ch_ref = np.concatenate(ch_ref)
+    t.px_linear = np.concatenate(px_linear) if px_linear else np.empty(0, np.int64)
+    t.px_parent = np.concatenate(px_parent) if px_parent else np.empty(0, np.int64)
+    t.root_ids = np.arange(R, dtype=np.int64)
+    t.root_levels = rlev
+    t.big_level = big_level
+    t.big_pos = 0
+    _TREES[key] = t
+    return t
+
+
+# ---------------------------------------------------------------------------
+# msb helpers
+# ---------------------------------------------------------------------------
+def msbp1(mags: np.ndarray) -> np.ndarray:
+    """msb position + 1 per element (0 for zero), exact for uint64."""
+    m = mags.astype(np.uint64, copy=False)
+    hi = (m >> np.uint64(32)).astype(np.float64)
+    lo = (m & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    out = np.where(
+        hi > 0,
+        32 + np.frexp(hi)[1],
+        np.frexp(lo)[1],
+    ).astype(np.int16)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+class _Bits:
+    """Ordered collection of 0/1 bit runs (numpy arrays + scalars)."""
+
+    def __init__(self):
+        self.parts: List[np.ndarray] = []
+        self.n = 0
+        self._small: List[int] = []
+
+    def bit(self, b: int):
+        self._small.append(b)
+        self.n += 1
+
+    def arr(self, a: np.ndarray):
+        if self._small:
+            self.parts.append(np.array(self._small, dtype=np.uint8))
+            self._small = []
+        self.parts.append(a.astype(np.uint8, copy=False))
+        self.n += a.size
+
+    def zeros(self, k: int):
+        if k > 0:
+            self.arr(np.zeros(k, dtype=np.uint8))
+
+    def concat(self) -> np.ndarray:
+        if self._small:
+            self.parts.append(np.array(self._small, dtype=np.uint8))
+            self._small = []
+        if not self.parts:
+            return np.empty(0, dtype=np.uint8)
+        return np.concatenate(self.parts)
+
+
+def encode_3d(
+    mags: np.ndarray,
+    signs: np.ndarray,
+    dims: Tuple[int, int, int],
+    budget_bits: int = 0,
+) -> bytes:
+    """Encode one 3D chunk; byte-identical to the serial engines.
+
+    `mags`: uint magnitudes (any uint dtype), flat, x-fastest;
+    `signs`: bool (True = non-negative); `budget_bits`: 0 = unlimited.
+    """
+    nx, ny, nz = (int(d) for d in dims)
+    n = nx * ny * nz
+    mags = np.ascontiguousarray(mags).reshape(n)
+    signs = np.ascontiguousarray(signs).reshape(n).astype(bool)
+    tree = build_tree((nx, ny, nz))
+
+    pmsb = msbp1(mags)  # [n] linear
+    num_bp = int(pmsb.max()) if n else 0
+    if num_bp == 0:
+        return _pack_stream(np.empty(0, np.uint8), 0, 0)
+    node_max = compute_node_max(tree, pmsb)
+    return stitch_3d(
+        pmsb, signs, node_max, (nx, ny, nz), num_bp, None, None, budget_bits,
+        mags=mags,
+    )
+
+
+def compute_node_max(tree: Tree, pmsb: np.ndarray) -> np.ndarray:
+    """Max msb+1 per tree node via per-depth segmented max reductions
+    (the reference's Morton MSB deposit as a pyramid)."""
+    nn = tree.node_parent.size
+    node_max = np.zeros(nn, dtype=np.int16)
+    px_msb = pmsb[tree.px_linear]  # per pixel slot
+    for lo, hi in reversed(tree.node_depth_ranges):
+        s0 = tree.node_ch_start[lo]
+        s1 = tree.node_ch_start[hi - 1] + tree.node_ch_count[hi - 1]
+        refs = tree.ch_ref[s0:s1]
+        ispx = tree.ch_is_pixel[s0:s1]
+        vals = np.where(ispx, px_msb[np.where(ispx, refs, 0)],
+                        node_max[np.where(ispx, 0, refs)])
+        starts = (tree.node_ch_start[lo:hi] - s0).astype(np.int64)
+        node_max[lo:hi] = np.maximum.reduceat(vals, starts)
+    return node_max
+
+
+def stitch_3d(
+    pmsb: np.ndarray,
+    signs: np.ndarray,
+    node_max: np.ndarray,
+    dims: Tuple[int, int, int],
+    num_bp: int,
+    lip_segments,
+    ref_segments,
+    budget_bits: int = 0,
+    mags: np.ndarray = None,
+) -> bytes:
+    """Assemble the final stream from pixel schedules + set walk.
+
+    `lip_segments` / `ref_segments`: optional per-pass 0/1 arrays computed on
+    a device (ops/speck_jax.py); when None they are computed here with numpy.
+    `mags` is required only when ref_segments is None."""
+    nx, ny, nz = dims
+    n = nx * ny * nz
+    tree = build_tree(dims)
+    budget = (budget_bits + 7) // 8 * 8 if budget_bits else None
+
+    node_s = np.where(node_max > 0, num_bp - node_max, _NEVER).astype(np.int32)
+
+    # --- static per-pixel schedule (linear index order) -------------------
+    s_lin = np.where(pmsb > 0, num_bp - pmsb, _NEVER).astype(np.int32)
+    e_lin = np.full(n, _NEVER, dtype=np.int32)
+    e_lin[tree.px_linear] = node_s[tree.px_parent]
+    # LIP cohort: exposed while still insignificant
+    cand = np.flatnonzero((e_lin < num_bp) & (s_lin > e_lin))
+    ce, cs = e_lin[cand], s_lin[cand]
+    csign = signs[cand]
+    # refinement cohort: all nonzero pixels
+    rnz = np.flatnonzero(pmsb > 0)
+    rs = s_lin[rnz]
+    rmag = mags[rnz].astype(np.uint64) if mags is not None else None
+
+    # --- set walk state: per level, survivors array + this-pass appends ----
+    lists: List[np.ndarray] = [
+        np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)
+    ]
+    for rid in tree.root_ids:
+        lev = int(tree.root_levels[rid])
+        lists[lev] = np.append(lists[lev], rid)
+    born: List[List[int]] = [[] for _ in range(tree.nlevels)]
+
+    ch_start, ch_count = tree.node_ch_start, tree.node_ch_count
+    ch_ispx, ch_ref = tree.ch_is_pixel, tree.ch_ref
+    px_lin = tree.px_linear
+    node_level = tree.node_level
+
+    segments: List[np.ndarray] = []
+    total = 0
+    stop = False
+
+    def code_s(nid: int, p: int, bits: _Bits) -> None:
+        s0 = ch_start[nid]
+        cnt = ch_count[nid]
+        counter = 0
+        for k in range(cnt):
+            decide = (counter != 0) or (k + 1 != cnt)
+            r = int(ch_ref[s0 + k])
+            if ch_ispx[s0 + k]:
+                lin = int(px_lin[r])
+                sig = s_lin[lin] == p
+                if decide:
+                    bits.bit(1 if sig else 0)
+                if sig:
+                    counter += 1
+                    bits.bit(1 if signs[lin] else 0)
+            else:
+                sig = node_s[r] == p
+                if decide:
+                    bits.bit(1 if sig else 0)
+                if sig:
+                    counter += 1
+                    code_s(r, p, bits)
+                else:
+                    born[int(node_level[r])].append(r)
+
+    for p in range(num_bp):
+        # ---- LIP walk (vectorized or device-supplied) ----------------------
+        if lip_segments is not None:
+            lip_bits = lip_segments[p]
+        else:
+            memb = (ce < p) & (cs >= p)
+            mi = np.flatnonzero(memb)
+            dec = cs[mi] == p
+            pair = np.empty((mi.size, 2), dtype=np.uint8)
+            pair[:, 0] = dec
+            pair[:, 1] = csign[mi]
+            keep = np.empty((mi.size, 2), dtype=bool)
+            keep[:, 0] = True
+            keep[:, 1] = dec
+            lip_bits = pair.ravel()[keep.ravel()]
+
+        # ---- LIS set walk --------------------------------------------------
+        bits = _Bits()
+        for t in range(tree.nlevels - 1, -1, -1):
+            arr = lists[t]
+            if born[t]:
+                arr = np.concatenate([arr, np.array(born[t], dtype=np.int64)])
+                born[t].clear()
+            if arr.size == 0:
+                lists[t] = arr
+                continue
+            sp = node_s[arr]
+            sig_pos = np.flatnonzero(sp == p)
+            if sig_pos.size == 0:
+                bits.zeros(arr.size)
+            else:
+                prev = 0
+                for pos in sig_pos:
+                    pos = int(pos)
+                    bits.zeros(pos - prev)
+                    bits.bit(1)
+                    code_s(int(arr[pos]), p, bits)
+                    prev = pos + 1
+                bits.zeros(arr.size - prev)
+            # survivors (appends from this pass sit in born[] until their
+            # level is next visited — they are insignificant by construction)
+            lists[t] = arr[sp > p]
+        lis_bits = bits.concat()
+
+        segments.append(lip_bits)
+        segments.append(lis_bits)
+        total += lip_bits.size + lis_bits.size
+        if budget is not None and total >= budget:
+            stop = True
+        if not stop:
+            # ---- refinement (vectorized or device-supplied) ----------------
+            if ref_segments is not None:
+                rbits = ref_segments[p]
+            else:
+                rm = rs < p
+                rbits = (
+                    (rmag[rm] >> np.uint64(num_bp - 1 - p)) & np.uint64(1)
+                ).astype(np.uint8)
+            segments.append(rbits)
+            total += rbits.size
+            if budget is not None and total >= budget:
+                stop = True
+        if stop:
+            break
+
+    allbits = np.concatenate(segments) if segments else np.empty(0, np.uint8)
+    return _pack_stream(allbits, total, num_bp, budget)
+
+
+def _pack_stream(
+    bits: np.ndarray, total_bits: int, num_bp: int, budget=None
+) -> bytes:
+    """9-byte header {num_bitplanes u8, total_bits u64} + packed bits
+    (bitstream_definition.txt:1-3); budget truncates packed bytes only."""
+    emit = total_bits if budget is None else min(total_bits, budget)
+    packed = np.packbits(bits[:emit], bitorder="little").tobytes()
+    header = bytes([num_bp]) + int(total_bits).to_bytes(8, "little")
+    return header + packed
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+def decode_3d(
+    stream: bytes, dims: Tuple[int, int, int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode one 3D chunk stream (possibly truncated); returns
+    (mags uint64, signs bool).
+
+    Mirrors the serial decoder's observable semantics (SPECK_INT.cpp:166-228):
+    sorting passes read from a zero-padded source (truncation appears as
+    all-insignificant, the progressive-access property), refinement stops
+    exactly at the available-bit mark mid-pass, and every refinement segment
+    plus the final value reconstruction (init 2T - T/2 - 1, then +-T/2)
+    applies as vectorized slices over the discovered per-pixel significance
+    passes.  The only serial work is the set walk, batched over zero-runs."""
+    nx, ny, nz = (int(d) for d in dims)
+    n = nx * ny * nz
+    tree = build_tree((nx, ny, nz))
+    num_bp = stream[0]
+    total_bits = int.from_bytes(stream[1:9], "little")
+    avail = min((len(stream) - 9) * 8, total_bits)
+    signs = np.ones(n, dtype=bool)
+    if num_bp == 0:
+        return np.zeros(n, dtype=np.uint64), signs
+
+    raw = np.unpackbits(
+        np.frombuffer(stream, dtype=np.uint8, offset=9), bitorder="little"
+    )[:avail].astype(np.uint8)
+    # zero padding past avail: sorting passes read freely up to total_bits
+    bits = np.zeros(total_bits + 64, dtype=np.uint8)
+    bits[:avail] = raw
+
+    # dynamic state
+    s_lin = np.full(n, _NEVER, dtype=np.int32)  # discovered significance pass
+    contrib = np.zeros(n, dtype=np.int64)  # accumulated refinement deltas
+    lip = np.zeros(n, dtype=bool)
+    lists: List[np.ndarray] = [
+        np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)
+    ]
+    for rid in tree.root_ids:
+        lev = int(tree.root_levels[rid])
+        lists[lev] = np.append(lists[lev], rid)
+    born: List[List[int]] = [[] for _ in range(tree.nlevels)]
+
+    ch_start, ch_count = tree.node_ch_start, tree.node_ch_count
+    ch_ispx, ch_ref = tree.ch_is_pixel, tree.ch_ref
+    px_lin = tree.px_linear
+    node_level = tree.node_level
+    pos = 0  # bit cursor
+
+    def next_one(start: int, limit: int) -> int:
+        """First index in [start, limit) with a 1 bit, or -1; chunked scan so
+        each bit region is visited O(1) times amortized."""
+        CH = 4096
+        i = start
+        while i < limit:
+            w = bits[i : min(i + CH, limit)]
+            nz = np.flatnonzero(w)
+            if nz.size:
+                return i + int(nz[0])
+            i += CH
+        return -1
+
+    def code_s(nid: int, p: int) -> None:
+        nonlocal pos
+        s0 = ch_start[nid]
+        cnt = ch_count[nid]
+        counter = 0
+        for k in range(cnt):
+            decide = (counter != 0) or (k + 1 != cnt)
+            r = int(ch_ref[s0 + k])
+            if decide:
+                sig = bits[pos]
+                pos += 1
+            else:
+                sig = 1
+            if ch_ispx[s0 + k]:
+                lin = int(px_lin[r])
+                if sig:
+                    counter += 1
+                    signs[lin] = bool(bits[pos])
+                    pos += 1
+                    s_lin[lin] = p
+                else:
+                    lip[lin] = True
+            else:
+                if sig:
+                    counter += 1
+                    code_s(r, p)
+                else:
+                    born[int(node_level[r])].append(r)
+
+    for p in range(num_bp):
+        # ---- LIP walk: zero-runs batched, one python step per significance
+        mi = np.flatnonzero(lip)
+        m = mi.size
+        i = 0
+        while i < m:
+            j = next_one(pos, pos + (m - i))
+            if j < 0:
+                pos += m - i
+                break
+            j -= pos  # members i..i+j-1 stay; member i+j significant
+            lin = int(mi[i + j])
+            s_lin[lin] = p
+            signs[lin] = bool(bits[pos + j + 1])
+            lip[lin] = False
+            pos += j + 2
+            i += j + 1
+
+        # ---- LIS set walk: zero-runs batched ------------------------------
+        for t in range(tree.nlevels - 1, -1, -1):
+            arr = lists[t]
+            if born[t]:
+                arr = np.concatenate([arr, np.array(born[t], dtype=np.int64)])
+                born[t].clear()
+            if arr.size == 0:
+                lists[t] = arr
+                continue
+            sig_at: List[int] = []
+            i = 0
+            nl0 = arr.size
+            while i < nl0:
+                j = next_one(pos, pos + (nl0 - i))
+                if j < 0:
+                    pos += nl0 - i
+                    break
+                j -= pos
+                pos += j + 1
+                sig_at.append(i + j)
+                code_s(int(arr[i + j]), p)
+                i += j + 1
+            if sig_at:
+                keep = np.ones(nl0, dtype=bool)
+                keep[sig_at] = False
+                lists[t] = arr[keep]
+            else:
+                lists[t] = arr
+
+        if pos >= avail:
+            break
+
+        # ---- refinement: pure slice over old members -----------------------
+        old = np.flatnonzero(s_lin < p)
+        k = min(old.size, avail - pos)
+        seg = bits[pos : pos + k].astype(np.int64)
+        thr_exp = num_bp - 1 - p  # T = 2**thr_exp
+        if thr_exp >= 1:
+            half = np.int64(1) << np.int64(thr_exp - 1)
+            contrib[old[:k]] += np.where(seg == 1, half, -half)
+        else:
+            contrib[old[:k]] += seg
+        pos += k
+        if k < old.size or pos >= avail:
+            break
+
+    # ---- vectorized value reconstruction ---------------------------------
+    found = s_lin < _NEVER
+    sf = s_lin[found]
+    T = np.int64(1) << (num_bp - 1 - sf).astype(np.int64)
+    init = 2 * T - T // 2 - 1
+    mags = np.zeros(n, dtype=np.uint64)
+    mags[found] = (init + contrib[found]).astype(np.uint64)
+    return mags, signs
+
+
+__all__ = [
+    "encode_3d",
+    "decode_3d",
+    "stitch_3d",
+    "compute_node_max",
+    "build_tree",
+    "msbp1",
+]

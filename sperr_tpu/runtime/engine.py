@@ -20,6 +20,35 @@ import numpy as np
 from ..codec import speck_int_np as sp
 
 
+class WaveEngine:
+    """Wavefront engine (codec/speck_wave.py): vectorized per-bitplane passes
+    for 3D; 1D/2D fall back to the serial NumPy engine.  Byte-identical
+    streams; this is the array-oriented re-architecture whose pixel segments
+    map 1:1 onto TPU vector ops."""
+
+    name = "wave"
+
+    def encode(self, ndim, mags, signs, dims, width, budget_bits) -> bytes:
+        if ndim == 3:
+            from ..codec import speck_wave as sw
+
+            return sw.encode_3d(mags, signs, dims, budget_bits)
+        return NumpyEngine().encode(ndim, mags, signs, dims, width, budget_bits)
+
+    def decode(self, ndim, stream, dims, width) -> Tuple[np.ndarray, np.ndarray]:
+        if ndim == 3:
+            from ..codec import speck_wave as sw
+
+            return sw.decode_3d(bytes(stream), dims)
+        return NumpyEngine().decode(ndim, stream, dims, width)
+
+    def encode_1d(self, mags, signs, total_len, width) -> bytes:
+        return NumpyEngine().encode_1d(mags, signs, total_len, width)
+
+    def decode_1d(self, stream, total_len, width):
+        return NumpyEngine().decode_1d(stream, total_len, width)
+
+
 class NumpyEngine:
     name = "numpy"
 
