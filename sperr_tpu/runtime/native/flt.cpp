@@ -370,6 +370,23 @@ void quantize_into(const F* p, size_t n, F q, std::vector<U>& mags,
   }
 }
 
+// Quantize and reconstruct in one pass (PWE path): rec = q*r equals the
+// two-pass inv_quantize(quantize(x)) bit-for-bit, since r is an exact
+// integer in F and the sign-symmetric product q*r == +-(q*|r|).
+template <typename F, typename U>
+void quantize_into_with_rec(const F* p, size_t n, F q, std::vector<U>& mags,
+                            std::vector<uint8_t>& signs, F* rec) {
+  const F inv = F(1) / q;
+  mags.resize(n);
+  signs.resize(n);
+  for (size_t i = 0; i < n; i++) {
+    F r = std::rint(p[i] * inv);
+    signs[i] = !(r < F(0));
+    mags[i] = U(std::fabs(r));
+    rec[i] = q * r;
+  }
+}
+
 template <typename F>
 int pick_width(const F* p, size_t n, F q) {
   F best = 0;  // pure max-reduction: vectorizes
@@ -498,11 +515,18 @@ std::vector<uint8_t> compress_chunk(int ndim, std::vector<F>& vals, size_t nx,
     return stream;
   }
   F mean = strided_mean(vals.data(), n);
-  for (size_t i = 0; i < n; i++) vals[i] -= mean;
-
   std::vector<F> orig;
   double param = 0.0;
-  if (mode == 3) orig = vals;  // pwe
+  if (mode == 3) {  // pwe: fuse mean-subtract with the conditioned-copy
+    orig.resize(n);
+    for (size_t i = 0; i < n; i++) {
+      F v = vals[i] - mean;
+      vals[i] = v;
+      orig[i] = v;
+    }
+  } else {
+    for (size_t i = 0; i < n; i++) vals[i] -= mean;
+  }
   if (mode == 2) {             // psnr: data range
     F mn = vals[0], mx = vals[0];
     for (size_t i = 1; i < n; i++) {
@@ -539,10 +563,10 @@ std::vector<uint8_t> compress_chunk(int ndim, std::vector<F>& vals, size_t nx,
       using U = decltype(tag);
       std::vector<U> mags;
       std::vector<uint8_t> signs;
-      quantize_into<F, U>(vals.data(), n, F(q), mags, signs);
-      if (mode == 3) {  // PWE: reconstruct, collect outliers
+      if (mode == 3) {  // PWE: quantize+reconstruct fused, collect outliers
         std::vector<F> rec(n);
-        inv_quantize<F, U>(mags, signs, F(q), rec.data());
+        quantize_into_with_rec<F, U>(vals.data(), n, F(q), mags, signs,
+                                     rec.data());
         wavelet_inv(ndim, rec.data(), nx, ny, nz);
         OutlierList los;
         for (size_t i = 0; i < n; i++) {
@@ -553,6 +577,8 @@ std::vector<uint8_t> compress_chunk(int ndim, std::vector<F>& vals, size_t nx,
           }
         }
         if (!los.pos.empty()) outlier_stream = encode_outliers(los, n, quality);
+      } else {
+        quantize_into<F, U>(vals.data(), n, F(q), mags, signs);
       }
       body = speck_encode_vec<U>(ndim, mags, signs, nx, ny, nz, budget);
     };
