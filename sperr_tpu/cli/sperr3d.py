@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--pwe", type=float, default=0.0)
     q.add_argument("--psnr", type=float, default=0.0)
     q.add_argument("--bpp", type=float, default=0.0)
+    q.add_argument(
+        "--dq", type=float, default=0.0,
+        help="experimental: provide the quantization step q directly "
+        "(reference's EXPERIMENTING --dq, utilities/sperr3d.cpp:196-203)",
+    )
     return p
 
 
@@ -60,8 +65,10 @@ def run(argv=None) -> int:
             mode, quality = "psnr", args.psnr
         elif args.bpp:
             mode, quality = "rate", args.bpp
+        elif args.dq:
+            mode, quality = "directq", args.dq
         else:
-            die("one of --pwe/--psnr/--bpp is required")
+            die("one of --pwe/--psnr/--bpp/--dq is required")
 
         vol = data.reshape(nz, ny, nx)
         if args.exec_mode == "tpu":

@@ -27,7 +27,10 @@ from ..utils.dims import coarsened_resolutions
 from . import outlier as outlier_mod
 from . import speck_int_np as sp
 
-_MODES = ("psnr", "pwe", "rate")
+# "directq" mirrors the reference's EXPERIMENTING CompMode::DirectQ
+# (sperr_helper.h:48-50): the quantization step is given verbatim, no
+# outlier coding, no budget.
+_MODES = ("psnr", "pwe", "rate", "directq")
 
 
 def _get_speck_engine(engine):

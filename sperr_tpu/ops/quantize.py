@@ -91,6 +91,8 @@ def estimate_q(
         return quality * 1.5
     if mode == "rate":
         return param / (DBL_BIG_ODD if high_prec else UINT32_MAX)
+    if mode == "directq":  # experimental: q given verbatim (SPECK_FLT.cpp:302-305)
+        return quality
     raise ValueError(f"unknown mode {mode!r}")
 
 

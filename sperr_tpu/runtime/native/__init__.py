@@ -130,7 +130,7 @@ class NativeEngine:
         return self.decode(1, stream, (total_len, 1, 1), width)
 
 
-_MODE_CODES = {"rate": 1, "psnr": 2, "pwe": 3}
+_MODE_CODES = {"rate": 1, "psnr": 2, "pwe": 3, "directq": 4}
 
 
 class NativeChunkCodec:

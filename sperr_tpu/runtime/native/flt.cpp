@@ -349,6 +349,7 @@ double estimate_q(int mode, double quality, double param, const F* p, size_t n,
     return q;
   }
   if (mode == 3) return quality * 1.5;  // pwe
+  if (mode == 4) return quality;        // directq: q given verbatim
   if constexpr (std::is_same_v<F, float>)
     return param / F32_RATE_MAX;  // rate, fast mode
   else
