@@ -398,12 +398,16 @@ def stitch_3d(
     ref_segments,
     budget_bits: int = 0,
     mags: np.ndarray = None,
+    s_lin: np.ndarray = None,
 ) -> bytes:
     """Assemble the final stream from pixel schedules + set walk.
 
     `lip_segments` / `ref_segments`: optional per-pass 0/1 arrays computed on
-    a device (ops/speck_jax.py); when None they are computed here with numpy.
-    `mags` is required only when ref_segments is None."""
+    a device (ops/speck_jax.py); when None they are computed here with numpy
+    (requiring `pmsb`, and `mags` for the refinement bits).  With both
+    segment lists supplied, only `s_lin` (or `pmsb`) and `signs` are needed
+    for the pixels the set walk touches — both reconstructable from sparse
+    nonzero data."""
     nx, ny, nz = dims
     n = nx * ny * nz
     tree = build_tree(dims)
@@ -412,17 +416,20 @@ def stitch_3d(
     node_s = np.where(node_max > 0, num_bp - node_max, _NEVER).astype(np.int32)
 
     # --- static per-pixel schedule (linear index order) -------------------
-    s_lin = np.where(pmsb > 0, num_bp - pmsb, _NEVER).astype(np.int32)
-    e_lin = np.full(n, _NEVER, dtype=np.int32)
-    e_lin[tree.px_linear] = node_s[tree.px_parent]
-    # LIP cohort: exposed while still insignificant
-    cand = np.flatnonzero((e_lin < num_bp) & (s_lin > e_lin))
-    ce, cs = e_lin[cand], s_lin[cand]
-    csign = signs[cand]
-    # refinement cohort: all nonzero pixels
-    rnz = np.flatnonzero(pmsb > 0)
-    rs = s_lin[rnz]
-    rmag = mags[rnz].astype(np.uint64) if mags is not None else None
+    if s_lin is None:
+        s_lin = np.where(pmsb > 0, num_bp - pmsb, _NEVER).astype(np.int32)
+    if lip_segments is None:
+        e_lin = np.full(n, _NEVER, dtype=np.int32)
+        e_lin[tree.px_linear] = node_s[tree.px_parent]
+        # LIP cohort: exposed while still insignificant
+        cand = np.flatnonzero((e_lin < num_bp) & (s_lin > e_lin))
+        ce, cs = e_lin[cand], s_lin[cand]
+        csign = signs[cand]
+    if ref_segments is None:
+        # refinement cohort: all nonzero pixels
+        rnz = np.flatnonzero(s_lin < _NEVER)
+        rs = s_lin[rnz]
+        rmag = mags[rnz].astype(np.uint64)
 
     # --- set walk state: per level, survivors array + this-pass appends ----
     lists: List[np.ndarray] = [

@@ -49,17 +49,9 @@ def make_chunk_mesh(devices=None) -> Mesh:
 # ---------------------------------------------------------------------------
 # Device-side dense stages (jitted per chunk shape / mode).
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("mode", "quality", "cap", "out_cap"))
-def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: int):
-    """Like _dense_encode, but compacts significant coefficients on device.
-
-    Returns per chunk: indices (i32) and *signed* quantized values (i32) of
-    the `nnz` nonzero coefficients (padded to `cap`), plus outlier positions/
-    errors for PWE (padded to `out_cap`).  This keeps the device->host
-    transfer proportional to the information content instead of the volume —
-    the decisive factor both over PCIe in real deployments and over this
-    environment's device tunnel.
-    """
+def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int):
+    """Shared device stages: condition -> DWT -> q -> quantize -> sparse
+    compaction [-> PWE outlier detection].  Returns (out dict, ll)."""
     B = batch.shape[0]
     n = batch.shape[1] * batch.shape[2] * batch.shape[3]
     flat = batch.reshape(B, n)
@@ -112,6 +104,68 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
         out["n_out"], (out["out_idx"], out["out_vals"]) = n_out, jax.vmap(compact_out)(
             omask, diff
         )
+    return out, ll
+
+
+@partial(jax.jit, static_argnames=("mode", "quality", "cap", "out_cap"))
+def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: int):
+    """Device stages + on-device compaction of significant coefficients.
+
+    Returns per chunk: indices (i32) and *signed* quantized values (i32) of
+    the `nnz` nonzero coefficients (padded to `cap`), plus outlier positions/
+    errors for PWE (padded to `out_cap`).  This keeps the device->host
+    transfer proportional to the information content instead of the volume —
+    the decisive factor both over PCIe in real deployments and over this
+    environment's device tunnel.
+    """
+    out, _ = _encode_core(batch, mode, quality, cap, out_cap)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3"),
+)
+def _dense_encode_wave(
+    batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
+    dims3: Tuple[int, int, int],
+):
+    """Device stages + the wavefront entropy pixel work (ops/speck_jax.py):
+    per-pass packed LIP/refinement segments, per-node maxes (compacted), and
+    per-pixel schedules — everything except the host set walk.  Device->host
+    traffic for the entropy stage is then stream-sized."""
+    from ..ops import speck_jax as sj
+
+    out, ll = _encode_core(batch, mode, quality, cap, out_cap)
+    B, n = ll.shape
+    ti = sj.tree_index(dims3)
+    cap_lip = ((2 * n + 7) // 8) * 8
+    cap_ref = ((n + 7) // 8) * 8
+
+    def one(row, sgn_row):
+        mags = jnp.abs(row).astype(jnp.uint32)
+        pm = sj.msbp1_device(mags)
+        num_bp = jnp.max(pm)
+        s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
+        lip, lip_c, ref, ref_c = sj.pass_segments_packed(
+            mags, sgn_row, s, e, num_bp, num_bp_cap, cap_lip, cap_ref
+        )
+        # compact nonzero node maxes (sparse set-significance oracle)
+        (nid,) = jnp.nonzero(nm > 0, size=cap, fill_value=nm.shape[0])
+        nmax = jnp.where(
+            nid < nm.shape[0], nm[jnp.minimum(nid, nm.shape[0] - 1)], 0
+        )
+        n_nodes = jnp.sum(nm > 0).astype(jnp.int32)
+        return num_bp.astype(jnp.int32), lip, lip_c, ref, ref_c, (
+            nid.astype(jnp.int32)
+        ), nmax.astype(jnp.int32), n_nodes
+
+    signs = ll >= 0
+    res = jax.vmap(one)(ll, signs)
+    out["wave"] = dict(
+        num_bp=res[0], lip=res[1], lip_c=res[2], ref=res[3], ref_c=res[4],
+        node_id=res[5], node_max=res[6], n_nodes=res[7],
+    )
     return out
 
 
@@ -199,7 +253,9 @@ class TpuCompressor3D:
         dtype=jnp.float32,
         engine=None,
         num_threads: Optional[int] = None,
+        entropy: str = "host",
     ):
+        assert entropy in ("host", "wave")
         self.vol_dims = tuple(int(d) for d in vol_dims)
         self.chunk_dims = tuple(
             min(max(1, int(chunk_dims[i])), self.vol_dims[i]) for i in range(3)
@@ -211,6 +267,11 @@ class TpuCompressor3D:
         # Per-chunk capacity (fraction of n) for the on-device significant-
         # coefficient compaction; overflow falls back to a dense fetch.
         self.sparse_cap_frac = 0.25
+        # entropy="wave": the SPECK pixel bit-work also runs on device
+        # (ops/speck_jax.py) and only stream-sized segments cross to the
+        # host, which runs the set walk and stitches the stream.
+        self.entropy = entropy
+        self.num_bp_cap = 34
 
     def _shard(self, arr):
         if self.mesh is None:
@@ -249,7 +310,33 @@ class TpuCompressor3D:
             dev = self._shard(jnp.asarray(batch))
             cap = max(1024, int(n * self.sparse_cap_frac))
             out_cap = max(256, n // 64)
-            res = _dense_encode_sparse(dev, mode, float(quality), cap, out_cap)
+            wave = None
+            if self.entropy == "wave":
+                from ..ops import speck_jax as sj
+
+                sj.tree_index((lx, ly, lz))  # build outside any jit trace
+                res = _dense_encode_wave(
+                    dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
+                    (lx, ly, lz),
+                )
+                wdev = res.pop("wave")
+                # counts first, then count-trimmed segment fetches: the
+                # device->host entropy traffic stays stream-sized.
+                wave = {k: np.asarray(jax.device_get(wdev[k]))
+                        for k in ("num_bp", "lip_c", "ref_c", "n_nodes")}
+                lip_b = (int(wave["lip_c"].max()) + 7) // 8 if wave["lip_c"].size else 0
+                ref_b = (int(wave["ref_c"].max()) + 7) // 8 if wave["ref_c"].size else 0
+                nmax_n = int(wave["n_nodes"].max()) if wave["n_nodes"].size else 0
+                wave["lip"] = np.asarray(jax.device_get(wdev["lip"][:, :, :lip_b]))
+                wave["ref"] = np.asarray(jax.device_get(wdev["ref"][:, :, :ref_b]))
+                wave["node_id"] = np.asarray(
+                    jax.device_get(wdev["node_id"][:, :nmax_n])
+                )
+                wave["node_max"] = np.asarray(
+                    jax.device_get(wdev["node_max"][:, :nmax_n])
+                )
+            else:
+                res = _dense_encode_sparse(dev, mode, float(quality), cap, out_cap)
             # Pull small per-chunk scalars first; decide dense fallback.
             nnz = np.asarray(jax.device_get(res["nnz"]))
             small = {
@@ -287,19 +374,32 @@ class TpuCompressor3D:
                 if bool(small["is_const"][k]):
                     return _condi_header(True, float(small["v0"][k]), n, 0.0, 0.0)
                 q = float(small["q"][k])
-                width = _width_for(int(small["maxmag"][k]))
-                if dense is not None:
-                    mags = dense["mags"][k]
-                    signs = dense["signs"][k]
-                else:
-                    mags = np.zeros(n, dtype=np.int32)
-                    signs = np.ones(n, dtype=bool)
-                    m = int(nnz[k])
-                    ki, kv = sparse["idx"][k][:m], sparse["vals"][k][:m]
-                    mags[ki] = np.abs(kv)
-                    signs[ki] = kv >= 0
                 condi = _condi_header(False, 0.0, 0, float(small["mean"][k]), q)
-                body = self.engine.encode(3, mags, signs, (lx, ly, lz), width, budget)
+                use_wave = (
+                    wave is not None
+                    and dense is None
+                    and int(wave["n_nodes"][k]) <= cap
+                    and int(wave["num_bp"][k]) <= self.num_bp_cap
+                )
+                if use_wave:
+                    body = self._stitch_wave(
+                        wave, k, int(nnz[k]), sparse, n, (lx, ly, lz), budget
+                    )
+                else:
+                    width = _width_for(int(small["maxmag"][k]))
+                    if dense is not None:
+                        mags = dense["mags"][k]
+                        signs = dense["signs"][k]
+                    else:
+                        mags = np.zeros(n, dtype=np.int32)
+                        signs = np.ones(n, dtype=bool)
+                        m = int(nnz[k])
+                        ki, kv = sparse["idx"][k][:m], sparse["vals"][k][:m]
+                        mags[ki] = np.abs(kv)
+                        signs[ki] = kv >= 0
+                    body = self.engine.encode(
+                        3, mags, signs, (lx, ly, lz), width, budget
+                    )
                 out_stream = b""
                 if mode == "pwe":
                     if dense is not None:
@@ -324,6 +424,44 @@ class TpuCompressor3D:
             self.vol_dims, self.chunk_dims, [len(s) for s in streams], is_float
         )
         return header + b"".join(streams)
+
+    def _stitch_wave(
+        self, wave, k: int, m: int, sparse, n: int, dims3, budget: int
+    ) -> bytes:
+        """Host half of the device-entropy path: rebuild the sparse pixel /
+        node schedules and stitch the stream from the device's packed
+        per-pass segments (byte-identical to the host engines)."""
+        from ..codec import speck_wave as sw
+
+        num_bp = int(wave["num_bp"][k])
+        if num_bp == 0:
+            return sw._pack_stream(np.empty(0, np.uint8), 0, 0)
+        ki = sparse["idx"][k][:m]
+        kv = sparse["vals"][k][:m]
+        s_lin = np.full(n, sw._NEVER, dtype=np.int32)
+        s_lin[ki] = num_bp - sw.msbp1(np.abs(kv).astype(np.uint64)).astype(np.int32)
+        signs_full = np.ones(n, dtype=bool)
+        signs_full[ki] = kv >= 0
+        tree = sw.build_tree(dims3)
+        node_max = np.zeros(tree.node_parent.size, dtype=np.int16)
+        nnn = int(wave["n_nodes"][k])
+        node_max[wave["node_id"][k][:nnn]] = wave["node_max"][k][:nnn]
+        lip_segments = [
+            np.unpackbits(wave["lip"][k][p], bitorder="little")[
+                : int(wave["lip_c"][k][p])
+            ]
+            for p in range(num_bp)
+        ]
+        ref_segments = [
+            np.unpackbits(wave["ref"][k][p], bitorder="little")[
+                : int(wave["ref_c"][k][p])
+            ]
+            for p in range(num_bp)
+        ]
+        return sw.stitch_3d(
+            None, signs_full, node_max, dims3, num_bp,
+            lip_segments, ref_segments, budget, s_lin=s_lin,
+        )
 
 
 class TpuDecompressor3D:

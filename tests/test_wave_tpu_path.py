@@ -1,0 +1,71 @@
+"""Device-entropy compression path (TpuCompressor3D(entropy="wave")).
+
+With entropy="wave" the SPECK pixel bit-work runs on the device
+(ops/speck_jax.py pass_segments_packed) and only stream-sized packed
+segments cross to the host, which runs the set walk and stitches.  The
+container must be byte-identical to the host-entropy path (same device
+quantization feeds both)."""
+
+import numpy as np
+import pytest
+
+from sperr_tpu.parallel.batched import TpuCompressor3D, TpuDecompressor3D
+
+
+def _vol(shape=(32, 32, 32), seed=0):
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = shape
+    t = np.linspace(0, 1, max(shape), dtype=np.float32)
+    f = (
+        np.sin(6 * t[:nz])[:, None, None]
+        * np.cos(4 * t[:ny])[None, :, None]
+        * np.sin(5 * t[:nx])[None, None, :]
+    ).astype(np.float32)
+    return f + rng.normal(scale=0.002, size=shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("mode,q", [("pwe", 1e-2), ("psnr", 60.0), ("rate", 1.0)])
+def test_wave_entropy_matches_host_entropy(mode, q):
+    vol = _vol()
+    host = TpuCompressor3D((32, 32, 32), (16, 16, 16), entropy="host").compress(
+        vol, mode, q
+    )
+    wave = TpuCompressor3D((32, 32, 32), (16, 16, 16), entropy="wave").compress(
+        vol, mode, q
+    )
+    assert bytes(wave) == bytes(host)
+
+
+def test_wave_entropy_odd_dims_and_uneven_chunks():
+    vol = _vol()[:29, :31, :23].copy()
+    host = TpuCompressor3D((23, 31, 29), (16, 16, 16), entropy="host").compress(
+        vol, "pwe", 1e-2
+    )
+    wave = TpuCompressor3D((23, 31, 29), (16, 16, 16), entropy="wave").compress(
+        vol, "pwe", 1e-2
+    )
+    assert bytes(wave) == bytes(host)
+
+
+def test_wave_entropy_decodes_within_tolerance():
+    vol = _vol()
+    tol = 1e-2
+    stream = TpuCompressor3D((32, 32, 32), (16, 16, 16), entropy="wave").compress(
+        vol, "pwe", tol
+    )
+    out, dims = TpuDecompressor3D().decompress(bytes(stream))
+    assert dims == (32, 32, 32)
+    assert np.abs(out.astype(np.float64) - vol.astype(np.float64)).max() <= tol * 1.001
+
+
+def test_wave_entropy_constant_chunk():
+    vol = np.zeros((16, 16, 16), dtype=np.float32)
+    vol[:8] = 2.5  # one constant chunk, one not
+    vol[8:] = _vol((8, 16, 16))
+    host = TpuCompressor3D((16, 16, 16), (16, 16, 8), entropy="host").compress(
+        vol, "pwe", 1e-3
+    )
+    wave = TpuCompressor3D((16, 16, 16), (16, 16, 8), entropy="wave").compress(
+        vol, "pwe", 1e-3
+    )
+    assert bytes(wave) == bytes(host)
