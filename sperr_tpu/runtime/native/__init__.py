@@ -19,6 +19,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "flt.cpp")  # includes speck.cpp (single TU)
 _SRC_DEPS = (os.path.join(_DIR, "speck.cpp"), _SRC)
 _LIB = os.path.join(_DIR, "libsperr_native.so")
+_CAPI_SRC = os.path.join(_DIR, "capi.cpp")  # includes flt.cpp (single TU)
+_CAPI_LIB = os.path.join(_DIR, "libsperr_capi.so")
 _lock = threading.Lock()
 
 _DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
@@ -82,6 +84,67 @@ def _load():
     lib.st_decompress_chunk2.argtypes = [
         ct.c_int, ct.c_void_p, ct.c_uint64,
         ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_int, ct.c_void_p,
+    ]
+    return lib
+
+
+def capi_lib_path() -> str:
+    """Build (if needed) and return the flat C ABI shared library — the
+    drop-in equivalent of the reference's libSPERR for FFI consumers
+    (sperr_comp_2d/3d, sperr_decomp_2d/3d, sperr_parse_header,
+    sperr_trunc_3d; see capi.cpp)."""
+    with _lock:
+        deps = _SRC_DEPS + (_CAPI_SRC,)
+        if not os.path.exists(_CAPI_LIB) or any(
+            os.path.getmtime(_CAPI_LIB) < os.path.getmtime(s) for s in deps
+        ):
+            cmd = [
+                "g++", "-O3", "-std=c++17", "-DNDEBUG", "-ffp-contract=off",
+                "-fno-math-errno", "-pthread",
+                "-shared", "-fPIC", "-march=native", _CAPI_SRC, "-o", _CAPI_LIB,
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+            except subprocess.CalledProcessError:
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+    return _CAPI_LIB
+
+
+def load_capi() -> ct.CDLL:
+    """ctypes handle to the C ABI with argtypes configured."""
+    lib = ct.CDLL(capi_lib_path())
+    lib.sperr_comp_2d.restype = ct.c_int
+    lib.sperr_comp_2d.argtypes = [
+        ct.c_void_p, ct.c_int, ct.c_size_t, ct.c_size_t, ct.c_int, ct.c_double,
+        ct.c_int, ct.POINTER(ct.c_void_p), ct.POINTER(ct.c_size_t),
+    ]
+    lib.sperr_decomp_2d.restype = ct.c_int
+    lib.sperr_decomp_2d.argtypes = [
+        ct.c_void_p, ct.c_size_t, ct.c_int, ct.c_size_t, ct.c_size_t,
+        ct.POINTER(ct.c_void_p),
+    ]
+    lib.sperr_parse_header.restype = None
+    lib.sperr_parse_header.argtypes = [
+        ct.c_void_p, ct.POINTER(ct.c_size_t), ct.POINTER(ct.c_size_t),
+        ct.POINTER(ct.c_size_t), ct.POINTER(ct.c_int),
+    ]
+    lib.sperr_comp_3d.restype = ct.c_int
+    lib.sperr_comp_3d.argtypes = [
+        ct.c_void_p, ct.c_int, ct.c_size_t, ct.c_size_t, ct.c_size_t,
+        ct.c_size_t, ct.c_size_t, ct.c_size_t, ct.c_int, ct.c_double,
+        ct.c_size_t, ct.POINTER(ct.c_void_p), ct.POINTER(ct.c_size_t),
+    ]
+    lib.sperr_decomp_3d.restype = ct.c_int
+    lib.sperr_decomp_3d.argtypes = [
+        ct.c_void_p, ct.c_size_t, ct.c_int, ct.c_size_t,
+        ct.POINTER(ct.c_size_t), ct.POINTER(ct.c_size_t),
+        ct.POINTER(ct.c_size_t), ct.POINTER(ct.c_void_p),
+    ]
+    lib.sperr_trunc_3d.restype = ct.c_int
+    lib.sperr_trunc_3d.argtypes = [
+        ct.c_void_p, ct.c_size_t, ct.c_uint, ct.POINTER(ct.c_void_p),
+        ct.POINTER(ct.c_size_t),
     ]
     return lib
 
