@@ -721,11 +721,521 @@ def decode_3d(
     return mags, signs
 
 
+# ===========================================================================
+# 2D variant: quad partitions + the type-I "everything else" set
+# (reference SPECK2D_INT.cpp:11-218).  Same decomposition as 3D — pixel bits
+# (LIP + refinement) are vectorized from (e, s, sign); only the quad/I-set
+# walk is control flow.  Per-pass segments: LIP ‖ LIS ‖ I-expansion ‖ refine.
+# ===========================================================================
+class Tree2:
+    __slots__ = (
+        "dims", "n", "nlevels", "xf",
+        "node_level", "node_ch_start", "node_ch_count", "node_depth_ranges",
+        "ch_is_pixel", "ch_ref", "px_linear", "px_parent",
+        "root_id", "iset_groups",  # iset_groups[k] = list of node ids (k=xf..1)
+        "iset_regions",  # [k] = (ax, ay) corner excluded from I at level k
+    )
+
+
+def _quad_children(s):
+    """QccPack order: BR, BL, TR, TL (SPECK2D_INT.cpp:60-97)."""
+    sx, sy, lx, ly = s
+    ax, dx = lx - lx // 2, lx // 2
+    ay, dy = ly - ly // 2, ly // 2
+    return [
+        (sx + ax, sy + ay, dx, dy),
+        (sx, sy + ay, ax, dy),
+        (sx + ax, sy, dx, ay),
+        (sx, sy, ax, ay),
+    ]
+
+
+_TREES2: Dict[Tuple[int, int], "Tree2"] = {}
+
+
+def build_tree2(dims: Tuple[int, int]) -> "Tree2":
+    key = (int(dims[0]), int(dims[1]))
+    t = _TREES2.get(key)
+    if t is not None:
+        return t
+    nx, ny = key
+    n = nx * ny
+    xf = num_of_xforms(min(nx, ny))
+
+    def approx_detail(length, lev):
+        lo = length
+        hi = 0
+        for _ in range(lev):
+            hi = lo // 2
+            lo -= hi
+        return lo, hi
+
+    a_xf, _ = approx_detail(nx, xf)
+    b_xf, _ = approx_detail(ny, xf)
+
+    # roots: S0, then I-children groups for k = xf .. 1 (push order BR,TR,BL)
+    roots = [((0, 0, a_xf, b_xf), xf)]
+    iset_groups: List[List[int]] = [[] for _ in range(xf + 1)]
+    iset_regions: List[Tuple[int, int]] = [(0, 0)] * (xf + 1)
+    rid = 1
+    for k in range(xf, 0, -1):
+        ax, dx = approx_detail(nx, k)
+        ay, dy = approx_detail(ny, k)
+        iset_regions[k] = (ax, ay)
+        for s in ((ax, ay, dx, dy), (ax, 0, dx, ay), (0, ay, ax, dy)):
+            if s[2] * s[3] != 0:
+                roots.append((s, k))
+                iset_groups[k].append(rid)
+                rid += 1
+
+    R = len(roots)
+    node_level = [np.array([lev for _, lev in roots], dtype=np.int16)]
+    depth_ranges: List[Tuple[int, int]] = [(0, R)]
+    ch_is_pixel: List[np.ndarray] = []
+    ch_ref: List[np.ndarray] = []
+    ch_counts: List[np.ndarray] = []
+    px_linear: List[np.ndarray] = []
+    px_parent: List[np.ndarray] = []
+
+    f = np.array([s for s, _ in roots], dtype=np.int64).reshape(R, 4)
+    f_lev = node_level[0].astype(np.int64)
+    f_ids = np.arange(R, dtype=np.int64)
+    n_nodes, n_px = R, 0
+
+    while f_ids.size:
+        K = f_ids.size
+        sx, sy, lx, ly = f[:, 0], f[:, 1], f[:, 2], f[:, 3]
+        ax, dx = lx - lx // 2, lx // 2
+        ay, dy = ly - ly // 2, ly // 2
+        csx = np.stack([sx + ax, sx, sx + ax, sx], axis=1)
+        csy = np.stack([sy + ay, sy + ay, sy, sy], axis=1)
+        clx = np.stack([dx, ax, dx, ax], axis=1)
+        cly = np.stack([dy, dy, ay, ay], axis=1)
+        ne = clx * cly
+        valid = ne > 0
+        flat_valid = valid.ravel()
+        is_px = (ne == 1).ravel()[flat_valid]
+        rows_ref = np.empty(int(flat_valid.sum()), dtype=np.int64)
+
+        lin = (csy * nx + csx).ravel()[flat_valid][is_px]
+        pxpar = np.repeat(f_ids, 4).ravel()[flat_valid][is_px]
+        rows_ref[is_px] = n_px + np.arange(lin.size)
+        px_linear.append(lin)
+        px_parent.append(pxpar)
+        n_px += lin.size
+
+        nd_mask = ~is_px
+        nnd = int(nd_mask.sum())
+        rows_ref[nd_mask] = n_nodes + np.arange(nnd)
+        ch_is_pixel.append(is_px)
+        ch_ref.append(rows_ref)
+        ch_counts.append(valid.sum(axis=1))
+
+        sel = (ne > 1).ravel()
+        nf = np.stack(
+            [csx.ravel()[sel], csy.ravel()[sel], clx.ravel()[sel], cly.ravel()[sel]],
+            axis=1,
+        )
+        nf_lev = (np.repeat(f_lev, 4).ravel()[sel] + 1).astype(np.int64)
+        node_level.append(nf_lev.astype(np.int16))
+        depth_ranges.append((n_nodes, n_nodes + nnd))
+        n_nodes += nnd
+        f, f_lev = nf, nf_lev
+        f_ids = np.arange(n_nodes - nnd, n_nodes, dtype=np.int64)
+
+    t = Tree2()
+    t.dims = key
+    t.n = n
+    t.xf = xf
+    t.nlevels = num_of_partitions(max(nx, ny)) + 1
+    t.node_level = np.concatenate(node_level).astype(np.int16)
+    counts = np.concatenate(ch_counts)
+    t.node_ch_count = counts
+    t.node_ch_start = np.cumsum(counts) - counts
+    t.node_depth_ranges = [r for r in depth_ranges if r[1] > r[0]]
+    t.ch_is_pixel = np.concatenate(ch_is_pixel)
+    t.ch_ref = np.concatenate(ch_ref)
+    t.px_linear = np.concatenate(px_linear) if px_linear else np.empty(0, np.int64)
+    t.px_parent = np.concatenate(px_parent) if px_parent else np.empty(0, np.int64)
+    t.root_id = 0
+    t.iset_groups = iset_groups
+    t.iset_regions = iset_regions
+    _TREES2[key] = t
+    return t
+
+
+def _node_max2(tree: Tree2, pmsb: np.ndarray) -> np.ndarray:
+    nn = tree.node_ch_start.size
+    node_max = np.zeros(nn, dtype=np.int16)
+    px_msb = pmsb[tree.px_linear]
+    for lo, hi in reversed(tree.node_depth_ranges):
+        s0 = tree.node_ch_start[lo]
+        s1 = tree.node_ch_start[hi - 1] + tree.node_ch_count[hi - 1]
+        refs = tree.ch_ref[s0:s1]
+        ispx = tree.ch_is_pixel[s0:s1]
+        vals = np.where(ispx, px_msb[np.where(ispx, refs, 0)],
+                        node_max[np.where(ispx, 0, refs)])
+        starts = (tree.node_ch_start[lo:hi] - s0).astype(np.int64)
+        node_max[lo:hi] = np.maximum.reduceat(vals, starts)
+    return node_max
+
+
+def _iset_maxes(tree: Tree2, pmsb2d: np.ndarray) -> np.ndarray:
+    """max msb+1 over the I region at each level k (1..xf); index 0 unused."""
+    nx, ny = tree.dims
+    out = np.zeros(tree.xf + 1, dtype=np.int16)
+    for k in range(1, tree.xf + 1):
+        ax, ay = tree.iset_regions[k]
+        m = 0
+        if ay < ny:
+            m = int(pmsb2d[ay:, :].max()) if pmsb2d[ay:, :].size else 0
+        if ax < nx and ay > 0:
+            m2 = int(pmsb2d[:ay, ax:].max()) if pmsb2d[:ay, ax:].size else 0
+            m = max(m, m2)
+        out[k] = m
+    return out
+
+
+def encode_2d(
+    mags: np.ndarray,
+    signs: np.ndarray,
+    dims: Tuple[int, int],
+    budget_bits: int = 0,
+) -> bytes:
+    """2D wavefront encoder; byte-identical to the serial engines."""
+    nx, ny = (int(d) for d in dims)
+    n = nx * ny
+    mags = np.ascontiguousarray(mags).reshape(n)
+    signs = np.ascontiguousarray(signs).reshape(n).astype(bool)
+    tree = build_tree2((nx, ny))
+
+    pmsb = msbp1(mags)
+    num_bp = int(pmsb.max()) if n else 0
+    if num_bp == 0:
+        return _pack_stream(np.empty(0, np.uint8), 0, 0)
+    budget = (budget_bits + 7) // 8 * 8 if budget_bits else None
+
+    node_max = _node_max2(tree, pmsb)
+    node_s = np.where(node_max > 0, num_bp - node_max, _NEVER).astype(np.int32)
+    imax = _iset_maxes(tree, pmsb.reshape(ny, nx))
+    iset_s = np.where(imax > 0, num_bp - imax, _NEVER).astype(np.int32)
+
+    s_lin = np.where(pmsb > 0, num_bp - pmsb, _NEVER).astype(np.int32)
+    e_lin = np.full(n, _NEVER, dtype=np.int32)
+    e_lin[tree.px_linear] = node_s[tree.px_parent]
+    cand = np.flatnonzero((e_lin < num_bp) & (s_lin > e_lin))
+    ce, cs = e_lin[cand], s_lin[cand]
+    csign = signs[cand]
+    rnz = np.flatnonzero(pmsb > 0)
+    rs = s_lin[rnz]
+    rmag = mags[rnz].astype(np.uint64)
+
+    lists: List[np.ndarray] = [
+        np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)
+    ]
+    lists[int(tree.node_level[0])] = np.array([0], dtype=np.int64)
+    born: List[List[int]] = [[] for _ in range(tree.nlevels)]
+
+    ch_start, ch_count = tree.node_ch_start, tree.node_ch_count
+    ch_ispx, ch_ref = tree.ch_is_pixel, tree.ch_ref
+    px_lin = tree.px_linear
+    node_level = tree.node_level
+
+    def code_s(nid: int, p: int, bits: _Bits) -> None:
+        s0 = ch_start[nid]
+        cnt = ch_count[nid]
+        counter = 0
+        for k in range(cnt):
+            decide = (counter != 0) or (k + 1 != cnt)
+            r = int(ch_ref[s0 + k])
+            if ch_ispx[s0 + k]:
+                lin = int(px_lin[r])
+                sig = s_lin[lin] == p
+                if decide:
+                    bits.bit(1 if sig else 0)
+                if sig:
+                    counter += 1
+                    bits.bit(1 if signs[lin] else 0)
+            else:
+                sig = node_s[r] == p
+                if decide:
+                    bits.bit(1 if sig else 0)
+                if sig:
+                    counter += 1
+                    code_s(r, p, bits)
+                else:
+                    born[int(node_level[r])].append(r)
+
+    i_lev = tree.xf if tree.xf > 0 else 0
+
+    def process_i(p: int, decide: bool, bits: _Bits) -> None:
+        nonlocal i_lev
+        if i_lev <= 0:
+            return
+        sig = iset_s[i_lev] == p
+        if decide:
+            bits.bit(1 if sig else 0)
+        if sig:
+            code_i(p, bits)
+
+    def code_i(p: int, bits: _Bits) -> None:
+        nonlocal i_lev
+        k = i_lev
+        i_lev -= 1
+        counter = 0
+        for nid in tree.iset_groups[k]:
+            sig = node_s[nid] == p
+            bits.bit(1 if sig else 0)
+            if sig:
+                counter += 1
+                code_s(nid, p, bits)
+            else:
+                born[int(node_level[nid])].append(nid)
+        process_i(p, counter != 0, bits)
+
+    segments: List[np.ndarray] = []
+    total = 0
+    stop = False
+    for p in range(num_bp):
+        memb = (ce < p) & (cs >= p)
+        mi = np.flatnonzero(memb)
+        dec = cs[mi] == p
+        pair = np.empty((mi.size, 2), dtype=np.uint8)
+        pair[:, 0] = dec
+        pair[:, 1] = csign[mi]
+        keep = np.empty((mi.size, 2), dtype=bool)
+        keep[:, 0] = True
+        keep[:, 1] = dec
+        lip_bits = pair.ravel()[keep.ravel()]
+
+        bits = _Bits()
+        for t in range(tree.nlevels - 1, -1, -1):
+            arr = lists[t]
+            if born[t]:
+                arr = np.concatenate([arr, np.array(born[t], dtype=np.int64)])
+                born[t].clear()
+            if arr.size == 0:
+                lists[t] = arr
+                continue
+            sp = node_s[arr]
+            sig_pos = np.flatnonzero(sp == p)
+            if sig_pos.size == 0:
+                bits.zeros(arr.size)
+            else:
+                prev = 0
+                for pos in sig_pos:
+                    pos = int(pos)
+                    bits.zeros(pos - prev)
+                    bits.bit(1)
+                    code_s(int(arr[pos]), p, bits)
+                    prev = pos + 1
+                bits.zeros(arr.size - prev)
+            lists[t] = arr[sp > p]
+        process_i(p, True, bits)
+        lis_bits = bits.concat()
+
+        segments.append(lip_bits)
+        segments.append(lis_bits)
+        total += lip_bits.size + lis_bits.size
+        if budget is not None and total >= budget:
+            stop = True
+        if not stop:
+            rm = rs < p
+            rbits = (
+                (rmag[rm] >> np.uint64(num_bp - 1 - p)) & np.uint64(1)
+            ).astype(np.uint8)
+            segments.append(rbits)
+            total += rbits.size
+            if budget is not None and total >= budget:
+                stop = True
+        if stop:
+            break
+
+    allbits = np.concatenate(segments) if segments else np.empty(0, np.uint8)
+    return _pack_stream(allbits, total, num_bp, budget)
+
+
+def decode_2d(
+    stream: bytes, dims: Tuple[int, int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """2D wavefront decoder (full or truncated streams)."""
+    nx, ny = (int(d) for d in dims)
+    n = nx * ny
+    tree = build_tree2((nx, ny))
+    num_bp = stream[0]
+    total_bits = int.from_bytes(stream[1:9], "little")
+    avail = min((len(stream) - 9) * 8, total_bits)
+    signs = np.ones(n, dtype=bool)
+    if num_bp == 0:
+        return np.zeros(n, dtype=np.uint64), signs
+
+    raw = np.unpackbits(
+        np.frombuffer(stream, dtype=np.uint8, offset=9), bitorder="little"
+    )[:avail].astype(np.uint8)
+    bits = np.zeros(total_bits + 64, dtype=np.uint8)
+    bits[:avail] = raw
+
+    s_lin = np.full(n, _NEVER, dtype=np.int32)
+    contrib = np.zeros(n, dtype=np.int64)
+    lip = np.zeros(n, dtype=bool)
+    lists: List[np.ndarray] = [
+        np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)
+    ]
+    lists[int(tree.node_level[0])] = np.array([0], dtype=np.int64)
+    born: List[List[int]] = [[] for _ in range(tree.nlevels)]
+
+    ch_start, ch_count = tree.node_ch_start, tree.node_ch_count
+    ch_ispx, ch_ref = tree.ch_is_pixel, tree.ch_ref
+    px_lin = tree.px_linear
+    node_level = tree.node_level
+    pos = 0
+    i_lev = tree.xf if tree.xf > 0 else 0
+
+    def next_one(start: int, limit: int) -> int:
+        CH = 4096
+        i = start
+        while i < limit:
+            w = bits[i : min(i + CH, limit)]
+            nz = np.flatnonzero(w)
+            if nz.size:
+                return i + int(nz[0])
+            i += CH
+        return -1
+
+    def code_s(nid: int, p: int) -> None:
+        nonlocal pos
+        s0 = ch_start[nid]
+        cnt = ch_count[nid]
+        counter = 0
+        for k in range(cnt):
+            decide = (counter != 0) or (k + 1 != cnt)
+            r = int(ch_ref[s0 + k])
+            if decide:
+                sig = bits[pos]
+                pos += 1
+            else:
+                sig = 1
+            if ch_ispx[s0 + k]:
+                lin = int(px_lin[r])
+                if sig:
+                    counter += 1
+                    signs[lin] = bool(bits[pos])
+                    pos += 1
+                    s_lin[lin] = p
+                else:
+                    lip[lin] = True
+            else:
+                if sig:
+                    counter += 1
+                    code_s(r, p)
+                else:
+                    born[int(node_level[r])].append(r)
+
+    def process_i(p: int, decide: bool) -> None:
+        nonlocal pos, i_lev
+        if i_lev <= 0:
+            return
+        if decide:
+            sig = bits[pos]
+            pos += 1
+        else:
+            sig = 1
+        if sig:
+            code_i(p)
+
+    def code_i(p: int) -> None:
+        nonlocal pos, i_lev
+        k = i_lev
+        i_lev -= 1
+        counter = 0
+        for nid in tree.iset_groups[k]:
+            sig = bits[pos]
+            pos += 1
+            if sig:
+                counter += 1
+                code_s(nid, p)
+            else:
+                born[int(node_level[nid])].append(nid)
+        process_i(p, counter != 0)
+
+    for p in range(num_bp):
+        mi = np.flatnonzero(lip)
+        m = mi.size
+        i = 0
+        while i < m:
+            j = next_one(pos, pos + (m - i))
+            if j < 0:
+                pos += m - i
+                break
+            j -= pos
+            lin = int(mi[i + j])
+            s_lin[lin] = p
+            signs[lin] = bool(bits[pos + j + 1])
+            lip[lin] = False
+            pos += j + 2
+            i += j + 1
+
+        for t in range(tree.nlevels - 1, -1, -1):
+            arr = lists[t]
+            if born[t]:
+                arr = np.concatenate([arr, np.array(born[t], dtype=np.int64)])
+                born[t].clear()
+            if arr.size == 0:
+                lists[t] = arr
+                continue
+            sig_at: List[int] = []
+            i = 0
+            nl0 = arr.size
+            while i < nl0:
+                j = next_one(pos, pos + (nl0 - i))
+                if j < 0:
+                    pos += nl0 - i
+                    break
+                j -= pos
+                pos += j + 1
+                sig_at.append(i + j)
+                code_s(int(arr[i + j]), p)
+                i += j + 1
+            if sig_at:
+                keep = np.ones(nl0, dtype=bool)
+                keep[sig_at] = False
+                lists[t] = arr[keep]
+            else:
+                lists[t] = arr
+        process_i(p, True)
+
+        if pos >= avail:
+            break
+        old = np.flatnonzero(s_lin < p)
+        k = min(old.size, avail - pos)
+        seg = bits[pos : pos + k].astype(np.int64)
+        thr_exp = num_bp - 1 - p
+        if thr_exp >= 1:
+            half = np.int64(1) << np.int64(thr_exp - 1)
+            contrib[old[:k]] += np.where(seg == 1, half, -half)
+        else:
+            contrib[old[:k]] += seg
+        pos += k
+        if k < old.size or pos >= avail:
+            break
+
+    found = s_lin < _NEVER
+    sf = s_lin[found]
+    T = np.int64(1) << (num_bp - 1 - sf).astype(np.int64)
+    init = 2 * T - T // 2 - 1
+    mags = np.zeros(n, dtype=np.uint64)
+    mags[found] = (init + contrib[found]).astype(np.uint64)
+    return mags, signs
+
+
 __all__ = [
     "encode_3d",
     "decode_3d",
+    "encode_2d",
+    "decode_2d",
     "stitch_3d",
     "compute_node_max",
     "build_tree",
+    "build_tree2",
     "msbp1",
 ]

@@ -22,24 +22,28 @@ from ..codec import speck_int_np as sp
 
 class WaveEngine:
     """Wavefront engine (codec/speck_wave.py): vectorized per-bitplane passes
-    for 3D; 1D/2D fall back to the serial NumPy engine.  Byte-identical
+    for 2D/3D; 1D falls back to the serial NumPy engine.  Byte-identical
     streams; this is the array-oriented re-architecture whose pixel segments
     map 1:1 onto TPU vector ops."""
 
     name = "wave"
 
     def encode(self, ndim, mags, signs, dims, width, budget_bits) -> bytes:
-        if ndim == 3:
-            from ..codec import speck_wave as sw
+        from ..codec import speck_wave as sw
 
+        if ndim == 3:
             return sw.encode_3d(mags, signs, dims, budget_bits)
+        if ndim == 2:
+            return sw.encode_2d(mags, signs, dims[:2], budget_bits)
         return NumpyEngine().encode(ndim, mags, signs, dims, width, budget_bits)
 
     def decode(self, ndim, stream, dims, width) -> Tuple[np.ndarray, np.ndarray]:
-        if ndim == 3:
-            from ..codec import speck_wave as sw
+        from ..codec import speck_wave as sw
 
+        if ndim == 3:
             return sw.decode_3d(bytes(stream), dims)
+        if ndim == 2:
+            return sw.decode_2d(bytes(stream), dims[:2])
         return NumpyEngine().decode(ndim, stream, dims, width)
 
     def encode_1d(self, mags, signs, total_len, width) -> bytes:

@@ -120,3 +120,63 @@ def test_tree_cached():
     t1 = sw.build_tree((16, 16, 16))
     t2 = sw.build_tree((16, 16, 16))
     assert t1 is t2
+
+
+# ---------------------------------------------------------------------------
+# 2D variant (quad partitions + I-set; SPECK2D_INT.cpp:11-218)
+# ---------------------------------------------------------------------------
+SHAPES2D = [
+    (8, 8),
+    (16, 16),
+    (7, 5),
+    (33, 17),
+    (64, 21),
+    (1, 9),
+    (512, 1),
+    (2, 2),
+]
+
+
+@pytest.mark.parametrize("dims", SHAPES2D)
+def test_encode_2d_byte_parity(dims):
+    rng = np.random.default_rng(hash(dims) % (2**32))
+    n = int(np.prod(dims))
+    for density in (0.05, 0.5):
+        mags, signs = _random_case(rng, n, density)
+        ref = bytes(ENG.encode(2, mags, signs, (dims[0], dims[1], 1), 64, 0))
+        got = bytes(sw.encode_2d(mags, signs, dims, 0))
+        assert got == ref
+
+
+@pytest.mark.parametrize("dims", [(16, 16), (33, 17), (64, 21)])
+def test_decode_2d_truncated_parity(dims):
+    rng = np.random.default_rng(13)
+    n = int(np.prod(dims))
+    mags, signs = _random_case(rng, n, 0.3)
+    stream = bytes(ENG.encode(2, mags, signs, (dims[0], dims[1], 1), 64, 0))
+    for frac in (0.1, 0.4, 0.8, 1.0):
+        ln = max(10, int(len(stream) * frac))
+        m1, s1 = ENG.decode(2, stream[:ln], (dims[0], dims[1], 1), 64)
+        m2, s2 = sw.decode_2d(stream[:ln], dims)
+        np.testing.assert_array_equal(m1.astype(np.uint64), m2)
+        np.testing.assert_array_equal(s1, s2)
+
+
+def test_encode_2d_budget_parity():
+    dims = (32, 32)
+    rng = np.random.default_rng(17)
+    mags, signs = _random_case(rng, 1024, 0.6)
+    for budget in (64, 512, 4096):
+        assert bytes(sw.encode_2d(mags, signs, dims, budget)) == bytes(
+            ENG.encode(2, mags, signs, (32, 32, 1), 64, budget)
+        )
+
+
+def test_wave_engine_2d_path():
+    eng = WaveEngine()
+    rng = np.random.default_rng(23)
+    mags, signs = _random_case(rng, 15 * 11, 0.2)
+    ref = bytes(NumpyEngine().encode(2, mags, signs, (15, 11, 1), 64, 0))
+    assert bytes(eng.encode(2, mags, signs, (15, 11, 1), 64, 0)) == ref
+    m, _ = eng.decode(2, ref, (15, 11, 1), 64)
+    np.testing.assert_array_equal(m, mags)
