@@ -414,6 +414,54 @@ void inv_quantize(const std::vector<U>& mags, const std::vector<uint8_t>& signs,
   }
 }
 
+template <typename F, typename U>
+void inv_quant_box(const U* mags, const uint8_t* signs, F q, F* out, size_t nx,
+                   size_t ny, size_t x0, size_t x1, size_t y0, size_t y1,
+                   size_t z0, size_t z1) {
+  for (size_t z = z0; z < z1; z++)
+    for (size_t y = y0; y < y1; y++) {
+      size_t b = (z * ny + y) * nx;
+      for (size_t x = x0; x < x1; x++) {
+        F v = q * F(mags[b + x]);
+        out[b + x] = signs[b + x] ? v : -v;
+      }
+    }
+}
+
+// Decode-side fusion: inverse-quantize each region of the volume only when
+// the dyadic IDWT first touches it (coarsest corner, then per-level shells),
+// skipping the separate full-volume inverse-quantization sweep.  Values are
+// identical element-wise, so streams/outputs stay bit-exact.
+template <typename F, typename U>
+bool idwt3d_lazy(const U* mags, const uint8_t* signs, F q, F* v, size_t nx,
+                 size_t ny, size_t nz) {
+  size_t dy_lev = 0;
+  if (!can_use_dyadic(nx, ny, nz, &dy_lev)) return false;
+  Wavelet<F> w;
+  size_t px, py, pz, d;
+  approx_detail(nx, dy_lev, &px, &d);
+  approx_detail(ny, dy_lev, &py, &d);
+  approx_detail(nz, dy_lev, &pz, &d);
+  inv_quant_box(mags, signs, q, v, nx, ny, 0, px, 0, py, 0, pz);
+  for (size_t lev = dy_lev; lev > 0; lev--) {
+    size_t lx, ly, lz;
+    approx_detail(nx, lev - 1, &lx, &d);
+    approx_detail(ny, lev - 1, &ly, &d);
+    approx_detail(nz, lev - 1, &lz, &d);
+    // shell = cube(lev-1) \ cube(lev), as three disjoint boxes
+    inv_quant_box(mags, signs, q, v, nx, ny, 0, lx, 0, ly, pz, lz);
+    inv_quant_box(mags, signs, q, v, nx, ny, 0, lx, py, ly, 0, pz);
+    inv_quant_box(mags, signs, q, v, nx, ny, px, lx, 0, py, 0, pz);
+    for (size_t y = 0; y < ly; y++)
+      w.inv_axis_strided(v + y * nx, lz, lx, 1, nx * ny);
+    for (size_t z = 0; z < lz; z++) w.level2_inv(v + z * nx * ny, lx, ly, nx);
+    px = lx;
+    py = ly;
+    pz = lz;
+  }
+  return true;
+}
+
 // ------------------------------------------------------------- outliers ---
 struct OutlierList {
   std::vector<uint64_t> pos;
@@ -631,7 +679,11 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
     std::vector<uint8_t> signs(n);
     decode_any<U>(ndim, stream + pos, speck_len, nx, ny, nz, mags.data(),
                   signs.data());
+    if (ndim == 3 &&
+        idwt3d_lazy<F, U>(mags.data(), signs.data(), F(q), out, nx, ny, nz))
+      return;  // fused inverse-quantize + IDWT (dyadic 3D)
     inv_quantize<F, U>(mags, signs, F(q), out);
+    wavelet_inv(ndim, out, nx, ny, nz);
   };
   switch (width) {
     case 8: run(uint8_t{}); break;
@@ -640,8 +692,6 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
     default: run(uint64_t{}); break;
   }
   pos += speck_len;
-
-  wavelet_inv(ndim, out, nx, ny, nz);
 
   if (pos + 9 <= len) {
     uint64_t obits;
