@@ -154,16 +154,31 @@ def _initial_sets(nx: int, ny: int, nz: int):
 def _children_of(sx, sy, sz, lx, ly, lz, morton, level):
     """Vectorized octant partition of a batch of nodes (x-fastest order).
     Returns per-child field arrays of shape [K, 8] plus nelem and level."""
+    K = sx.size
     ax, dx = lx - lx // 2, lx // 2
     ay, dy = ly - ly // 2, ly // 2
     az, dz = lz - lz // 2, lz // 2
-    csx = np.stack([sx, sx + ax, sx, sx + ax] * 2, axis=1)
-    csy = np.stack([sy, sy, sy + ay, sy + ay] * 2, axis=1)
-    csz = np.stack([sz] * 4 + [sz + az] * 4, axis=1)
-    clx = np.stack([ax, dx, ax, dx] * 2, axis=1)
-    cly = np.stack([ay, ay, dy, dy] * 2, axis=1)
-    clz = np.stack([az] * 4 + [dz] * 4, axis=1)
-    ne = clx.astype(np.int64) * cly * clz
+
+    def oct8(lo, hi_start, hi, axis):
+        out = np.empty((K, 8), dtype=np.int32)
+        if axis == 0:  # x fastest: pattern lo hi lo hi ...
+            out[:, 0::2] = lo[:, None]
+            out[:, 1::2] = hi[:, None]
+        elif axis == 1:  # y: lo lo hi hi lo lo hi hi
+            out[:, [0, 1, 4, 5]] = lo[:, None]
+            out[:, [2, 3, 6, 7]] = hi[:, None]
+        else:  # z: first 4 lo, last 4 hi
+            out[:, :4] = lo[:, None]
+            out[:, 4:] = hi[:, None]
+        return out
+
+    csx = oct8(sx, None, (sx + ax), 0)
+    clx = oct8(ax, None, dx, 0)
+    csy = oct8(sy, None, (sy + ay), 1)
+    cly = oct8(ay, None, dy, 1)
+    csz = oct8(sz, None, (sz + az), 2)
+    clz = oct8(az, None, dz, 2)
+    ne = (clx * cly).astype(np.int64) * clz
     clev = (level + (dx != 0) + (dy != 0) + (dz != 0)).astype(level.dtype)
     # morton: parent morton + exclusive prefix of child sizes (x-fastest)
     cm = morton[:, None] + np.cumsum(ne, axis=1) - ne
@@ -220,45 +235,55 @@ def build_tree(dims: Tuple[int, int, int]) -> Tree:
     n_nodes = R
     n_px = 0
 
+    f_sx = f_sx.astype(np.int32)
+    f_sy = f_sy.astype(np.int32)
+    f_sz = f_sz.astype(np.int32)
+    f_lx = f_lx.astype(np.int32)
+    f_ly = f_ly.astype(np.int32)
+    f_lz = f_lz.astype(np.int32)
     while f_ids.size:
         K = f_ids.size
         # (a 1-elem root partitions into itself in slot 0; generic code works)
         csx, csy, csz, clx, cly, clz, ne, cm, clev = _children_of(
             f_sx, f_sy, f_sz, f_lx, f_ly, f_lz, f_m, f_lev
         )
-        valid = ne > 0  # [K, 8]
-        is_px = valid & (ne == 1)
-        is_nd = valid & (ne > 1)
-
-        # child table rows, flattened parent-major (order preserved)
-        flat_valid = valid.ravel()
-        flat_ispx = is_px.ravel()[flat_valid]
-        rows_ref = np.empty(flat_valid.sum(), dtype=np.int64)
+        flat_ne = ne.ravel()
+        fv = np.flatnonzero(flat_ne > 0)  # valid children, parent-major order
+        ne_v = flat_ne[fv]
+        px_mask = ne_v == 1
+        rows_ref = np.empty(fv.size, dtype=np.int64)
 
         # pixel slots
-        px_mask = is_px.ravel()[flat_valid]
-        npx_new = int(px_mask.sum())
-        lin = (csz * (nx * ny) + csy * nx + csx).ravel()[flat_valid][px_mask]
-        pxpar = np.repeat(f_ids, 8).reshape(K, 8).ravel()[flat_valid][px_mask]
+        fpx = fv[px_mask]
+        lin = (
+            csz.ravel().take(fpx).astype(np.int64) * (nx * ny)
+            + csy.ravel().take(fpx).astype(np.int64) * nx
+            + csx.ravel().take(fpx)
+        )
+        pxpar = f_ids[fpx >> 3]
+        npx_new = fpx.size
         rows_ref[px_mask] = n_px + np.arange(npx_new)
         px_linear.append(lin)
         px_parent.append(pxpar)
         n_px += npx_new
 
         # new nodes
-        nd_mask = ~px_mask
-        nnd_new = int(nd_mask.sum())
-        rows_ref[nd_mask] = n_nodes + np.arange(nnd_new)
+        fnd = fv[~px_mask]
+        nnd_new = fnd.size
+        rows_ref[~px_mask] = n_nodes + np.arange(nnd_new)
         ch_is_pixel.append(px_mask)
         ch_ref.append(rows_ref)
-        ch_counts.append(valid.sum(axis=1))
+        ch_counts.append((ne > 0).sum(axis=1))
 
-        sel = is_nd.ravel()
-        nf_sx, nf_sy, nf_sz = csx.ravel()[sel], csy.ravel()[sel], csz.ravel()[sel]
-        nf_lx, nf_ly, nf_lz = clx.ravel()[sel], cly.ravel()[sel], clz.ravel()[sel]
-        nf_m = cm.ravel()[sel]
-        nf_lev = np.broadcast_to(clev[:, None], (K, 8)).ravel()[sel]
-        nf_par = np.repeat(f_ids, 8).reshape(K, 8).ravel()[sel]
+        nf_sx, nf_sy, nf_sz = (
+            csx.ravel().take(fnd), csy.ravel().take(fnd), csz.ravel().take(fnd),
+        )
+        nf_lx, nf_ly, nf_lz = (
+            clx.ravel().take(fnd), cly.ravel().take(fnd), clz.ravel().take(fnd),
+        )
+        nf_m = cm.ravel().take(fnd)
+        nf_lev = clev[fnd >> 3]
+        nf_par = f_ids[fnd >> 3]
 
         node_level.append(nf_lev.astype(np.int16))
         node_parent.append(nf_par)
