@@ -44,7 +44,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..utils.dims import num_of_xforms, num_of_partitions
+from ..utils.dims import calc_approx_detail_len, can_use_dyadic, num_of_partitions, num_of_xforms
 
 _NEVER = 0x7FFF  # "pass" value larger than any real pass (num_bp <= 64)
 
@@ -98,19 +98,10 @@ def _initial_sets(nx: int, ny: int, nz: int):
         ]
         return subs, nl
 
-    def can_dyadic():
-        if nz < 2 or ny < 2:
-            return None
-        xy = num_of_xforms(min(nx, ny))
-        z = num_of_xforms(nz)
-        if xy == z or (xy >= 5 and z >= 5):
-            return min(xy, z)
-        return None
-
     pushed: List[Tuple] = []  # (set6, level) in push order
     big = (0, 0, 0, nx, ny, nz)
     cur = 0
-    dy_lev = can_dyadic()
+    dy_lev = can_use_dyadic((nx, ny, nz))
     if dy_lev is not None:
         for _ in range(dy_lev):
             subs, nl = part_xyz(big, cur)
@@ -367,6 +358,254 @@ class _Bits:
         return np.concatenate(self.parts)
 
 
+class _EncWalk:
+    """Shared encoder set-walk: LIS levels (zero-runs batched) + code_s
+    recursion over the static child table.  Used by the 3D stitcher and the
+    2D encoder (which adds the I-set hook)."""
+
+    def __init__(self, tree, node_s, s_lin, signs):
+        self.tree = tree
+        self.node_s = node_s
+        self.s_lin = s_lin
+        self.signs = signs
+        self.lists = [np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)]
+        self.born: List[List[int]] = [[] for _ in range(tree.nlevels)]
+
+    def add_root(self, nid: int, level: int) -> None:
+        self.lists[level] = np.append(self.lists[level], nid)
+
+    def code_s(self, nid: int, p: int, bits: _Bits) -> None:
+        t = self.tree
+        s0 = t.node_ch_start[nid]
+        cnt = t.node_ch_count[nid]
+        counter = 0
+        for k in range(cnt):
+            decide = (counter != 0) or (k + 1 != cnt)
+            r = int(t.ch_ref[s0 + k])
+            if t.ch_is_pixel[s0 + k]:
+                lin = int(t.px_linear[r])
+                sig = self.s_lin[lin] == p
+                if decide:
+                    bits.bit(1 if sig else 0)
+                if sig:
+                    counter += 1
+                    bits.bit(1 if self.signs[lin] else 0)
+            else:
+                sig = self.node_s[r] == p
+                if decide:
+                    bits.bit(1 if sig else 0)
+                if sig:
+                    counter += 1
+                    self.code_s(r, p, bits)
+                else:
+                    self.born[int(t.node_level[r])].append(r)
+
+    def lis_pass(self, p: int, i_hook=None) -> np.ndarray:
+        bits = _Bits()
+        for t in range(self.tree.nlevels - 1, -1, -1):
+            arr = self.lists[t]
+            if self.born[t]:
+                arr = np.concatenate(
+                    [arr, np.array(self.born[t], dtype=np.int64)]
+                )
+                self.born[t].clear()
+            if arr.size == 0:
+                self.lists[t] = arr
+                continue
+            sp = self.node_s[arr]
+            sig_pos = np.flatnonzero(sp == p)
+            if sig_pos.size == 0:
+                bits.zeros(arr.size)
+            else:
+                prev = 0
+                for pos in sig_pos:
+                    pos = int(pos)
+                    bits.zeros(pos - prev)
+                    bits.bit(1)
+                    self.code_s(int(arr[pos]), p, bits)
+                    prev = pos + 1
+                bits.zeros(arr.size - prev)
+            # survivors; this-pass appends stay in born[] until next visit
+            self.lists[t] = arr[sp > p]
+        if i_hook is not None:
+            i_hook(p, bits)
+        return bits.concat()
+
+
+def _lip_segment(ce, cs, csign, p: int) -> np.ndarray:
+    """Vectorized LIP-walk bits for pass p from the (e, s, sign) cohort:
+    one decision per member, the sign interleaved after each 1."""
+    memb = (ce < p) & (cs >= p)
+    mi = np.flatnonzero(memb)
+    dec = cs[mi] == p
+    pair = np.empty((mi.size, 2), dtype=np.uint8)
+    pair[:, 0] = dec
+    pair[:, 1] = csign[mi]
+    keep = np.empty((mi.size, 2), dtype=bool)
+    keep[:, 0] = True
+    keep[:, 1] = dec
+    return pair.ravel()[keep.ravel()]
+
+
+class _DecWalk:
+    """Shared decoder state machine: zero-padded bit cursor, LIP walk, LIS
+    walk (zero-runs batched), refinement slices, and the final vectorized
+    value reconstruction (SPECK_INT.cpp:166-228 semantics).  Used by both
+    the 3D and 2D decoders."""
+
+    def __init__(self, tree, stream: bytes, n: int, num_bp: int):
+        self.tree = tree
+        self.num_bp = num_bp
+        total_bits = int.from_bytes(stream[1:9], "little")
+        self.avail = min((len(stream) - 9) * 8, total_bits)
+        raw = np.unpackbits(
+            np.frombuffer(stream, dtype=np.uint8, offset=9), bitorder="little"
+        )[: self.avail].astype(np.uint8)
+        # zero padding past avail: sorting passes read freely (progressive
+        # access).  A valid stream never exceeds ~6 bits/pixel/pass; the
+        # clamp bounds allocation against hostile total_bits values.
+        pad = min(total_bits, 6 * n * num_bp) + 64
+        self.bits = np.zeros(pad, dtype=np.uint8)
+        m = min(self.avail, pad)
+        self.bits[:m] = raw[:m]
+        self.pos = 0
+        self.s_lin = np.full(n, _NEVER, dtype=np.int32)
+        self.contrib = np.zeros(n, dtype=np.int64)
+        self.signs = np.ones(n, dtype=bool)
+        self.lip = np.zeros(n, dtype=bool)
+        self.lists = [np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)]
+        self.born: List[List[int]] = [[] for _ in range(tree.nlevels)]
+
+    def add_root(self, nid: int, level: int) -> None:
+        self.lists[level] = np.append(self.lists[level], nid)
+
+    def next_one(self, start: int, limit: int) -> int:
+        """First index in [start, limit) with a 1 bit, or -1; chunked scan so
+        each bit region is visited O(1) times amortized."""
+        CH = 4096
+        i = start
+        while i < limit:
+            w = self.bits[i : min(i + CH, limit)]
+            nz = np.flatnonzero(w)
+            if nz.size:
+                return i + int(nz[0])
+            i += CH
+        return -1
+
+    def code_s(self, nid: int, p: int) -> None:
+        t = self.tree
+        s0 = t.node_ch_start[nid]
+        cnt = t.node_ch_count[nid]
+        counter = 0
+        for k in range(cnt):
+            decide = (counter != 0) or (k + 1 != cnt)
+            r = int(t.ch_ref[s0 + k])
+            if decide:
+                sig = self.bits[self.pos]
+                self.pos += 1
+            else:
+                sig = 1
+            if t.ch_is_pixel[s0 + k]:
+                lin = int(t.px_linear[r])
+                if sig:
+                    counter += 1
+                    self.signs[lin] = bool(self.bits[self.pos])
+                    self.pos += 1
+                    self.s_lin[lin] = p
+                else:
+                    self.lip[lin] = True
+            else:
+                if sig:
+                    counter += 1
+                    self.code_s(r, p)
+                else:
+                    self.born[int(t.node_level[r])].append(r)
+
+    def lip_pass(self, p: int) -> None:
+        mi = np.flatnonzero(self.lip)
+        m = mi.size
+        i = 0
+        while i < m:
+            j = self.next_one(self.pos, self.pos + (m - i))
+            if j < 0:
+                self.pos += m - i
+                break
+            j -= self.pos  # members i..i+j-1 stay; member i+j significant
+            lin = int(mi[i + j])
+            self.s_lin[lin] = p
+            self.signs[lin] = bool(self.bits[self.pos + j + 1])
+            self.lip[lin] = False
+            self.pos += j + 2
+            i += j + 1
+
+    def lis_pass(self, p: int, i_hook=None) -> None:
+        for t in range(self.tree.nlevels - 1, -1, -1):
+            arr = self.lists[t]
+            if self.born[t]:
+                arr = np.concatenate(
+                    [arr, np.array(self.born[t], dtype=np.int64)]
+                )
+                self.born[t].clear()
+            if arr.size == 0:
+                self.lists[t] = arr
+                continue
+            sig_at: List[int] = []
+            i = 0
+            nl0 = arr.size
+            while i < nl0:
+                j = self.next_one(self.pos, self.pos + (nl0 - i))
+                if j < 0:
+                    self.pos += nl0 - i
+                    break
+                j -= self.pos
+                self.pos += j + 1
+                sig_at.append(i + j)
+                self.code_s(int(arr[i + j]), p)
+                i += j + 1
+            if sig_at:
+                keep = np.ones(nl0, dtype=bool)
+                keep[sig_at] = False
+                self.lists[t] = arr[keep]
+            else:
+                self.lists[t] = arr
+        if i_hook is not None:
+            i_hook(p)
+
+    def refine_pass(self, p: int) -> bool:
+        """Apply the refinement slice; returns False when decoding must stop
+        (mid-pass exhaustion, SPECK_INT.cpp:360-469)."""
+        old = np.flatnonzero(self.s_lin < p)
+        k = min(old.size, self.avail - self.pos)
+        seg = self.bits[self.pos : self.pos + k].astype(np.int64)
+        thr_exp = self.num_bp - 1 - p  # T = 2**thr_exp
+        if thr_exp >= 1:
+            half = np.int64(1) << np.int64(thr_exp - 1)
+            self.contrib[old[:k]] += np.where(seg == 1, half, -half)
+        else:
+            self.contrib[old[:k]] += seg
+        self.pos += k
+        return not (k < old.size or self.pos >= self.avail)
+
+    def run(self, i_hook=None) -> None:
+        for p in range(self.num_bp):
+            self.lip_pass(p)
+            self.lis_pass(p, i_hook)
+            if self.pos >= self.avail:
+                break
+            if not self.refine_pass(p):
+                break
+
+    def reconstruct(self) -> Tuple[np.ndarray, np.ndarray]:
+        """init 2T - T/2 - 1 at the discovery pass, +-T/2 per refinement."""
+        found = self.s_lin < _NEVER
+        sf = self.s_lin[found]
+        T = np.int64(1) << (self.num_bp - 1 - sf).astype(np.int64)
+        init = 2 * T - T // 2 - 1
+        mags = np.zeros(self.s_lin.size, dtype=np.uint64)
+        mags[found] = (init + self.contrib[found]).astype(np.uint64)
+        return mags, self.signs
+
+
 def encode_3d(
     mags: np.ndarray,
     signs: np.ndarray,
@@ -395,10 +634,11 @@ def encode_3d(
     )
 
 
-def compute_node_max(tree: Tree, pmsb: np.ndarray) -> np.ndarray:
+def compute_node_max(tree, pmsb: np.ndarray) -> np.ndarray:
     """Max msb+1 per tree node via per-depth segmented max reductions
-    (the reference's Morton MSB deposit as a pyramid)."""
-    nn = tree.node_parent.size
+    (the reference's Morton MSB deposit as a pyramid).  Works for both the
+    3D Tree and the 2D Tree2 (same child-table layout)."""
+    nn = tree.node_ch_start.size
     node_max = np.zeros(nn, dtype=np.int16)
     px_msb = pmsb[tree.px_linear]  # per pixel slot
     for lo, hi in reversed(tree.node_depth_ranges):
@@ -456,92 +696,20 @@ def stitch_3d(
         rs = s_lin[rnz]
         rmag = mags[rnz].astype(np.uint64)
 
-    # --- set walk state: per level, survivors array + this-pass appends ----
-    lists: List[np.ndarray] = [
-        np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)
-    ]
+    walk = _EncWalk(tree, node_s, s_lin, signs)
     for rid in tree.root_ids:
-        lev = int(tree.root_levels[rid])
-        lists[lev] = np.append(lists[lev], rid)
-    born: List[List[int]] = [[] for _ in range(tree.nlevels)]
-
-    ch_start, ch_count = tree.node_ch_start, tree.node_ch_count
-    ch_ispx, ch_ref = tree.ch_is_pixel, tree.ch_ref
-    px_lin = tree.px_linear
-    node_level = tree.node_level
+        walk.add_root(int(rid), int(tree.root_levels[rid]))
 
     segments: List[np.ndarray] = []
     total = 0
     stop = False
 
-    def code_s(nid: int, p: int, bits: _Bits) -> None:
-        s0 = ch_start[nid]
-        cnt = ch_count[nid]
-        counter = 0
-        for k in range(cnt):
-            decide = (counter != 0) or (k + 1 != cnt)
-            r = int(ch_ref[s0 + k])
-            if ch_ispx[s0 + k]:
-                lin = int(px_lin[r])
-                sig = s_lin[lin] == p
-                if decide:
-                    bits.bit(1 if sig else 0)
-                if sig:
-                    counter += 1
-                    bits.bit(1 if signs[lin] else 0)
-            else:
-                sig = node_s[r] == p
-                if decide:
-                    bits.bit(1 if sig else 0)
-                if sig:
-                    counter += 1
-                    code_s(r, p, bits)
-                else:
-                    born[int(node_level[r])].append(r)
-
     for p in range(num_bp):
-        # ---- LIP walk (vectorized or device-supplied) ----------------------
-        if lip_segments is not None:
+        if lip_segments is not None:  # device-supplied or vectorized here
             lip_bits = lip_segments[p]
         else:
-            memb = (ce < p) & (cs >= p)
-            mi = np.flatnonzero(memb)
-            dec = cs[mi] == p
-            pair = np.empty((mi.size, 2), dtype=np.uint8)
-            pair[:, 0] = dec
-            pair[:, 1] = csign[mi]
-            keep = np.empty((mi.size, 2), dtype=bool)
-            keep[:, 0] = True
-            keep[:, 1] = dec
-            lip_bits = pair.ravel()[keep.ravel()]
-
-        # ---- LIS set walk --------------------------------------------------
-        bits = _Bits()
-        for t in range(tree.nlevels - 1, -1, -1):
-            arr = lists[t]
-            if born[t]:
-                arr = np.concatenate([arr, np.array(born[t], dtype=np.int64)])
-                born[t].clear()
-            if arr.size == 0:
-                lists[t] = arr
-                continue
-            sp = node_s[arr]
-            sig_pos = np.flatnonzero(sp == p)
-            if sig_pos.size == 0:
-                bits.zeros(arr.size)
-            else:
-                prev = 0
-                for pos in sig_pos:
-                    pos = int(pos)
-                    bits.zeros(pos - prev)
-                    bits.bit(1)
-                    code_s(int(arr[pos]), p, bits)
-                    prev = pos + 1
-                bits.zeros(arr.size - prev)
-            # survivors (appends from this pass sit in born[] until their
-            # level is next visited — they are insignificant by construction)
-            lists[t] = arr[sp > p]
-        lis_bits = bits.concat()
+            lip_bits = _lip_segment(ce, cs, csign, p)
+        lis_bits = walk.lis_pass(p)
 
         segments.append(lip_bits)
         segments.append(lis_bits)
@@ -599,151 +767,14 @@ def decode_3d(
     n = nx * ny * nz
     tree = build_tree((nx, ny, nz))
     num_bp = stream[0]
-    total_bits = int.from_bytes(stream[1:9], "little")
-    avail = min((len(stream) - 9) * 8, total_bits)
-    signs = np.ones(n, dtype=bool)
     if num_bp == 0:
-        return np.zeros(n, dtype=np.uint64), signs
+        return np.zeros(n, dtype=np.uint64), np.ones(n, dtype=bool)
 
-    raw = np.unpackbits(
-        np.frombuffer(stream, dtype=np.uint8, offset=9), bitorder="little"
-    )[:avail].astype(np.uint8)
-    # zero padding past avail: sorting passes read freely up to total_bits
-    bits = np.zeros(total_bits + 64, dtype=np.uint8)
-    bits[:avail] = raw
-
-    # dynamic state
-    s_lin = np.full(n, _NEVER, dtype=np.int32)  # discovered significance pass
-    contrib = np.zeros(n, dtype=np.int64)  # accumulated refinement deltas
-    lip = np.zeros(n, dtype=bool)
-    lists: List[np.ndarray] = [
-        np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)
-    ]
+    w = _DecWalk(tree, bytes(stream), n, num_bp)
     for rid in tree.root_ids:
-        lev = int(tree.root_levels[rid])
-        lists[lev] = np.append(lists[lev], rid)
-    born: List[List[int]] = [[] for _ in range(tree.nlevels)]
-
-    ch_start, ch_count = tree.node_ch_start, tree.node_ch_count
-    ch_ispx, ch_ref = tree.ch_is_pixel, tree.ch_ref
-    px_lin = tree.px_linear
-    node_level = tree.node_level
-    pos = 0  # bit cursor
-
-    def next_one(start: int, limit: int) -> int:
-        """First index in [start, limit) with a 1 bit, or -1; chunked scan so
-        each bit region is visited O(1) times amortized."""
-        CH = 4096
-        i = start
-        while i < limit:
-            w = bits[i : min(i + CH, limit)]
-            nz = np.flatnonzero(w)
-            if nz.size:
-                return i + int(nz[0])
-            i += CH
-        return -1
-
-    def code_s(nid: int, p: int) -> None:
-        nonlocal pos
-        s0 = ch_start[nid]
-        cnt = ch_count[nid]
-        counter = 0
-        for k in range(cnt):
-            decide = (counter != 0) or (k + 1 != cnt)
-            r = int(ch_ref[s0 + k])
-            if decide:
-                sig = bits[pos]
-                pos += 1
-            else:
-                sig = 1
-            if ch_ispx[s0 + k]:
-                lin = int(px_lin[r])
-                if sig:
-                    counter += 1
-                    signs[lin] = bool(bits[pos])
-                    pos += 1
-                    s_lin[lin] = p
-                else:
-                    lip[lin] = True
-            else:
-                if sig:
-                    counter += 1
-                    code_s(r, p)
-                else:
-                    born[int(node_level[r])].append(r)
-
-    for p in range(num_bp):
-        # ---- LIP walk: zero-runs batched, one python step per significance
-        mi = np.flatnonzero(lip)
-        m = mi.size
-        i = 0
-        while i < m:
-            j = next_one(pos, pos + (m - i))
-            if j < 0:
-                pos += m - i
-                break
-            j -= pos  # members i..i+j-1 stay; member i+j significant
-            lin = int(mi[i + j])
-            s_lin[lin] = p
-            signs[lin] = bool(bits[pos + j + 1])
-            lip[lin] = False
-            pos += j + 2
-            i += j + 1
-
-        # ---- LIS set walk: zero-runs batched ------------------------------
-        for t in range(tree.nlevels - 1, -1, -1):
-            arr = lists[t]
-            if born[t]:
-                arr = np.concatenate([arr, np.array(born[t], dtype=np.int64)])
-                born[t].clear()
-            if arr.size == 0:
-                lists[t] = arr
-                continue
-            sig_at: List[int] = []
-            i = 0
-            nl0 = arr.size
-            while i < nl0:
-                j = next_one(pos, pos + (nl0 - i))
-                if j < 0:
-                    pos += nl0 - i
-                    break
-                j -= pos
-                pos += j + 1
-                sig_at.append(i + j)
-                code_s(int(arr[i + j]), p)
-                i += j + 1
-            if sig_at:
-                keep = np.ones(nl0, dtype=bool)
-                keep[sig_at] = False
-                lists[t] = arr[keep]
-            else:
-                lists[t] = arr
-
-        if pos >= avail:
-            break
-
-        # ---- refinement: pure slice over old members -----------------------
-        old = np.flatnonzero(s_lin < p)
-        k = min(old.size, avail - pos)
-        seg = bits[pos : pos + k].astype(np.int64)
-        thr_exp = num_bp - 1 - p  # T = 2**thr_exp
-        if thr_exp >= 1:
-            half = np.int64(1) << np.int64(thr_exp - 1)
-            contrib[old[:k]] += np.where(seg == 1, half, -half)
-        else:
-            contrib[old[:k]] += seg
-        pos += k
-        if k < old.size or pos >= avail:
-            break
-
-    # ---- vectorized value reconstruction ---------------------------------
-    found = s_lin < _NEVER
-    sf = s_lin[found]
-    T = np.int64(1) << (num_bp - 1 - sf).astype(np.int64)
-    init = 2 * T - T // 2 - 1
-    mags = np.zeros(n, dtype=np.uint64)
-    mags[found] = (init + contrib[found]).astype(np.uint64)
-    return mags, signs
+        w.add_root(int(rid), int(tree.root_levels[rid]))
+    w.run()
+    return w.reconstruct()
 
 
 # ===========================================================================
@@ -787,16 +818,8 @@ def build_tree2(dims: Tuple[int, int]) -> "Tree2":
     n = nx * ny
     xf = num_of_xforms(min(nx, ny))
 
-    def approx_detail(length, lev):
-        lo = length
-        hi = 0
-        for _ in range(lev):
-            hi = lo // 2
-            lo -= hi
-        return lo, hi
-
-    a_xf, _ = approx_detail(nx, xf)
-    b_xf, _ = approx_detail(ny, xf)
+    a_xf, _ = calc_approx_detail_len(nx, xf)
+    b_xf, _ = calc_approx_detail_len(ny, xf)
 
     # roots: S0, then I-children groups for k = xf .. 1 (push order BR,TR,BL)
     roots = [((0, 0, a_xf, b_xf), xf)]
@@ -804,8 +827,8 @@ def build_tree2(dims: Tuple[int, int]) -> "Tree2":
     iset_regions: List[Tuple[int, int]] = [(0, 0)] * (xf + 1)
     rid = 1
     for k in range(xf, 0, -1):
-        ax, dx = approx_detail(nx, k)
-        ay, dy = approx_detail(ny, k)
+        ax, dx = calc_approx_detail_len(nx, k)
+        ay, dy = calc_approx_detail_len(ny, k)
         iset_regions[k] = (ax, ay)
         for s in ((ax, ay, dx, dy), (ax, 0, dx, ay), (0, ay, ax, dy)):
             if s[2] * s[3] != 0:
@@ -889,22 +912,6 @@ def build_tree2(dims: Tuple[int, int]) -> "Tree2":
     return t
 
 
-def _node_max2(tree: Tree2, pmsb: np.ndarray) -> np.ndarray:
-    nn = tree.node_ch_start.size
-    node_max = np.zeros(nn, dtype=np.int16)
-    px_msb = pmsb[tree.px_linear]
-    for lo, hi in reversed(tree.node_depth_ranges):
-        s0 = tree.node_ch_start[lo]
-        s1 = tree.node_ch_start[hi - 1] + tree.node_ch_count[hi - 1]
-        refs = tree.ch_ref[s0:s1]
-        ispx = tree.ch_is_pixel[s0:s1]
-        vals = np.where(ispx, px_msb[np.where(ispx, refs, 0)],
-                        node_max[np.where(ispx, 0, refs)])
-        starts = (tree.node_ch_start[lo:hi] - s0).astype(np.int64)
-        node_max[lo:hi] = np.maximum.reduceat(vals, starts)
-    return node_max
-
-
 def _iset_maxes(tree: Tree2, pmsb2d: np.ndarray) -> np.ndarray:
     """max msb+1 over the I region at each level k (1..xf); index 0 unused."""
     nx, ny = tree.dims
@@ -940,7 +947,7 @@ def encode_2d(
         return _pack_stream(np.empty(0, np.uint8), 0, 0)
     budget = (budget_bits + 7) // 8 * 8 if budget_bits else None
 
-    node_max = _node_max2(tree, pmsb)
+    node_max = compute_node_max(tree, pmsb)
     node_s = np.where(node_max > 0, num_bp - node_max, _NEVER).astype(np.int32)
     imax = _iset_maxes(tree, pmsb.reshape(ny, nx))
     iset_s = np.where(imax > 0, num_bp - imax, _NEVER).astype(np.int32)
@@ -955,45 +962,12 @@ def encode_2d(
     rs = s_lin[rnz]
     rmag = mags[rnz].astype(np.uint64)
 
-    lists: List[np.ndarray] = [
-        np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)
-    ]
-    lists[int(tree.node_level[0])] = np.array([0], dtype=np.int64)
-    born: List[List[int]] = [[] for _ in range(tree.nlevels)]
-
-    ch_start, ch_count = tree.node_ch_start, tree.node_ch_count
-    ch_ispx, ch_ref = tree.ch_is_pixel, tree.ch_ref
-    px_lin = tree.px_linear
-    node_level = tree.node_level
-
-    def code_s(nid: int, p: int, bits: _Bits) -> None:
-        s0 = ch_start[nid]
-        cnt = ch_count[nid]
-        counter = 0
-        for k in range(cnt):
-            decide = (counter != 0) or (k + 1 != cnt)
-            r = int(ch_ref[s0 + k])
-            if ch_ispx[s0 + k]:
-                lin = int(px_lin[r])
-                sig = s_lin[lin] == p
-                if decide:
-                    bits.bit(1 if sig else 0)
-                if sig:
-                    counter += 1
-                    bits.bit(1 if signs[lin] else 0)
-            else:
-                sig = node_s[r] == p
-                if decide:
-                    bits.bit(1 if sig else 0)
-                if sig:
-                    counter += 1
-                    code_s(r, p, bits)
-                else:
-                    born[int(node_level[r])].append(r)
+    walk = _EncWalk(tree, node_s, s_lin, signs)
+    walk.add_root(0, int(tree.node_level[0]))
 
     i_lev = tree.xf if tree.xf > 0 else 0
 
-    def process_i(p: int, decide: bool, bits: _Bits) -> None:
+    def process_i(p: int, bits: _Bits, decide: bool = True) -> None:
         nonlocal i_lev
         if i_lev <= 0:
             return
@@ -1013,51 +987,17 @@ def encode_2d(
             bits.bit(1 if sig else 0)
             if sig:
                 counter += 1
-                code_s(nid, p, bits)
+                walk.code_s(nid, p, bits)
             else:
-                born[int(node_level[nid])].append(nid)
-        process_i(p, counter != 0, bits)
+                walk.born[int(tree.node_level[nid])].append(nid)
+        process_i(p, bits, counter != 0)
 
     segments: List[np.ndarray] = []
     total = 0
     stop = False
     for p in range(num_bp):
-        memb = (ce < p) & (cs >= p)
-        mi = np.flatnonzero(memb)
-        dec = cs[mi] == p
-        pair = np.empty((mi.size, 2), dtype=np.uint8)
-        pair[:, 0] = dec
-        pair[:, 1] = csign[mi]
-        keep = np.empty((mi.size, 2), dtype=bool)
-        keep[:, 0] = True
-        keep[:, 1] = dec
-        lip_bits = pair.ravel()[keep.ravel()]
-
-        bits = _Bits()
-        for t in range(tree.nlevels - 1, -1, -1):
-            arr = lists[t]
-            if born[t]:
-                arr = np.concatenate([arr, np.array(born[t], dtype=np.int64)])
-                born[t].clear()
-            if arr.size == 0:
-                lists[t] = arr
-                continue
-            sp = node_s[arr]
-            sig_pos = np.flatnonzero(sp == p)
-            if sig_pos.size == 0:
-                bits.zeros(arr.size)
-            else:
-                prev = 0
-                for pos in sig_pos:
-                    pos = int(pos)
-                    bits.zeros(pos - prev)
-                    bits.bit(1)
-                    code_s(int(arr[pos]), p, bits)
-                    prev = pos + 1
-                bits.zeros(arr.size - prev)
-            lists[t] = arr[sp > p]
-        process_i(p, True, bits)
-        lis_bits = bits.concat()
+        lip_bits = _lip_segment(ce, cs, csign, p)
+        lis_bits = walk.lis_pass(p, i_hook=process_i)
 
         segments.append(lip_bits)
         segments.append(lis_bits)
@@ -1088,169 +1028,42 @@ def decode_2d(
     n = nx * ny
     tree = build_tree2((nx, ny))
     num_bp = stream[0]
-    total_bits = int.from_bytes(stream[1:9], "little")
-    avail = min((len(stream) - 9) * 8, total_bits)
-    signs = np.ones(n, dtype=bool)
     if num_bp == 0:
-        return np.zeros(n, dtype=np.uint64), signs
+        return np.zeros(n, dtype=np.uint64), np.ones(n, dtype=bool)
 
-    raw = np.unpackbits(
-        np.frombuffer(stream, dtype=np.uint8, offset=9), bitorder="little"
-    )[:avail].astype(np.uint8)
-    bits = np.zeros(total_bits + 64, dtype=np.uint8)
-    bits[:avail] = raw
-
-    s_lin = np.full(n, _NEVER, dtype=np.int32)
-    contrib = np.zeros(n, dtype=np.int64)
-    lip = np.zeros(n, dtype=bool)
-    lists: List[np.ndarray] = [
-        np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)
-    ]
-    lists[int(tree.node_level[0])] = np.array([0], dtype=np.int64)
-    born: List[List[int]] = [[] for _ in range(tree.nlevels)]
-
-    ch_start, ch_count = tree.node_ch_start, tree.node_ch_count
-    ch_ispx, ch_ref = tree.ch_is_pixel, tree.ch_ref
-    px_lin = tree.px_linear
-    node_level = tree.node_level
-    pos = 0
+    w = _DecWalk(tree, bytes(stream), n, num_bp)
+    w.add_root(0, int(tree.node_level[0]))
     i_lev = tree.xf if tree.xf > 0 else 0
 
-    def next_one(start: int, limit: int) -> int:
-        CH = 4096
-        i = start
-        while i < limit:
-            w = bits[i : min(i + CH, limit)]
-            nz = np.flatnonzero(w)
-            if nz.size:
-                return i + int(nz[0])
-            i += CH
-        return -1
-
-    def code_s(nid: int, p: int) -> None:
-        nonlocal pos
-        s0 = ch_start[nid]
-        cnt = ch_count[nid]
-        counter = 0
-        for k in range(cnt):
-            decide = (counter != 0) or (k + 1 != cnt)
-            r = int(ch_ref[s0 + k])
-            if decide:
-                sig = bits[pos]
-                pos += 1
-            else:
-                sig = 1
-            if ch_ispx[s0 + k]:
-                lin = int(px_lin[r])
-                if sig:
-                    counter += 1
-                    signs[lin] = bool(bits[pos])
-                    pos += 1
-                    s_lin[lin] = p
-                else:
-                    lip[lin] = True
-            else:
-                if sig:
-                    counter += 1
-                    code_s(r, p)
-                else:
-                    born[int(node_level[r])].append(r)
-
-    def process_i(p: int, decide: bool) -> None:
-        nonlocal pos, i_lev
+    def process_i(p: int, decide: bool = True) -> None:
+        nonlocal i_lev
         if i_lev <= 0:
             return
         if decide:
-            sig = bits[pos]
-            pos += 1
+            sig = w.bits[w.pos]
+            w.pos += 1
         else:
             sig = 1
         if sig:
             code_i(p)
 
     def code_i(p: int) -> None:
-        nonlocal pos, i_lev
+        nonlocal i_lev
         k = i_lev
         i_lev -= 1
         counter = 0
         for nid in tree.iset_groups[k]:
-            sig = bits[pos]
-            pos += 1
+            sig = w.bits[w.pos]
+            w.pos += 1
             if sig:
                 counter += 1
-                code_s(nid, p)
+                w.code_s(nid, p)
             else:
-                born[int(node_level[nid])].append(nid)
+                w.born[int(tree.node_level[nid])].append(nid)
         process_i(p, counter != 0)
 
-    for p in range(num_bp):
-        mi = np.flatnonzero(lip)
-        m = mi.size
-        i = 0
-        while i < m:
-            j = next_one(pos, pos + (m - i))
-            if j < 0:
-                pos += m - i
-                break
-            j -= pos
-            lin = int(mi[i + j])
-            s_lin[lin] = p
-            signs[lin] = bool(bits[pos + j + 1])
-            lip[lin] = False
-            pos += j + 2
-            i += j + 1
-
-        for t in range(tree.nlevels - 1, -1, -1):
-            arr = lists[t]
-            if born[t]:
-                arr = np.concatenate([arr, np.array(born[t], dtype=np.int64)])
-                born[t].clear()
-            if arr.size == 0:
-                lists[t] = arr
-                continue
-            sig_at: List[int] = []
-            i = 0
-            nl0 = arr.size
-            while i < nl0:
-                j = next_one(pos, pos + (nl0 - i))
-                if j < 0:
-                    pos += nl0 - i
-                    break
-                j -= pos
-                pos += j + 1
-                sig_at.append(i + j)
-                code_s(int(arr[i + j]), p)
-                i += j + 1
-            if sig_at:
-                keep = np.ones(nl0, dtype=bool)
-                keep[sig_at] = False
-                lists[t] = arr[keep]
-            else:
-                lists[t] = arr
-        process_i(p, True)
-
-        if pos >= avail:
-            break
-        old = np.flatnonzero(s_lin < p)
-        k = min(old.size, avail - pos)
-        seg = bits[pos : pos + k].astype(np.int64)
-        thr_exp = num_bp - 1 - p
-        if thr_exp >= 1:
-            half = np.int64(1) << np.int64(thr_exp - 1)
-            contrib[old[:k]] += np.where(seg == 1, half, -half)
-        else:
-            contrib[old[:k]] += seg
-        pos += k
-        if k < old.size or pos >= avail:
-            break
-
-    found = s_lin < _NEVER
-    sf = s_lin[found]
-    T = np.int64(1) << (num_bp - 1 - sf).astype(np.int64)
-    init = 2 * T - T // 2 - 1
-    mags = np.zeros(n, dtype=np.uint64)
-    mags[found] = (init + contrib[found]).astype(np.uint64)
-    return mags, signs
+    w.run(i_hook=process_i)
+    return w.reconstruct()
 
 
 __all__ = [

@@ -245,6 +245,11 @@ def encode_3d_device(mags_np, signs_np, dims, budget_bits: int = 0) -> bytes:
 
     mags_np = np.ascontiguousarray(mags_np).reshape(n)
     signs_np = np.ascontiguousarray(signs_np).reshape(n).astype(bool)
+    if int(mags_np.max(initial=0)) > 0xFFFFFFFF:
+        raise ValueError(
+            "device SPECK path works on uint32 magnitudes (device-quantized "
+            "data is < 2^24); use a host engine for >32-bit magnitudes"
+        )
     dev_mags = jnp.asarray(mags_np.astype(np.uint32))
     dev_signs = jnp.asarray(signs_np)
 

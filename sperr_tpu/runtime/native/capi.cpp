@@ -118,7 +118,7 @@ int sperr_comp_2d(const void* src, int is_float, size_t dimx, size_t dimy,
                   int mode, double quality, int out_inc_header, void** dst,
                   size_t* dst_len) {
   if (*dst != nullptr) return 1;
-  if (mode < 1 || mode > 3 || quality <= 0.0) return 2;
+  if (mode < 1 || mode > 3 || quality <= 0.0 || !dimx || !dimy) return 2;
   size_t n = dimx * dimy;
   std::vector<double> vals(n);
   if (is_float) {
@@ -186,6 +186,9 @@ int sperr_comp_3d(const void* src, int is_float, size_t dimx, size_t dimy,
                  std::min(chunk_z, dimz)};
   if (!c[0] || !c[1] || !c[2]) return 2;
   auto chunks = chunk_volume(v, c);
+  // multi-chunk headers store chunk dims as u16 (format-normative)
+  if (chunks.size() > 1 && (c[0] > 0xFFFF || c[1] > 0xFFFF || c[2] > 0xFFFF))
+    return 2;
   size_t nch = chunks.size();
   std::vector<std::vector<uint8_t>> streams(nch);
   std::atomic<int> err{0};
@@ -243,12 +246,15 @@ int sperr_decomp_3d(const void* src, size_t src_len, int output_float,
   bool multi = (p[1] >> 4) & 1;
   if (!is3d) return -1;
   size_t v[3] = {get_u32(p + 2), get_u32(p + 6), get_u32(p + 10)};
+  if (!v[0] || !v[1] || !v[2]) return -1;
   size_t c[3] = {v[0], v[1], v[2]};
   size_t pos = kMagic1;
   if (multi) {
+    if (src_len < kMagicN + 4) return -1;
     c[0] = get_u16(p + 14);
     c[1] = get_u16(p + 16);
     c[2] = get_u16(p + 18);
+    if (!c[0] || !c[1] || !c[2]) return -1;
     pos = kMagicN;
   }
   auto chunks = chunk_volume(v, c);
