@@ -82,13 +82,16 @@ class Sperr3DCompressor:
         chunks = chunk_volume(self.vol_dims, self.chunk_dims)
 
         if self.native is not None and self.engine is None:
+            # strided native gather: the chunk block never exists as a
+            # Python-side copy
+            vol3c = (
+                vol3
+                if vol3.flags.c_contiguous and vol3.dtype in (np.float32, np.float64)
+                else np.ascontiguousarray(vol3, dtype=np.float64)
+            )
 
             def run(c):
-                x0, lx, y0, ly, z0, lz = c
-                blk = np.ascontiguousarray(
-                    vol3[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx]
-                )
-                return self.native.compress(blk, 3, (lx, ly, lz), mode, quality)
+                return self.native.compress_strided(vol3c, c, mode, quality)
 
         else:
 
@@ -126,15 +129,24 @@ class Sperr3DDecompressor:
         self.hierarchy: List[np.ndarray] = []
 
     def decompress(
-        self, stream: bytes, multi_res: bool = False
+        self, stream: bytes, multi_res: bool = False, out: Optional[np.ndarray] = None
     ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
-        """Returns (volume shaped (nz, ny, nx) float64, vol_dims (nx, ny, nz))."""
+        """Returns (volume shaped (nz, ny, nx) float64, vol_dims (nx, ny, nz)).
+
+        `out`: optional preallocated (nz, ny, nx) C-contiguous array of the
+        codec's output dtype — reusing a warm buffer avoids the OS page-fault
+        cost of a fresh allocation per call (significant for large volumes)."""
         h = tools.parse_header(stream)
         self.header = h
         nx, ny, nz = h.vol_dims
         chunks = chunk_volume(h.vol_dims, h.chunk_dims)
         out_dtype = np.float64 if self.precision == 64 else np.float32
-        vol = np.empty((nz, ny, nx), dtype=out_dtype)
+        if out is not None:
+            assert out.shape == (nz, ny, nx) and out.dtype == out_dtype
+            assert out.flags.c_contiguous
+            vol = out
+        else:
+            vol = np.empty((nz, ny, nx), dtype=out_dtype)
 
         vol_res = coarsened_resolutions_chunked(h.vol_dims, h.chunk_dims)
         chunk_res = coarsened_resolutions(h.chunk_dims)
@@ -153,10 +165,8 @@ class Sperr3DDecompressor:
             c = chunks[i]
             off, ln = h.chunk_offsets[i * 2], h.chunk_offsets[i * 2 + 1]
             if use_native:
-                vals = self.native.decompress(
-                    stream[off : off + ln], 3, (c[1], c[3], c[5])
-                )
-                _scatter_chunk(vol, vals, c)
+                # strided native scatter: writes land in `vol` directly
+                self.native.decompress_strided(stream[off : off + ln], vol, c)
                 return
             codec = SpeckFloatCodec(3, (c[1], c[3], c[5]), engine=self.engine)
             vals, hier = codec.decompress(stream[off : off + ln], multi_res=multi_res)

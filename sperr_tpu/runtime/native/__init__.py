@@ -85,6 +85,20 @@ def _load():
         ct.c_int, ct.c_void_p, ct.c_uint64,
         ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_int, ct.c_void_p,
     ]
+    lib.st_compress_chunk_strided.restype = ct.c_int64
+    lib.st_compress_chunk_strided.argtypes = [
+        ct.c_void_p, ct.c_int, ct.c_uint64, ct.c_uint64,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.c_int, ct.c_double, ct.c_int, ct.POINTER(ct.c_void_p),
+    ]
+    lib.st_decompress_chunk_strided.restype = ct.c_int64
+    lib.st_decompress_chunk_strided.argtypes = [
+        ct.c_void_p, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.c_int, ct.c_void_p,
+    ]
     return lib
 
 
@@ -240,3 +254,40 @@ class NativeChunkCodec:
         if rtn < 0:
             raise RuntimeError(f"native chunk decompress failed: {rtn}")
         return out
+
+    # ---- whole-volume strided variants (3D): the chunk block is gathered/
+    # scattered by the native code directly, skipping a Python-side copy.
+    def compress_strided(
+        self, vol: np.ndarray, chunk, mode: str, quality: float
+    ) -> bytes:
+        """`vol`: C-contiguous (nz, ny, nx) f32 or f64; `chunk`:
+        (x0, lx, y0, ly, z0, lz)."""
+        assert vol.flags.c_contiguous
+        is_float = 1 if vol.dtype == np.float32 else 0
+        vnz, vny, vnx = vol.shape
+        x0, lx, y0, ly, z0, lz = chunk
+        out = ct.c_void_p(None)
+        rtn = self._lib.st_compress_chunk_strided(
+            vol.ctypes.data_as(ct.c_void_p), is_float, vnx, vny,
+            x0, y0, z0, lx, ly, lz,
+            _MODE_CODES[mode], quality, self.precision, ct.byref(out),
+        )
+        if rtn < 0:
+            raise RuntimeError(f"native strided compress failed: {rtn}")
+        buf = ct.string_at(out, rtn)
+        self._lib.st_free(out)
+        return buf
+
+    def decompress_strided(self, stream: bytes, vol: np.ndarray, chunk) -> None:
+        """Decompress one chunk stream directly into `vol` (dtype must match
+        this codec's precision)."""
+        assert vol.flags.c_contiguous
+        vnz, vny, vnx = vol.shape
+        x0, lx, y0, ly, z0, lz = chunk
+        buf = bytes(stream)
+        rtn = self._lib.st_decompress_chunk_strided(
+            buf, len(buf), vnx, vny, x0, y0, z0, lx, ly, lz,
+            self.precision, vol.ctypes.data_as(ct.c_void_p),
+        )
+        if rtn < 0:
+            raise RuntimeError(f"native strided decompress failed: {rtn}")

@@ -120,7 +120,7 @@ int sperr_comp_2d(const void* src, int is_float, size_t dimx, size_t dimy,
   if (*dst != nullptr) return 1;
   if (mode < 1 || mode > 3 || quality <= 0.0 || !dimx || !dimy) return 2;
   size_t n = dimx * dimy;
-  std::vector<double> vals(n);
+  rvec<double> vals(n);
   if (is_float) {
     const float* p = static_cast<const float*>(src);
     for (size_t i = 0; i < n; i++) vals[i] = p[i];
@@ -146,7 +146,7 @@ int sperr_decomp_2d(const void* src, size_t src_len, int output_float,
                     size_t dimx, size_t dimy, void** dst) {
   if (*dst != nullptr) return 1;
   size_t n = dimx * dimy;
-  std::vector<double> out(n);
+  rvec<double> out(n);
   int rtn = decompress_chunk<double>(2, static_cast<const uint8_t*>(src),
                                      src_len, dimx, dimy, 1, out.data());
   if (rtn < 0) return -1;
@@ -196,7 +196,7 @@ int sperr_comp_3d(const void* src, int is_float, size_t dimx, size_t dimy,
   parallel_for(nch, nthreads, [&](size_t i) {
     const Chunk& ck = chunks[i];
     size_t n = ck.lx * ck.ly * ck.lz;
-    std::vector<double> vals(n);
+    rvec<double> vals(n);
     // strided gather, f32 widened to f64 (SPERR3D_OMP_C.cpp:236-261)
     size_t idx = 0;
     for (size_t z = ck.z0; z < ck.z0 + ck.lz; z++)
@@ -282,7 +282,7 @@ int sperr_decomp_3d(const void* src, size_t src_len, int output_float,
   parallel_for(nch, nthreads, [&](size_t i) {
     const Chunk& ck = chunks[i];
     size_t n = ck.lx * ck.ly * ck.lz;
-    std::vector<double> buf(n);
+    rvec<double> buf(n);
     int rtn = decompress_chunk<double>(3, p + offs[i], lens[i], ck.lx, ck.ly,
                                        ck.lz, buf.data());
     if (rtn < 0) {

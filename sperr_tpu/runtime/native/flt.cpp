@@ -357,8 +357,8 @@ double estimate_q(int mode, double quality, double param, const F* p, size_t n,
 }
 
 template <typename F, typename U>
-void quantize_into(const F* p, size_t n, F q, std::vector<U>& mags,
-                   std::vector<uint8_t>& signs) {
+void quantize_into(const F* p, size_t n, F q, rvec<U>& mags,
+                   rvec<uint8_t>& signs) {
   // rint + cast == llrint for in-range values under FE_TONEAREST (width was
   // picked from the max magnitude), and rint vectorizes to packed rounding.
   const F inv = F(1) / q;
@@ -375,8 +375,8 @@ void quantize_into(const F* p, size_t n, F q, std::vector<U>& mags,
 // two-pass inv_quantize(quantize(x)) bit-for-bit, since r is an exact
 // integer in F and the sign-symmetric product q*r == +-(q*|r|).
 template <typename F, typename U>
-void quantize_into_with_rec(const F* p, size_t n, F q, std::vector<U>& mags,
-                            std::vector<uint8_t>& signs, F* rec) {
+void quantize_into_with_rec(const F* p, size_t n, F q, rvec<U>& mags,
+                            rvec<uint8_t>& signs, F* rec) {
   const F inv = F(1) / q;
   mags.resize(n);
   signs.resize(n);
@@ -403,7 +403,7 @@ int pick_width(const F* p, size_t n, F q) {
 }
 
 template <typename F, typename U>
-void inv_quantize(const std::vector<U>& mags, const std::vector<uint8_t>& signs,
+void inv_quantize(const rvec<U>& mags, const rvec<uint8_t>& signs,
                   F q, F* out) {
   const size_t n = mags.size();
   const U* mp = mags.data();
@@ -469,11 +469,11 @@ struct OutlierList {
 };
 
 template <typename U>
-std::vector<uint8_t> speck_encode_vec(int ndim, const std::vector<U>& mags,
-                                      const std::vector<uint8_t>& signs, size_t nx,
+std::vector<uint8_t> speck_encode_vec(int ndim, const U* mags,
+                                      const uint8_t* signs, size_t nx,
                                       size_t ny, size_t nz, size_t budget_bits) {
   uint8_t* buf = nullptr;
-  int64_t len = encode_any<U>(ndim, mags.data(), signs.data(), nx, ny, nz,
+  int64_t len = encode_any<U>(ndim, mags, signs, nx, ny, nz,
                               budget_bits, &buf);
   std::vector<uint8_t> out(buf, buf + len);
   std::free(buf);
@@ -497,7 +497,7 @@ std::vector<uint8_t> encode_outliers(const OutlierList& los, size_t total_len,
       signs[los.pos[k]] = ll >= 0;
       mags[los.pos[k]] = U(ll < 0 ? -(unsigned long long)ll : (unsigned long long)ll);
     }
-    return speck_encode_vec<U>(1, mags, signs, total_len, 1, 1, 0);
+    return speck_encode_vec<U>(1, mags.data(), signs.data(), total_len, 1, 1, 0);
   };
   switch (width) {
     case 8: return run(uint8_t{});
@@ -514,8 +514,8 @@ void decode_outliers(const uint8_t* stream, size_t len, size_t total_len,
   int width = nbp <= 8 ? 8 : nbp <= 16 ? 16 : nbp <= 32 ? 32 : 64;
   auto run = [&](auto tag) {
     using U = decltype(tag);
-    std::vector<U> mags(total_len);
-    std::vector<uint8_t> signs(total_len);
+    rvec<U> mags(total_len);
+    rvec<uint8_t> signs(total_len);
     decode_any<U>(1, stream, len, total_len, 1, 1, mags.data(), signs.data());
     for (size_t i = 0; i < total_len; i++) {
       if (mags[i] == 0) continue;
@@ -547,7 +547,7 @@ void write_condi(uint8_t* h, bool constant, double mean_or_val, uint64_t nval,
 
 // ------------------------------------------------------------- pipeline ---
 template <typename F>
-std::vector<uint8_t> compress_chunk(int ndim, std::vector<F>& vals, size_t nx,
+std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
                                     size_t ny, size_t nz, int mode, double quality) {
   const size_t n = vals.size();
   std::fesetround(FE_TONEAREST);
@@ -564,7 +564,7 @@ std::vector<uint8_t> compress_chunk(int ndim, std::vector<F>& vals, size_t nx,
     return stream;
   }
   F mean = strided_mean(vals.data(), n);
-  std::vector<F> orig;
+  rvec<F> orig;
   double param = 0.0;
   if (mode == 3) {  // pwe: fuse mean-subtract with the conditioned-copy
     orig.resize(n);
@@ -610,10 +610,10 @@ std::vector<uint8_t> compress_chunk(int ndim, std::vector<F>& vals, size_t nx,
 
     auto run = [&](auto tag) {
       using U = decltype(tag);
-      std::vector<U> mags;
-      std::vector<uint8_t> signs;
+      rvec<U> mags;
+      rvec<uint8_t> signs;
       if (mode == 3) {  // PWE: quantize+reconstruct fused, collect outliers
-        std::vector<F> rec(n);
+        rvec<F> rec(n);
         quantize_into_with_rec<F, U>(vals.data(), n, F(q), mags, signs,
                                      rec.data());
         wavelet_inv(ndim, rec.data(), nx, ny, nz);
@@ -629,7 +629,7 @@ std::vector<uint8_t> compress_chunk(int ndim, std::vector<F>& vals, size_t nx,
       } else {
         quantize_into<F, U>(vals.data(), n, F(q), mags, signs);
       }
-      body = speck_encode_vec<U>(ndim, mags, signs, nx, ny, nz, budget);
+      body = speck_encode_vec<U>(ndim, mags.data(), signs.data(), nx, ny, nz, budget);
     };
     switch (width) {
       case 8: run(uint8_t{}); break;
@@ -675,8 +675,8 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
 
   auto run = [&](auto tag) {
     using U = decltype(tag);
-    std::vector<U> mags(n);
-    std::vector<uint8_t> signs(n);
+    rvec<U> mags(n);
+    rvec<uint8_t> signs(n);
     decode_any<U>(ndim, stream + pos, speck_len, nx, ny, nz, mags.data(),
                   signs.data());
     if (ndim == 3 &&
@@ -717,7 +717,7 @@ int64_t st_compress_chunk2(int ndim, const void* src, int is_float, uint64_t nx,
   size_t n = size_t(nx) * ny * nz;
   std::vector<uint8_t> stream;
   if (precision == 32) {
-    std::vector<float> vals(n);
+    rvec<float> vals(n);
     if (is_float)
       std::memcpy(vals.data(), src, n * sizeof(float));
     else {
@@ -726,7 +726,7 @@ int64_t st_compress_chunk2(int ndim, const void* src, int is_float, uint64_t nx,
     }
     stream = compress_chunk<float>(ndim, vals, nx, ny, nz, mode, quality);
   } else {
-    std::vector<double> vals(n);
+    rvec<double> vals(n);
     if (is_float) {
       const float* p = static_cast<const float*>(src);
       for (size_t i = 0; i < n; i++) vals[i] = p[i];
@@ -762,6 +762,77 @@ int64_t st_decompress_chunk2(int ndim, const uint8_t* stream, uint64_t len,
 int64_t st_decompress_chunk(int ndim, const uint8_t* stream, uint64_t len,
                             uint64_t nx, uint64_t ny, uint64_t nz, double* out) {
   return st_decompress_chunk2(ndim, stream, len, nx, ny, nz, 64, out);
+}
+
+// Strided whole-volume variants: gather/scatter the chunk block directly
+// from/to the caller's volume (vnx*vny*vnz, x fastest), fusing the Python
+// layer's block copy into the native pass (SPERR3D_OMP_C.cpp:236-261 /
+// SPERR3D_OMP_D.cpp:167-184 equivalents).
+// `src`/`dst` point at the volume base; f32 iff is_float/prec 32.
+int64_t st_compress_chunk_strided(const void* src, int is_float, uint64_t vnx,
+                                  uint64_t vny, uint64_t x0, uint64_t y0,
+                                  uint64_t z0, uint64_t lx, uint64_t ly,
+                                  uint64_t lz, int mode, double quality,
+                                  int precision, uint8_t** out) {
+  size_t n = size_t(lx) * ly * lz;
+  auto gather = [&](auto* vals) {
+    size_t idx = 0;
+    for (size_t z = z0; z < z0 + lz; z++)
+      for (size_t y = y0; y < y0 + ly; y++) {
+        size_t base = (z * vny + y) * vnx + x0;
+        if (is_float) {
+          const float* p = static_cast<const float*>(src) + base;
+          for (size_t x = 0; x < lx; x++) vals[idx++] = p[x];
+        } else {
+          const double* p = static_cast<const double*>(src) + base;
+          for (size_t x = 0; x < lx; x++) vals[idx++] = p[x];
+        }
+      }
+  };
+  std::vector<uint8_t> stream;
+  if (precision == 32) {
+    rvec<float> vals(n);
+    gather(vals.data());
+    stream = compress_chunk<float>(3, vals, lx, ly, lz, mode, quality);
+  } else {
+    rvec<double> vals(n);
+    gather(vals.data());
+    stream = compress_chunk<double>(3, vals, lx, ly, lz, mode, quality);
+  }
+  uint8_t* buf = static_cast<uint8_t*>(std::malloc(stream.size()));
+  if (!buf) return -1;
+  std::memcpy(buf, stream.data(), stream.size());
+  *out = buf;
+  return int64_t(stream.size());
+}
+
+int64_t st_decompress_chunk_strided(const uint8_t* stream, uint64_t len,
+                                    uint64_t vnx, uint64_t vny, uint64_t x0,
+                                    uint64_t y0, uint64_t z0, uint64_t lx,
+                                    uint64_t ly, uint64_t lz, int precision,
+                                    void* dst) {
+  size_t n = size_t(lx) * ly * lz;
+  auto scatter = [&](const auto* vals) {
+    using T = std::remove_cv_t<std::remove_pointer_t<decltype(vals)>>;
+    size_t idx = 0;
+    for (size_t z = z0; z < z0 + lz; z++)
+      for (size_t y = y0; y < y0 + ly; y++) {
+        T* p = static_cast<T*>(dst) + (z * vny + y) * vnx + x0;
+        for (size_t x = 0; x < lx; x++) p[x] = vals[idx++];
+      }
+  };
+  if (precision == 32) {
+    rvec<float> buf(n);
+    int rtn = decompress_chunk<float>(3, stream, len, lx, ly, lz, buf.data());
+    if (rtn < 0) return rtn;
+    scatter(buf.data());
+  } else {
+    rvec<double> buf(n);
+    int rtn = decompress_chunk<double>(3, stream, len, lx, ly, lz, buf.data());
+    if (rtn < 0) return rtn;
+    scatter(buf.data());
+  }
+  return 0;
 }
 
 }  // extern "C"

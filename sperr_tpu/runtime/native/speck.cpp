@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 #if defined(__GNUC__)
@@ -28,6 +29,37 @@
 #endif
 
 namespace {
+
+// Allocator that default-initializes (no zeroing for trivial types): big
+// scratch buffers that are fully overwritten skip a redundant memory sweep.
+template <typename T>
+class NoInit {
+ public:
+  using value_type = T;
+  NoInit() = default;
+  template <class U>
+  constexpr NoInit(const NoInit<U>&) noexcept {}
+  T* allocate(size_t n) { return std::allocator<T>{}.allocate(n); }
+  void deallocate(T* p, size_t n) { std::allocator<T>{}.deallocate(p, n); }
+  template <class U>
+  void construct(U* p) noexcept {
+    ::new (static_cast<void*>(p)) U;
+  }
+  template <class U, class... Args>
+  void construct(U* p, Args&&... args) {
+    ::new (static_cast<void*>(p)) U(std::forward<Args>(args)...);
+  }
+};
+template <class T, class U>
+bool operator==(const NoInit<T>&, const NoInit<U>&) {
+  return true;
+}
+template <class T, class U>
+bool operator!=(const NoInit<T>&, const NoInit<U>&) {
+  return false;
+}
+template <typename T>
+using rvec = std::vector<T, NoInit<T>>;
 
 // ----------------------------------------------------------------- bit io --
 struct BitSink {
@@ -226,7 +258,7 @@ template <bool ENC, typename U>
 struct Codec3D {
   size_t nx, ny, nz, n;
   std::vector<U> coeff;          // ENC: working copy (mutated); DEC: output
-  std::vector<uint8_t> msb;      // ENC only: msb+1 per coeff, Morton order
+  rvec<uint8_t> msb;             // ENC only: msb+1 per coeff, Morton order
   const uint8_t* signs_in = nullptr;  // ENC
   uint8_t* signs_out = nullptr;       // DEC (preset to 1)
   Mask lip, lsp;
@@ -602,7 +634,7 @@ template <bool ENC, typename U>
 struct Codec2D {
   size_t nx, ny, n;
   std::vector<U> coeff;
-  std::vector<uint8_t> msb;  // row-major msb+1 (ENC)
+  rvec<uint8_t> msb;  // row-major msb+1 (ENC)
   const uint8_t* signs_in = nullptr;
   uint8_t* signs_out = nullptr;
   Mask lip, lsp;
