@@ -99,6 +99,11 @@ void interleave(const F* src, size_t n, F* dst) {
   for (size_t i = 0; i < n / 2; i++) dst[2 * i + 1] = src[el + i];
 }
 
+struct OutlierList {
+  std::vector<uint64_t> pos;
+  std::vector<double> err;
+};
+
 template <typename F>
 struct Wavelet {
   std::vector<F> tmp, tmp2;
@@ -110,6 +115,51 @@ struct Wavelet {
       deinterleave(row, len, tmp.data());
       lift_fwd(tmp.data(), len);
       std::memcpy(row, tmp.data(), len * sizeof(F));
+    }
+  }
+  // Level-0 forward x-pass with the conditioner fused: reads raw rows,
+  // subtracts the mean (mirroring the conditioned value into `orig`), then
+  // lifts — the separate subtract+copy sweep disappears.  Values identical.
+  void fwd_axis_x_sub(F* p, size_t len, size_t rows, size_t row_stride, F mean,
+                      F* orig) {
+    tmp.resize(len);
+    std::vector<F>& sub = tmp2;
+    sub.resize(len);
+    for (size_t r = 0; r < rows; r++) {
+      F* row = p + r * row_stride;
+      F* og = orig + r * row_stride;
+      for (size_t i = 0; i < len; i++) {
+        F v = row[i] - mean;
+        sub[i] = v;
+        og[i] = v;
+      }
+      deinterleave(sub.data(), len, tmp.data());
+      lift_fwd(tmp.data(), len);
+      std::memcpy(row, tmp.data(), len * sizeof(F));
+    }
+  }
+  // Level-0 inverse x-pass with the PWE outlier scan fused: right after a
+  // row is reconstructed (cache-hot), compare against the conditioned
+  // original and collect outliers in ascending global-index order.
+  // `orig_plane` aligns with `p`; `global_base` = linear index of p[0].
+  void inv_axis_x_outliers(F* p, size_t len, size_t rows, size_t row_stride,
+                           const F* orig_plane, size_t global_base, double tol,
+                           OutlierList* out) {
+    tmp.resize(len);
+    for (size_t r = 0; r < rows; r++) {
+      F* row = p + r * row_stride;
+      lift_inv(row, len);
+      interleave(row, len, tmp.data());
+      std::memcpy(row, tmp.data(), len * sizeof(F));
+      const F* og = orig_plane + r * row_stride;
+      size_t base = global_base + r * row_stride;
+      for (size_t i = 0; i < len; i++) {
+        double d = double(og[i]) - double(row[i]);
+        if (std::fabs(d) > tol) {
+          out->pos.push_back(base + i);
+          out->err.push_back(d);
+        }
+      }
     }
   }
   void inv_axis_x(F* p, size_t len, size_t rows, size_t row_stride) {
@@ -205,6 +255,38 @@ struct Wavelet {
     }
   }
 
+  // Dyadic 3D forward with the conditioner fused into the level-0 x-pass
+  // (see fwd_axis_x_sub).  Returns false for wavelet-packet dims, where the
+  // caller must pre-subtract and call dwt3d.
+  bool dwt3d_fused_sub(F* v, size_t nx, size_t ny, size_t nz, F mean, F* orig) {
+    size_t dy_lev = 0;
+    if (!can_use_dyadic(nx, ny, nz, &dy_lev)) return false;
+    for (size_t lev = 0; lev < dy_lev; lev++) {
+      size_t lx, ly, lz, d;
+      approx_detail(nx, lev, &lx, &d);
+      approx_detail(ny, lev, &ly, &d);
+      approx_detail(nz, lev, &lz, &d);
+      for (size_t z = 0; z < lz; z++) {
+        if (lev == 0)
+          fwd_axis_x_sub(v + z * nx * ny, lx, ly, nx, mean, orig + z * nx * ny);
+        else
+          fwd_axis_x(v + z * nx * ny, lx, ly, nx);
+        fwd_axis_strided(v + z * nx * ny, ly, lx, 1, nx);
+      }
+      for (size_t y = 0; y < ly; y++)
+        fwd_axis_strided(v + y * nx, lz, lx, 1, nx * ny);
+    }
+    if (dy_lev == 0) {  // no transform levels: conditioner still applies
+      const size_t n = nx * ny * nz;
+      for (size_t i = 0; i < n; i++) {
+        F t = v[i] - mean;
+        v[i] = t;
+        orig[i] = t;
+      }
+    }
+    return true;
+  }
+
   void dwt3d(F* v, size_t nx, size_t ny, size_t nz) {
     size_t dy_lev = 0;
     if (can_use_dyadic(nx, ny, nz, &dy_lev)) {
@@ -229,6 +311,43 @@ struct Wavelet {
       size_t xyl = num_of_xforms(nx < ny ? nx : ny);
       for (size_t z = 0; z < nz; z++) dwt2d(v + z * nx * ny, nx, ny, xyl, nx);
     }
+  }
+
+  // Dyadic 3D inverse with the PWE outlier scan fused into the level-0
+  // x-pass (rows compared cache-hot; ascending positions).  Returns false
+  // for wavelet-packet dims.
+  bool idwt3d_fused_outliers(F* v, size_t nx, size_t ny, size_t nz,
+                             const F* orig, double tol, OutlierList* out) {
+    size_t dy_lev = 0;
+    if (!can_use_dyadic(nx, ny, nz, &dy_lev)) return false;
+    if (dy_lev == 0) {  // no transform levels: compare directly
+      const size_t n = nx * ny * nz;
+      for (size_t i = 0; i < n; i++) {
+        double d = double(orig[i]) - double(v[i]);
+        if (std::fabs(d) > tol) {
+          out->pos.push_back(i);
+          out->err.push_back(d);
+        }
+      }
+      return true;
+    }
+    for (size_t lev = dy_lev; lev > 0; lev--) {
+      size_t lx, ly, lz, d;
+      approx_detail(nx, lev - 1, &lx, &d);
+      approx_detail(ny, lev - 1, &ly, &d);
+      approx_detail(nz, lev - 1, &lz, &d);
+      for (size_t y = 0; y < ly; y++)
+        inv_axis_strided(v + y * nx, lz, lx, 1, nx * ny);
+      for (size_t z = 0; z < lz; z++) {
+        inv_axis_strided(v + z * nx * ny, ly, lx, 1, nx);
+        if (lev == 1)
+          inv_axis_x_outliers(v + z * nx * ny, lx, ly, nx, orig + z * nx * ny,
+                              z * nx * ny, tol, out);
+        else
+          inv_axis_x(v + z * nx * ny, lx, ly, nx);
+      }
+    }
+    return true;
   }
 
   void idwt3d(F* v, size_t nx, size_t ny, size_t nz) {
@@ -463,10 +582,6 @@ bool idwt3d_lazy(const U* mags, const uint8_t* signs, F q, F* v, size_t nx,
 }
 
 // ------------------------------------------------------------- outliers ---
-struct OutlierList {
-  std::vector<uint64_t> pos;
-  std::vector<double> err;
-};
 
 template <typename U>
 std::vector<uint8_t> speck_encode_vec(int ndim, const U* mags,
@@ -566,12 +681,19 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
   F mean = strided_mean(vals.data(), n);
   rvec<F> orig;
   double param = 0.0;
-  if (mode == 3) {  // pwe: fuse mean-subtract with the conditioned-copy
+  Wavelet<F> wav;
+  bool transformed = false;
+  if (mode == 3) {  // pwe: fuse mean-subtract+copy into the level-0 DWT pass
     orig.resize(n);
-    for (size_t i = 0; i < n; i++) {
-      F v = vals[i] - mean;
-      vals[i] = v;
-      orig[i] = v;
+    if (ndim == 3)
+      transformed =
+          wav.dwt3d_fused_sub(vals.data(), nx, ny, nz, mean, orig.data());
+    if (!transformed) {
+      for (size_t i = 0; i < n; i++) {
+        F v = vals[i] - mean;
+        vals[i] = v;
+        orig[i] = v;
+      }
     }
   } else {
     for (size_t i = 0; i < n; i++) vals[i] -= mean;
@@ -585,7 +707,7 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
     param = double(mx - mn);
   }
 
-  wavelet_fwd(ndim, vals.data(), nx, ny, nz);
+  if (!transformed) wavelet_fwd(ndim, vals.data(), nx, ny, nz);
 
   if (mode == 1) {  // rate: largest |coeff|
     size_t arg = 0;
@@ -616,13 +738,18 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
         rvec<F> rec(n);
         quantize_into_with_rec<F, U>(vals.data(), n, F(q), mags, signs,
                                      rec.data());
-        wavelet_inv(ndim, rec.data(), nx, ny, nz);
         OutlierList los;
-        for (size_t i = 0; i < n; i++) {
-          double d = double(orig[i]) - double(rec[i]);
-          if (std::fabs(d) > quality) {
-            los.pos.push_back(i);
-            los.err.push_back(d);
+        bool fused = ndim == 3 && wav.idwt3d_fused_outliers(
+                                      rec.data(), nx, ny, nz, orig.data(),
+                                      quality, &los);
+        if (!fused) {
+          wavelet_inv(ndim, rec.data(), nx, ny, nz);
+          for (size_t i = 0; i < n; i++) {
+            double d = double(orig[i]) - double(rec[i]);
+            if (std::fabs(d) > quality) {
+              los.pos.push_back(i);
+              los.err.push_back(d);
+            }
           }
         }
         if (!los.pos.empty()) outlier_stream = encode_outliers(los, n, quality);
