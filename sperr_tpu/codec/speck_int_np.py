@@ -607,7 +607,9 @@ class SpeckInt1D(_SpeckIntBase):
         n = self.dims[0]
         # +1 slack level: zero-length sets produced by partitioning length-1
         # sets land one level deeper; an empty extra list emits nothing.
-        num_levels = num_of_partitions(n) + 2
+        # +2 slack: a length-1 set splits into [pixel, empty] one level deeper
+        # than the partition count suggests (n == 1 needs 3 levels).
+        num_levels = num_of_partitions(n) + 3
         self.lis = [[] for _ in range(num_levels)]
         subs, lev = _partition_1d([0, n], 0)
         self.lis[lev].append(subs[0])

@@ -368,6 +368,10 @@ class _EncWalk:
         self.node_s = node_s
         self.s_lin = s_lin
         self.signs = signs
+        # 1D partition trees contain zero-length child sets: they emit their
+        # decision bit once (at creation / first walk) and are then dropped,
+        # mirroring the serial clean_lis (speck.cpp Codec1D).
+        self.alive = getattr(tree, "node_alive", None)
         self.lists = [np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)]
         self.born: List[List[int]] = [[] for _ in range(tree.nlevels)]
 
@@ -397,7 +401,7 @@ class _EncWalk:
                 if sig:
                     counter += 1
                     self.code_s(r, p, bits)
-                else:
+                elif self.alive is None or self.alive[r]:
                     self.born[int(t.node_level[r])].append(r)
 
     def lis_pass(self, p: int, i_hook=None) -> np.ndarray:
@@ -426,7 +430,10 @@ class _EncWalk:
                     prev = pos + 1
                 bits.zeros(arr.size - prev)
             # survivors; this-pass appends stay in born[] until next visit
-            self.lists[t] = arr[sp > p]
+            keep = sp > p
+            if self.alive is not None:
+                keep &= self.alive[arr]
+            self.lists[t] = arr[keep]
         if i_hook is not None:
             i_hook(p, bits)
         return bits.concat()
@@ -473,6 +480,7 @@ class _DecWalk:
         self.contrib = np.zeros(n, dtype=np.int64)
         self.signs = np.ones(n, dtype=bool)
         self.lip = np.zeros(n, dtype=bool)
+        self.alive = getattr(tree, "node_alive", None)
         self.lists = [np.empty(0, dtype=np.int64) for _ in range(tree.nlevels)]
         self.born: List[List[int]] = [[] for _ in range(tree.nlevels)]
 
@@ -518,7 +526,7 @@ class _DecWalk:
                 if sig:
                     counter += 1
                     self.code_s(r, p)
-                else:
+                elif self.alive is None or self.alive[r]:
                     self.born[int(t.node_level[r])].append(r)
 
     def lip_pass(self, p: int) -> None:
@@ -562,12 +570,12 @@ class _DecWalk:
                 sig_at.append(i + j)
                 self.code_s(int(arr[i + j]), p)
                 i += j + 1
+            keep = np.ones(nl0, dtype=bool)
             if sig_at:
-                keep = np.ones(nl0, dtype=bool)
                 keep[sig_at] = False
-                self.lists[t] = arr[keep]
-            else:
-                self.lists[t] = arr
+            if self.alive is not None:
+                keep &= self.alive[arr]
+            self.lists[t] = arr[keep]
         if i_hook is not None:
             i_hook(p)
 
@@ -642,14 +650,19 @@ def compute_node_max(tree, pmsb: np.ndarray) -> np.ndarray:
     node_max = np.zeros(nn, dtype=np.int16)
     px_msb = pmsb[tree.px_linear]  # per pixel slot
     for lo, hi in reversed(tree.node_depth_ranges):
+        counts = tree.node_ch_count[lo:hi]
         s0 = tree.node_ch_start[lo]
-        s1 = tree.node_ch_start[hi - 1] + tree.node_ch_count[hi - 1]
+        s1 = tree.node_ch_start[hi - 1] + counts[-1]
+        if s1 == s0:  # depth of childless (zero-length 1D) nodes only
+            continue
         refs = tree.ch_ref[s0:s1]
         ispx = tree.ch_is_pixel[s0:s1]
         vals = np.where(ispx, px_msb[np.where(ispx, refs, 0)],
                         node_max[np.where(ispx, 0, refs)])
         starts = (tree.node_ch_start[lo:hi] - s0).astype(np.int64)
-        node_max[lo:hi] = np.maximum.reduceat(vals, starts)
+        seg = np.maximum.reduceat(vals, np.minimum(starts, vals.size - 1))
+        seg[counts == 0] = 0  # empty reduceat segments alias the next node
+        node_max[lo:hi] = seg
     return node_max
 
 
@@ -1066,14 +1079,202 @@ def decode_2d(
     return w.reconstruct()
 
 
+# ===========================================================================
+# 1D variant: binary interval partitions (reference SPECK1D_INT*.cpp).  The
+# serial coder's position-inference optimization (first-significant-offset
+# deciding both halves, SPECK1D_INT_ENC.cpp:74-95) only saves *computation*;
+# the emitted bits follow the same last-child-skip rule the shared walks
+# implement.  One 1D quirk: partitioning a length-1 set produces an empty
+# second half that emits a single decision bit and is then dropped — modeled
+# with the walks' node_alive mask.
+# ===========================================================================
+class Tree1:
+    __slots__ = (
+        "dims", "n", "nlevels",
+        "node_level", "node_ch_start", "node_ch_count", "node_depth_ranges",
+        "ch_is_pixel", "ch_ref", "px_linear", "px_parent",
+        "root_ids", "root_levels", "node_alive",
+    )
+
+
+_TREES1: Dict[int, "Tree1"] = {}
+
+
+def build_tree1(n: int) -> "Tree1":
+    n = int(n)
+    t = _TREES1.get(n)
+    if t is not None:
+        return t
+    a = n - n // 2
+    # roots at level 1: [0, a) and [a, n) — the latter may be empty (n == 1)
+    roots = [(0, a), (a, n - a)]
+    nlevels = num_of_partitions(n) + 2
+
+    node_start = [np.array([r[0] for r in roots], dtype=np.int64)]
+    node_len = [np.array([r[1] for r in roots], dtype=np.int64)]
+    node_level = [np.full(len(roots), 1, dtype=np.int16)]
+    depth_ranges = [(0, len(roots))]
+    ch_is_pixel: List[np.ndarray] = []
+    ch_ref: List[np.ndarray] = []
+    ch_counts: List[np.ndarray] = []
+    px_linear: List[np.ndarray] = []
+    px_parent: List[np.ndarray] = []
+
+    f_start, f_len = node_start[0], node_len[0]
+    f_lev = node_level[0].astype(np.int64)
+    f_ids = np.arange(len(roots), dtype=np.int64)
+    n_nodes, n_px = len(roots), 0
+
+    while f_ids.size:
+        live = f_len > 0  # empty sets have no children
+        K = f_ids.size
+        ca = f_len - f_len // 2
+        cst = np.stack([f_start, f_start + ca], axis=1)
+        cln = np.stack([ca, f_len - ca], axis=1)
+        # children exist only for parents with len >= 2 (pixels and empties
+        # terminate); a len-1 parent still splits into [pixel, empty] halves
+        has_kids = f_len >= 1
+        ne = np.where(has_kids[:, None], cln, -1)  # -1 marks "no row"
+        flat_ne = ne.ravel()
+        fv = np.flatnonzero(flat_ne >= 0)
+        ne_v = flat_ne[fv]
+        px_mask = ne_v == 1
+        dead_or_node = ~px_mask  # len 0 (dead) or len >= 2 (node)
+        rows_ref = np.empty(fv.size, dtype=np.int64)
+
+        fpx = fv[px_mask]
+        lin = cst.ravel()[fpx]
+        rows_ref[px_mask] = n_px + np.arange(fpx.size)
+        px_linear.append(lin)
+        px_parent.append(f_ids[fpx >> 1])
+        n_px += fpx.size
+
+        fnd = fv[dead_or_node]
+        nnd = fnd.size
+        rows_ref[dead_or_node] = n_nodes + np.arange(nnd)
+        ch_is_pixel.append(px_mask)
+        ch_ref.append(rows_ref)
+        ch_counts.append(np.where(live, 2, 0).astype(np.int64))
+
+        node_start.append(cst.ravel()[fnd])
+        node_len.append(cln.ravel()[fnd])
+        node_level.append((np.repeat(f_lev, 2)[fnd] + 1).astype(np.int16))
+        depth_ranges.append((n_nodes, n_nodes + nnd))
+        n_nodes += nnd
+
+        f_start = cst.ravel()[fnd]
+        f_len = cln.ravel()[fnd]
+        f_lev = np.repeat(f_lev, 2)[fnd] + 1
+        f_ids = np.arange(n_nodes - nnd, n_nodes, dtype=np.int64)
+
+    t = Tree1()
+    t.dims = (n, 1, 1)
+    t.n = n
+    t.nlevels = nlevels + 2  # slack for deep odd splits
+    lv = np.concatenate(node_level).astype(np.int16)
+    t.node_level = lv
+    counts = np.concatenate(ch_counts)
+    t.node_ch_count = counts
+    t.node_ch_start = np.cumsum(counts) - counts
+    t.node_depth_ranges = [r for r in depth_ranges if r[1] > r[0]]
+    t.ch_is_pixel = np.concatenate(ch_is_pixel) if ch_is_pixel else np.empty(0, bool)
+    t.ch_ref = np.concatenate(ch_ref) if ch_ref else np.empty(0, np.int64)
+    t.px_linear = np.concatenate(px_linear) if px_linear else np.empty(0, np.int64)
+    t.px_parent = np.concatenate(px_parent) if px_parent else np.empty(0, np.int64)
+    t.root_ids = np.arange(len(roots), dtype=np.int64)
+    t.root_levels = np.full(len(roots), 1, dtype=np.int16)
+    alive = np.concatenate(node_len) > 0
+    t.node_alive = alive
+    if lv.max(initial=0) >= t.nlevels:
+        t.nlevels = int(lv.max()) + 1
+    _TREES1[n] = t
+    return t
+
+
+def encode_1d(
+    mags: np.ndarray, signs: np.ndarray, n: int, budget_bits: int = 0
+) -> bytes:
+    """1D wavefront encoder; byte-identical to the serial engines."""
+    n = int(n)
+    mags = np.ascontiguousarray(mags).reshape(n)
+    signs = np.ascontiguousarray(signs).reshape(n).astype(bool)
+    tree = build_tree1(n)
+
+    pmsb = msbp1(mags)
+    num_bp = int(pmsb.max()) if n else 0
+    if num_bp == 0:
+        return _pack_stream(np.empty(0, np.uint8), 0, 0)
+    budget = (budget_bits + 7) // 8 * 8 if budget_bits else None
+
+    node_max = compute_node_max(tree, pmsb)
+    node_s = np.where(
+        (node_max > 0) & tree.node_alive, num_bp - node_max, _NEVER
+    ).astype(np.int32)
+    s_lin = np.where(pmsb > 0, num_bp - pmsb, _NEVER).astype(np.int32)
+    e_lin = np.full(n, _NEVER, dtype=np.int32)
+    e_lin[tree.px_linear] = node_s[tree.px_parent]
+    cand = np.flatnonzero((e_lin < num_bp) & (s_lin > e_lin))
+    ce, cs = e_lin[cand], s_lin[cand]
+    csign = signs[cand]
+    rnz = np.flatnonzero(pmsb > 0)
+    rs = s_lin[rnz]
+    rmag = mags[rnz].astype(np.uint64)
+
+    walk = _EncWalk(tree, node_s, s_lin, signs)
+    for rid in tree.root_ids:
+        walk.add_root(int(rid), int(tree.root_levels[rid]))
+
+    segments: List[np.ndarray] = []
+    total = 0
+    stop = False
+    for p in range(num_bp):
+        lip_bits = _lip_segment(ce, cs, csign, p)
+        lis_bits = walk.lis_pass(p)
+        segments.append(lip_bits)
+        segments.append(lis_bits)
+        total += lip_bits.size + lis_bits.size
+        if budget is not None and total >= budget:
+            stop = True
+        if not stop:
+            rm = rs < p
+            rbits = (
+                (rmag[rm] >> np.uint64(num_bp - 1 - p)) & np.uint64(1)
+            ).astype(np.uint8)
+            segments.append(rbits)
+            total += rbits.size
+            if budget is not None and total >= budget:
+                stop = True
+        if stop:
+            break
+    allbits = np.concatenate(segments) if segments else np.empty(0, np.uint8)
+    return _pack_stream(allbits, total, num_bp, budget)
+
+
+def decode_1d(stream: bytes, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """1D wavefront decoder (full or truncated streams)."""
+    n = int(n)
+    tree = build_tree1(n)
+    num_bp = stream[0]
+    if num_bp == 0:
+        return np.zeros(n, dtype=np.uint64), np.ones(n, dtype=bool)
+    w = _DecWalk(tree, bytes(stream), n, num_bp)
+    for rid in tree.root_ids:
+        w.add_root(int(rid), int(tree.root_levels[rid]))
+    w.run()
+    return w.reconstruct()
+
+
 __all__ = [
     "encode_3d",
     "decode_3d",
     "encode_2d",
     "decode_2d",
+    "encode_1d",
+    "decode_1d",
     "stitch_3d",
     "compute_node_max",
     "build_tree",
     "build_tree2",
+    "build_tree1",
     "msbp1",
 ]

@@ -22,9 +22,8 @@ from ..codec import speck_int_np as sp
 
 class WaveEngine:
     """Wavefront engine (codec/speck_wave.py): vectorized per-bitplane passes
-    for 2D/3D; 1D falls back to the serial NumPy engine.  Byte-identical
-    streams; this is the array-oriented re-architecture whose pixel segments
-    map 1:1 onto TPU vector ops."""
+    for all of 1D/2D/3D.  Byte-identical streams; this is the array-oriented
+    re-architecture whose pixel segments map 1:1 onto TPU vector ops."""
 
     name = "wave"
 
@@ -35,7 +34,7 @@ class WaveEngine:
             return sw.encode_3d(mags, signs, dims, budget_bits)
         if ndim == 2:
             return sw.encode_2d(mags, signs, dims[:2], budget_bits)
-        return NumpyEngine().encode(ndim, mags, signs, dims, width, budget_bits)
+        return sw.encode_1d(mags, signs, dims[0], budget_bits)
 
     def decode(self, ndim, stream, dims, width) -> Tuple[np.ndarray, np.ndarray]:
         from ..codec import speck_wave as sw
@@ -44,13 +43,17 @@ class WaveEngine:
             return sw.decode_3d(bytes(stream), dims)
         if ndim == 2:
             return sw.decode_2d(bytes(stream), dims[:2])
-        return NumpyEngine().decode(ndim, stream, dims, width)
+        return sw.decode_1d(bytes(stream), dims[0])
 
     def encode_1d(self, mags, signs, total_len, width) -> bytes:
-        return NumpyEngine().encode_1d(mags, signs, total_len, width)
+        from ..codec import speck_wave as sw
+
+        return sw.encode_1d(mags, signs, total_len, 0)
 
     def decode_1d(self, stream, total_len, width):
-        return NumpyEngine().decode_1d(stream, total_len, width)
+        from ..codec import speck_wave as sw
+
+        return sw.decode_1d(bytes(stream), total_len)
 
 
 class NumpyEngine:

@@ -983,7 +983,9 @@ struct Codec1D {
   enum Sig { INSIG = 0, SIG = 1, DUNNO = 2 };
 
   void init_lists() {
-    size_t levels = num_of_partitions(n) + 2;  // +1 slack for len-1 set splits
+    // +2 slack: a length-1 set splits into [pixel, empty] one level deeper
+    // than the partition count suggests (n == 1 needs 3 levels).
+    size_t levels = num_of_partitions(n) + 3;
     lis.assign(levels, {});
     uint64_t a = n - n / 2;
     lis[1].push_back({0, a});

@@ -172,6 +172,57 @@ def test_encode_2d_budget_parity():
         )
 
 
+# ---------------------------------------------------------------------------
+# 1D variant (binary interval partitions; SPECK1D_INT*.cpp)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("n", [1, 2, 3, 8, 13, 64, 1000, 4096])
+def test_encode_1d_byte_parity(n):
+    rng = np.random.default_rng(n)
+    for density in (0.05, 0.5):
+        mags, signs = _random_case(rng, n, density)
+        ref = bytes(ENG.encode(1, mags, signs, (n, 1, 1), 64, 0))
+        got = bytes(sw.encode_1d(mags, signs, n, 0))
+        assert got == ref
+
+
+@pytest.mark.parametrize("n", [13, 1000, 4096])
+def test_decode_1d_truncated_parity(n):
+    rng = np.random.default_rng(n + 1)
+    mags, signs = _random_case(rng, n, 0.3)
+    stream = bytes(ENG.encode(1, mags, signs, (n, 1, 1), 64, 0))
+    for frac in (0.1, 0.5, 1.0):
+        ln = max(10, int(len(stream) * frac))
+        m1, s1 = ENG.decode(1, stream[:ln], (n, 1, 1), 64)
+        m2, s2 = sw.decode_1d(stream[:ln], n)
+        np.testing.assert_array_equal(m1.astype(np.uint64), m2)
+        np.testing.assert_array_equal(s1, s2)
+
+
+def test_1d_outlier_coder_with_wave_engine():
+    """The outlier corrector runs on the 1D coder; the wave engine must
+    interoperate byte-for-byte."""
+    from sperr_tpu.codec import outlier as om
+    from sperr_tpu.runtime import engine as eng_mod
+
+    rng = np.random.default_rng(5)
+    total = 5000
+    pos = np.sort(rng.choice(total, 40, replace=False))
+    errs = rng.normal(scale=3e-3, size=40)
+    tol = 1e-3
+    ref = bytes(om.encode_outliers(pos, errs, total, tol))
+    p1, c1 = om.decode_outliers(ref, total, tol)
+    old = eng_mod._default
+    try:
+        eng_mod.set_default_engine(eng_mod.WaveEngine())
+        got = bytes(om.encode_outliers(pos, errs, total, tol))
+        p2, c2 = om.decode_outliers(got, total, tol)
+    finally:
+        eng_mod.set_default_engine(old)
+    assert got == ref
+    np.testing.assert_array_equal(p2, p1)
+    np.testing.assert_array_equal(c2, c1)
+
+
 def test_wave_engine_2d_path():
     eng = WaveEngine()
     rng = np.random.default_rng(23)
