@@ -572,20 +572,18 @@ struct Codec3D {
     sink.reserve_bits(n);
     init_lists();
 
-    U maxc = 0;
-    for (size_t i = 0; i < n; i++)
-      if (coeff[i] > maxc) maxc = coeff[i];
-    if (maxc == 0) {
+    // num_bitplanes = msb(max coeff)+1, from the deposit's memoized
+    // per-set maxima (no extra full scan)
+    unsigned maxb = 0;
+    for (auto& lst : lis)
+      for (auto& s : lst) maxb = s.mx > maxb ? s.mx : maxb;
+    if (maxb == 0) {
       num_bitplanes = 0;
       total_bits = 0;
       return;
     }
-    num_bitplanes = 1;
-    threshold = 1;
-    while (U(maxc - threshold) >= threshold) {
-      threshold = U(threshold * U(2));
-      num_bitplanes++;
-    }
+    num_bitplanes = uint8_t(maxb);
+    threshold = U(maxb >= 64 ? ~U(0) - (~U(0) >> 1) : U(U(1) << (maxb - 1)));
     for (unsigned bp = 0; bp < num_bitplanes; bp++) {
       thr_msbp1 = msb_pos(uint64_t(threshold)) + 1;
       sorting_pass();
@@ -906,20 +904,18 @@ struct Codec2D {
     lsp_new.clear();
     sink.reserve_bits(n);
     init_lists();
-    U maxc = 0;
-    for (size_t i = 0; i < n; i++)
-      if (coeff[i] > maxc) maxc = coeff[i];
-    if (maxc == 0) {
+    // num_bitplanes = msb(max coeff)+1, from the deposit's memoized
+    // per-set maxima (no extra full scan)
+    unsigned maxb = i_mx;
+    for (auto& lst : lis)
+      for (auto& s : lst) maxb = s.mx > maxb ? s.mx : maxb;
+    if (maxb == 0) {
       num_bitplanes = 0;
       total_bits = 0;
       return;
     }
-    num_bitplanes = 1;
-    threshold = 1;
-    while (U(maxc - threshold) >= threshold) {
-      threshold = U(threshold * U(2));
-      num_bitplanes++;
-    }
+    num_bitplanes = uint8_t(maxb);
+    threshold = U(maxb >= 64 ? ~U(0) - (~U(0) >> 1) : U(U(1) << (maxb - 1)));
     for (unsigned bp = 0; bp < num_bitplanes; bp++) {
       thr_msbp1 = msb_pos(uint64_t(threshold)) + 1;
       sorting_pass();
