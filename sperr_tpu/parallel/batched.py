@@ -39,6 +39,7 @@ from ..utils.dims import chunk_volume
 from ..utils.packing import pack_8_booleans
 
 _MODES = ("psnr", "pwe", "rate")
+_WAVE_NEVER = 0x7FFF  # matches codec.speck_wave._NEVER
 
 
 def make_chunk_mesh(devices=None) -> Mesh:
@@ -139,32 +140,51 @@ def _dense_encode_wave(
     out, ll = _encode_core(batch, mode, quality, cap, out_cap)
     B, n = ll.shape
     ti = sj.tree_index(dims3)
-    cap_lip = ((2 * n + 7) // 8) * 8
-    cap_ref = ((n + 7) // 8) * 8
+    # total bytes for the concatenated segments, sized by the candidate cap;
+    # overflow (counted on device) falls back to host entropy
+    cap_total = min(n, (2 * cap * (num_bp_cap + 4)) // 8 + 8)
 
     def one(row, sgn_row):
         mags = jnp.abs(row).astype(jnp.uint32)
         pm = sj.msbp1_device(mags)
         num_bp = jnp.max(pm)
         s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
-        lip, lip_c, ref, ref_c = sj.pass_segments_packed(
-            mags, sgn_row, s, e, num_bp, num_bp_cap, cap_lip, cap_ref
+        # candidate compaction: only ever-exposed pixels emit LIP/refinement
+        # bits, and nonzero ascending indices preserve the emission order —
+        # per-pass work shrinks from O(n) to O(significant neighborhood)
+        exposed = e < num_bp
+        n_exp = jnp.sum(exposed).astype(jnp.int32)
+        (ci,) = jnp.nonzero(exposed, size=cap, fill_value=n)
+        ok = ci < n
+        cis = jnp.minimum(ci, n - 1)
+        s_c = jnp.where(ok, s[cis], _WAVE_NEVER)
+        e_c = jnp.where(ok, e[cis], _WAVE_NEVER)
+        m_c = jnp.where(ok, mags[cis], 0)
+        g_c = jnp.where(ok, sgn_row[cis], False)
+        lip, lip_c, ref, ref_c = sj.pass_segments_packed_sparse(
+            m_c, g_c, s_c, e_c, num_bp, num_bp_cap
         )
+        # one stream-sized transfer: concatenate all byte-aligned segments
+        lip_buf, _, lip_total = sj.concat_segments(lip, lip_c, cap_total)
+        ref_buf, _, ref_total = sj.concat_segments(ref, ref_c, cap_total)
         # compact nonzero node maxes (sparse set-significance oracle)
         (nid,) = jnp.nonzero(nm > 0, size=cap, fill_value=nm.shape[0])
         nmax = jnp.where(
             nid < nm.shape[0], nm[jnp.minimum(nid, nm.shape[0] - 1)], 0
         )
         n_nodes = jnp.sum(nm > 0).astype(jnp.int32)
-        return num_bp.astype(jnp.int32), lip, lip_c, ref, ref_c, (
-            nid.astype(jnp.int32)
-        ), nmax.astype(jnp.int32), n_nodes
+        return (
+            num_bp.astype(jnp.int32), lip_buf, lip_c, lip_total, ref_buf,
+            ref_c, ref_total, nid.astype(jnp.int32), nmax.astype(jnp.int32),
+            n_nodes, n_exp,
+        )
 
     signs = ll >= 0
     res = jax.vmap(one)(ll, signs)
     out["wave"] = dict(
-        num_bp=res[0], lip=res[1], lip_c=res[2], ref=res[3], ref_c=res[4],
-        node_id=res[5], node_max=res[6], n_nodes=res[7],
+        num_bp=res[0], lip=res[1], lip_c=res[2], lip_total=res[3],
+        ref=res[4], ref_c=res[5], ref_total=res[6],
+        node_id=res[7], node_max=res[8], n_nodes=res[9], n_exposed=res[10],
     )
     return out
 
@@ -320,15 +340,19 @@ class TpuCompressor3D:
                     (lx, ly, lz),
                 )
                 wdev = res.pop("wave")
-                # counts first, then count-trimmed segment fetches: the
-                # device->host entropy traffic stays stream-sized.
-                wave = {k: np.asarray(jax.device_get(wdev[k]))
-                        for k in ("num_bp", "lip_c", "ref_c", "n_nodes")}
-                lip_b = (int(wave["lip_c"].max()) + 7) // 8 if wave["lip_c"].size else 0
-                ref_b = (int(wave["ref_c"].max()) + 7) // 8 if wave["ref_c"].size else 0
+                # counts first, then total-trimmed fetches of the
+                # concatenated segment buffers: the device->host entropy
+                # traffic is stream-sized.
+                wave = {
+                    k: np.asarray(jax.device_get(wdev[k]))
+                    for k in ("num_bp", "lip_c", "ref_c", "lip_total",
+                              "ref_total", "n_nodes", "n_exposed")
+                }
+                lip_b = int(wave["lip_total"].max()) if wave["lip_total"].size else 0
+                ref_b = int(wave["ref_total"].max()) if wave["ref_total"].size else 0
                 nmax_n = int(wave["n_nodes"].max()) if wave["n_nodes"].size else 0
-                wave["lip"] = np.asarray(jax.device_get(wdev["lip"][:, :, :lip_b]))
-                wave["ref"] = np.asarray(jax.device_get(wdev["ref"][:, :, :ref_b]))
+                wave["lip"] = np.asarray(jax.device_get(wdev["lip"][:, :lip_b]))
+                wave["ref"] = np.asarray(jax.device_get(wdev["ref"][:, :ref_b]))
                 wave["node_id"] = np.asarray(
                     jax.device_get(wdev["node_id"][:, :nmax_n])
                 )
@@ -379,6 +403,7 @@ class TpuCompressor3D:
                     wave is not None
                     and dense is None
                     and int(wave["n_nodes"][k]) <= cap
+                    and int(wave["n_exposed"][k]) <= cap
                     and int(wave["num_bp"][k]) <= self.num_bp_cap
                 )
                 if use_wave:
@@ -446,18 +471,18 @@ class TpuCompressor3D:
         node_max = np.zeros(tree.node_parent.size, dtype=np.int16)
         nnn = int(wave["n_nodes"][k])
         node_max[wave["node_id"][k][:nnn]] = wave["node_max"][k][:nnn]
-        lip_segments = [
-            np.unpackbits(wave["lip"][k][p], bitorder="little")[
-                : int(wave["lip_c"][k][p])
+        def unconcat(buf, bit_counts):
+            bc = (bit_counts.astype(np.int64) + 7) // 8
+            offs = np.cumsum(bc) - bc
+            return [
+                np.unpackbits(
+                    buf[offs[p] : offs[p] + bc[p]], bitorder="little"
+                )[: int(bit_counts[p])]
+                for p in range(num_bp)
             ]
-            for p in range(num_bp)
-        ]
-        ref_segments = [
-            np.unpackbits(wave["ref"][k][p], bitorder="little")[
-                : int(wave["ref_c"][k][p])
-            ]
-            for p in range(num_bp)
-        ]
+
+        lip_segments = unconcat(wave["lip"][k], wave["lip_c"][k])
+        ref_segments = unconcat(wave["ref"][k], wave["ref_c"][k])
         return sw.stitch_3d(
             None, signs_full, node_max, dims3, num_bp,
             lip_segments, ref_segments, budget, s_lin=s_lin,
