@@ -180,56 +180,6 @@ def _packbits_device(bits01: jnp.ndarray) -> jnp.ndarray:
     return (w @ powers).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("num_bp_cap", "cap_lip", "cap_ref"))
-def pass_segments_packed(
-    mags: jnp.ndarray,
-    signs: jnp.ndarray,
-    s: jnp.ndarray,
-    e: jnp.ndarray,
-    num_bp: jnp.ndarray,
-    num_bp_cap: int,
-    cap_lip: int,
-    cap_ref: int,
-):
-    """Memory-lean variant of pass_segments: one pass at a time under
-    lax.scan, cumsum compaction (no argsort), bytes packed on device.
-
-    Returns (lip u8[num_bp_cap, cap_lip//8], lip_counts i32[num_bp_cap],
-             ref u8[num_bp_cap, cap_ref//8], ref_counts i32[num_bp_cap]).
-    Counts are BIT counts; a count above its cap signals overflow (the
-    caller falls back to host segment computation)."""
-    n = mags.shape[0]
-    m32 = mags.astype(jnp.uint32)
-
-    def compact_pack(bits_flat, valid_flat, cap):
-        dst = jnp.cumsum(valid_flat.astype(jnp.int32)) - 1
-        idx = jnp.where(valid_flat, dst, cap)  # drop out-of-range + invalid
-        out01 = jnp.zeros(cap, dtype=jnp.uint8)
-        out01 = out01.at[idx].set(
-            bits_flat.astype(jnp.uint8), mode="drop"
-        )
-        return _packbits_device(out01), jnp.sum(valid_flat).astype(jnp.int32)
-
-    def step(carry, p):
-        active = p < num_bp
-        memb = (e < p) & (s >= p) & active
-        dec = memb & (s == p)
-        bits2 = jnp.stack([dec, signs & dec], axis=1).reshape(-1)
-        valid2 = jnp.stack([memb, dec], axis=1).reshape(-1)
-        lip_row, lip_cnt = compact_pack(bits2, valid2, cap_lip)
-
-        rmemb = (s < p) & active
-        shift = jnp.maximum(num_bp - 1 - p, 0).astype(jnp.uint32)
-        rbit = ((m32 >> shift) & jnp.uint32(1)).astype(bool) & rmemb
-        ref_row, ref_cnt = compact_pack(rbit, rmemb, cap_ref)
-        return carry, (lip_row, lip_cnt, ref_row, ref_cnt)
-
-    _, (lip, lip_c, ref, ref_c) = jax.lax.scan(
-        step, 0, jnp.arange(num_bp_cap, dtype=jnp.int32)
-    )
-    return lip, lip_c, ref, ref_c
-
-
 @partial(jax.jit, static_argnames=("num_bp_cap",))
 def pass_segments_packed_sparse(
     mag_c: jnp.ndarray,
@@ -355,5 +305,6 @@ __all__ = [
     "node_max",
     "pixel_schedule",
     "pass_segments",
+    "pass_segments_packed_sparse",
     "encode_3d_device",
 ]

@@ -399,12 +399,15 @@ class TpuCompressor3D:
                     return _condi_header(True, float(small["v0"][k]), n, 0.0, 0.0)
                 q = float(small["q"][k])
                 condi = _condi_header(False, 0.0, 0, float(small["mean"][k]), q)
+                cap_total = min(n, (2 * cap * (self.num_bp_cap + 4)) // 8 + 8)
                 use_wave = (
                     wave is not None
                     and dense is None
                     and int(wave["n_nodes"][k]) <= cap
                     and int(wave["n_exposed"][k]) <= cap
                     and int(wave["num_bp"][k]) <= self.num_bp_cap
+                    and int(wave["lip_total"][k]) <= cap_total
+                    and int(wave["ref_total"][k]) <= cap_total
                 )
                 if use_wave:
                     body = self._stitch_wave(

@@ -84,11 +84,10 @@ class Sperr3DCompressor:
         if self.native is not None and self.engine is None:
             # strided native gather: the chunk block never exists as a
             # Python-side copy
-            vol3c = (
-                vol3
-                if vol3.flags.c_contiguous and vol3.dtype in (np.float32, np.float64)
-                else np.ascontiguousarray(vol3, dtype=np.float64)
-            )
+            if vol3.dtype not in (np.float32, np.float64):
+                vol3c = np.ascontiguousarray(vol3, dtype=np.float64)
+            else:
+                vol3c = np.ascontiguousarray(vol3)  # dtype-preserving
 
             def run(c):
                 return self.native.compress_strided(vol3c, c, mode, quality)
@@ -142,8 +141,15 @@ class Sperr3DDecompressor:
         chunks = chunk_volume(h.vol_dims, h.chunk_dims)
         out_dtype = np.float64 if self.precision == 64 else np.float32
         if out is not None:
-            assert out.shape == (nz, ny, nx) and out.dtype == out_dtype
-            assert out.flags.c_contiguous
+            if (
+                out.shape != (nz, ny, nx)
+                or out.dtype != out_dtype
+                or not out.flags.c_contiguous
+            ):
+                raise ValueError(
+                    f"out must be C-contiguous {(nz, ny, nx)} {out_dtype}; "
+                    f"got {out.shape} {out.dtype}"
+                )
             vol = out
         else:
             vol = np.empty((nz, ny, nx), dtype=out_dtype)

@@ -262,7 +262,8 @@ class NativeChunkCodec:
     ) -> bytes:
         """`vol`: C-contiguous (nz, ny, nx) f32 or f64; `chunk`:
         (x0, lx, y0, ly, z0, lz)."""
-        assert vol.flags.c_contiguous
+        if not vol.flags.c_contiguous or vol.dtype not in (np.float32, np.float64):
+            raise ValueError("vol must be C-contiguous float32/float64")
         is_float = 1 if vol.dtype == np.float32 else 0
         vnz, vny, vnx = vol.shape
         x0, lx, y0, ly, z0, lz = chunk
@@ -281,7 +282,9 @@ class NativeChunkCodec:
     def decompress_strided(self, stream: bytes, vol: np.ndarray, chunk) -> None:
         """Decompress one chunk stream directly into `vol` (dtype must match
         this codec's precision)."""
-        assert vol.flags.c_contiguous
+        want = np.float64 if self.precision == 64 else np.float32
+        if not vol.flags.c_contiguous or vol.dtype != want:
+            raise ValueError(f"vol must be C-contiguous {want}")
         vnz, vny, vnx = vol.shape
         x0, lx, y0, ly, z0, lz = chunk
         buf = bytes(stream)

@@ -247,6 +247,9 @@ int sperr_decomp_3d(const void* src, size_t src_len, int output_float,
   if (!is3d) return -1;
   size_t v[3] = {get_u32(p + 2), get_u32(p + 6), get_u32(p + 10)};
   if (!v[0] || !v[1] || !v[2]) return -1;
+  // hostile headers: bound the element-count product (also guards malloc)
+  if (v[0] > SIZE_MAX / v[1] / v[2] || v[0] * v[1] * v[2] > (size_t(1) << 40))
+    return -1;
   size_t c[3] = {v[0], v[1], v[2]};
   size_t pos = kMagic1;
   if (multi) {

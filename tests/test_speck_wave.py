@@ -209,15 +209,11 @@ def test_1d_outlier_coder_with_wave_engine():
     pos = np.sort(rng.choice(total, 40, replace=False))
     errs = rng.normal(scale=3e-3, size=40)
     tol = 1e-3
+    wave = eng_mod.WaveEngine()
     ref = bytes(om.encode_outliers(pos, errs, total, tol))
     p1, c1 = om.decode_outliers(ref, total, tol)
-    old = eng_mod._default
-    try:
-        eng_mod.set_default_engine(eng_mod.WaveEngine())
-        got = bytes(om.encode_outliers(pos, errs, total, tol))
-        p2, c2 = om.decode_outliers(got, total, tol)
-    finally:
-        eng_mod.set_default_engine(old)
+    got = bytes(om.encode_outliers(pos, errs, total, tol, engine=wave))
+    p2, c2 = om.decode_outliers(got, total, tol, engine=wave)
     assert got == ref
     np.testing.assert_array_equal(p2, p1)
     np.testing.assert_array_equal(c2, c1)

@@ -1,7 +1,7 @@
 """Device-entropy compression path (TpuCompressor3D(entropy="wave")).
 
 With entropy="wave" the SPECK pixel bit-work runs on the device
-(ops/speck_jax.py pass_segments_packed) and only stream-sized packed
+(ops/speck_jax.py pass_segments_packed_sparse) and only stream-sized packed
 segments cross to the host, which runs the set walk and stitches.  The
 container must be byte-identical to the host-entropy path (same device
 quantization feeds both)."""
@@ -56,6 +56,21 @@ def test_wave_entropy_decodes_within_tolerance():
     out, dims = TpuDecompressor3D().decompress(bytes(stream))
     assert dims == (32, 32, 32)
     assert np.abs(out.astype(np.float64) - vol.astype(np.float64)).max() <= tol * 1.001
+
+
+def test_wave_entropy_dense_data_falls_back():
+    """High-entropy data overflows the device candidate/segment caps; the
+    wave path must fall back to host entropy (not silently truncate) and
+    still match the host container byte-for-byte."""
+    rng = np.random.default_rng(9)
+    vol = rng.normal(size=(16, 16, 16)).astype(np.float32)  # every pixel significant
+    host = TpuCompressor3D((16, 16, 16), (16, 16, 16), entropy="host").compress(
+        vol, "pwe", 1e-4
+    )
+    wave = TpuCompressor3D((16, 16, 16), (16, 16, 16), entropy="wave").compress(
+        vol, "pwe", 1e-4
+    )
+    assert bytes(wave) == bytes(host)
 
 
 def test_wave_entropy_constant_chunk():
