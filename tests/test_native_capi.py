@@ -132,6 +132,42 @@ def test_comp_2d_matches_python_and_decomp(tmp_path):
     assert np.abs(out - data.astype(np.float64)).max() <= 1e-7 * 1.01
 
 
+def test_header_compiles_against_lib(tmp_path):
+    """The shipped sperr_capi.h declares exactly the exported ABI."""
+    import subprocess
+
+    from sperr_tpu.runtime.native import _DIR, capi_lib_path
+
+    lib = capi_lib_path()
+    cfile = tmp_path / "use.c"
+    cfile.write_text(
+        '#include "sperr_capi.h"\n'
+        "int main(void) {\n"
+        "  void* d = 0; size_t n = 0, x, y, z; int f;\n"
+        "  (void)sperr_parse_header; (void)sperr_comp_2d; (void)sperr_decomp_2d;\n"
+        "  (void)sperr_comp_3d; (void)sperr_decomp_3d; (void)sperr_trunc_3d;\n"
+        "  (void)d; (void)n; (void)x; (void)y; (void)z; (void)f;\n"
+        "  return 0;\n}\n"
+    )
+    exe = tmp_path / "use"
+    subprocess.run(
+        ["gcc", str(cfile), f"-I{_DIR}", lib, "-o", str(exe)],
+        check=True, capture_output=True,
+    )
+    subprocess.run([str(exe)], check=True)
+
+
+def test_thread_count_equivalence(vol):
+    """Containers are byte-equal regardless of worker count (reference
+    sperr3d_omp_unit_test thread-count contract)."""
+    base = _comp_3d(vol, (128, 128, 41), (64, 64, 41), 3, 1e-5, nthreads=1)
+    for nt in (2, 4, 0):
+        assert _comp_3d(vol, (128, 128, 41), (64, 64, 41), 3, 1e-5, nthreads=nt) == base
+    out1, _ = _decomp_3d(base, nthreads=1)
+    out4, _ = _decomp_3d(base, nthreads=4)
+    np.testing.assert_array_equal(out1, out4)
+
+
 def test_dst_not_null_rejected(vol):
     bogus = ct.c_void_p(1234)
     dst_len = ct.c_size_t(0)
