@@ -958,22 +958,52 @@ def encode_2d(
     num_bp = int(pmsb.max()) if n else 0
     if num_bp == 0:
         return _pack_stream(np.empty(0, np.uint8), 0, 0)
+    node_max = compute_node_max(tree, pmsb)
+    return stitch_2d(
+        pmsb, signs, node_max, (nx, ny), num_bp, None, None, budget_bits,
+        mags=mags,
+    )
+
+
+def stitch_2d(
+    pmsb: np.ndarray,
+    signs: np.ndarray,
+    node_max: np.ndarray,
+    dims: Tuple[int, int],
+    num_bp: int,
+    lip_segments,
+    ref_segments,
+    budget_bits: int = 0,
+    mags: np.ndarray = None,
+    s_lin: np.ndarray = None,
+    iset_max: np.ndarray = None,
+) -> bytes:
+    """2D analog of stitch_3d: assemble the stream from pixel schedules
+    (device-supplied segments optional) plus the quad/I-set walk.  When the
+    segments are supplied, only s_lin (or pmsb), signs, node_max, and the
+    I-region maxima are needed."""
+    nx, ny = dims
+    n = nx * ny
+    tree = build_tree2((nx, ny))
     budget = (budget_bits + 7) // 8 * 8 if budget_bits else None
 
-    node_max = compute_node_max(tree, pmsb)
     node_s = np.where(node_max > 0, num_bp - node_max, _NEVER).astype(np.int32)
-    imax = _iset_maxes(tree, pmsb.reshape(ny, nx))
-    iset_s = np.where(imax > 0, num_bp - imax, _NEVER).astype(np.int32)
+    if iset_max is None:
+        iset_max = _iset_maxes(tree, pmsb.reshape(ny, nx))
+    iset_s = np.where(iset_max > 0, num_bp - iset_max, _NEVER).astype(np.int32)
 
-    s_lin = np.where(pmsb > 0, num_bp - pmsb, _NEVER).astype(np.int32)
-    e_lin = np.full(n, _NEVER, dtype=np.int32)
-    e_lin[tree.px_linear] = node_s[tree.px_parent]
-    cand = np.flatnonzero((e_lin < num_bp) & (s_lin > e_lin))
-    ce, cs = e_lin[cand], s_lin[cand]
-    csign = signs[cand]
-    rnz = np.flatnonzero(pmsb > 0)
-    rs = s_lin[rnz]
-    rmag = mags[rnz].astype(np.uint64)
+    if s_lin is None:
+        s_lin = np.where(pmsb > 0, num_bp - pmsb, _NEVER).astype(np.int32)
+    if lip_segments is None:
+        e_lin = np.full(n, _NEVER, dtype=np.int32)
+        e_lin[tree.px_linear] = node_s[tree.px_parent]
+        cand = np.flatnonzero((e_lin < num_bp) & (s_lin > e_lin))
+        ce, cs = e_lin[cand], s_lin[cand]
+        csign = signs[cand]
+    if ref_segments is None:
+        rnz = np.flatnonzero(s_lin < _NEVER)
+        rs = s_lin[rnz]
+        rmag = mags[rnz].astype(np.uint64)
 
     walk = _EncWalk(tree, node_s, s_lin, signs)
     walk.add_root(0, int(tree.node_level[0]))
@@ -1009,7 +1039,10 @@ def encode_2d(
     total = 0
     stop = False
     for p in range(num_bp):
-        lip_bits = _lip_segment(ce, cs, csign, p)
+        if lip_segments is not None:
+            lip_bits = lip_segments[p]
+        else:
+            lip_bits = _lip_segment(ce, cs, csign, p)
         lis_bits = walk.lis_pass(p, i_hook=process_i)
 
         segments.append(lip_bits)
@@ -1018,10 +1051,13 @@ def encode_2d(
         if budget is not None and total >= budget:
             stop = True
         if not stop:
-            rm = rs < p
-            rbits = (
-                (rmag[rm] >> np.uint64(num_bp - 1 - p)) & np.uint64(1)
-            ).astype(np.uint8)
+            if ref_segments is not None:
+                rbits = ref_segments[p]
+            else:
+                rm = rs < p
+                rbits = (
+                    (rmag[rm] >> np.uint64(num_bp - 1 - p)) & np.uint64(1)
+                ).astype(np.uint8)
             segments.append(rbits)
             total += rbits.size
             if budget is not None and total >= budget:
@@ -1269,6 +1305,7 @@ __all__ = [
     "decode_3d",
     "encode_2d",
     "decode_2d",
+    "stitch_2d",
     "encode_1d",
     "decode_1d",
     "stitch_3d",

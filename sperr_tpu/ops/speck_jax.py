@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codec.speck_wave import Tree, build_tree
+from ..codec.speck_wave import Tree, build_tree, build_tree2
 
 _NEVER = 0x7FFF
 
@@ -40,9 +40,9 @@ class TreeIndex:
     __slots__ = ("n", "nn", "depth_slices", "ch_vals_src", "ch_parent",
                  "px_linear", "px_parent")
 
-    def __init__(self, tree: Tree):
+    def __init__(self, tree):
         self.n = tree.n
-        self.nn = tree.node_parent.size
+        self.nn = tree.node_ch_start.size
         # For each depth (deepest first): the child-table slice, a gather
         # spec for child values, and the parent id per row.
         self.depth_slices = []
@@ -78,7 +78,7 @@ def tree_index(dims) -> TreeIndex:
     key = tuple(int(d) for d in dims)
     ti = _INDEXES.get(key)
     if ti is None:
-        ti = TreeIndex(build_tree(key))
+        ti = TreeIndex(build_tree2(key) if len(key) == 2 else build_tree(key))
         _INDEXES[key] = ti
     return ti
 
@@ -291,6 +291,51 @@ def encode_3d_device(mags_np, signs_np, dims, budget_bits: int = 0) -> bytes:
         signs_np,
         node_maxes.astype(np.int16),
         dims,
+        num_bp,
+        lip_segments,
+        ref_segments,
+        budget_bits,
+    )
+
+
+def encode_2d_device(mags_np, signs_np, dims, budget_bits: int = 0) -> bytes:
+    """2D analog of encode_3d_device: pixel bit-work on the JAX device, the
+    quad/I-set walk and stitching on the host.  Byte-identical streams."""
+    from ..codec import speck_wave as sw
+
+    nx, ny = (int(d) for d in dims)
+    n = nx * ny
+    ti = tree_index((nx, ny))
+
+    mags_np = np.ascontiguousarray(mags_np).reshape(n)
+    signs_np = np.ascontiguousarray(signs_np).reshape(n).astype(bool)
+    if int(mags_np.max(initial=0)) > 0xFFFFFFFF:
+        raise ValueError("device SPECK path works on uint32 magnitudes")
+    dev_mags = jnp.asarray(mags_np.astype(np.uint32))
+    dev_signs = jnp.asarray(signs_np)
+
+    pm = msbp1_device(dev_mags)
+    num_bp = int(jnp.max(pm))
+    if num_bp == 0:
+        return sw._pack_stream(np.empty(0, np.uint8), 0, 0)
+    s, e, nm = pixel_schedule(dev_mags, ti, jnp.int32(num_bp))
+    lip_bits, lip_counts, ref_bits, ref_counts = pass_segments(
+        dev_mags, dev_signs, s, e, jnp.int32(num_bp), num_bp
+    )
+    lip_bits = np.asarray(lip_bits)
+    lip_counts = np.asarray(lip_counts)
+    ref_bits = np.asarray(ref_bits)
+    ref_counts = np.asarray(ref_counts)
+    node_maxes = np.asarray(nm)
+    pmsb_host = np.asarray(pm).astype(np.int16)
+
+    lip_segments = [lip_bits[p, : lip_counts[p]] for p in range(num_bp)]
+    ref_segments = [ref_bits[p, : ref_counts[p]] for p in range(num_bp)]
+    return sw.stitch_2d(
+        pmsb_host,
+        signs_np,
+        node_maxes.astype(np.int16),
+        (nx, ny),
         num_bp,
         lip_segments,
         ref_segments,

@@ -74,6 +74,15 @@ def test_device_encode_zero_field():
     )
 
 
+@pytest.mark.parametrize("dims", [(8, 8), (16, 16), (33, 17), (64, 21)])
+def test_device_encode_2d_byte_parity(dims):
+    rng = np.random.default_rng(6)
+    n = int(np.prod(dims))
+    mags, signs = _case(rng, n, 0.1)
+    ref = bytes(ENG.encode(2, mags, signs, (dims[0], dims[1], 1), 64, 0))
+    assert bytes(sj.encode_2d_device(mags, signs, dims, 0)) == ref
+
+
 def test_pass_segments_counts_are_stream_sized():
     """Device->host traffic after count slicing equals the pixel-bit portion
     of the stream: counts sum to (total bits - LIS set bits)."""
