@@ -663,7 +663,10 @@ void write_condi(uint8_t* h, bool constant, double mean_or_val, uint64_t nval,
 // ------------------------------------------------------------- pipeline ---
 template <typename F>
 std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
-                                    size_t ny, size_t nz, int mode, double quality) {
+                                    size_t ny, size_t nz, int mode, double quality,
+                                    const F* premean = nullptr) {
+  // `premean`: mean already computed (in strided_mean's exact summation
+  // order) while `vals` was being filled — skips one full read.
   const size_t n = vals.size();
   std::fesetround(FE_TONEAREST);
 
@@ -678,7 +681,7 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
     write_condi(stream.data(), true, double(vals[0]), n, 0.0);
     return stream;
   }
-  F mean = strided_mean(vals.data(), n);
+  F mean = premean ? *premean : strided_mean(vals.data(), n);
   rvec<F> orig;
   double param = 0.0;
   Wavelet<F> wav;
@@ -902,29 +905,48 @@ int64_t st_compress_chunk_strided(const void* src, int is_float, uint64_t vnx,
                                   uint64_t lz, int mode, double quality,
                                   int precision, uint8_t** out) {
   size_t n = size_t(lx) * ly * lz;
-  auto gather = [&](auto* vals) {
+  // Fused mean: per-block partial means accumulated in gather order, which
+  // is exactly strided_mean's summation order over the contiguous buffer —
+  // one less full read of the chunk.
+  auto gather_mean = [&](auto* vals, auto& mean_out) {
+    using F = std::remove_reference_t<decltype(mean_out)>;
+    const size_t ns = adjust_strides(n);
+    const size_t stride = n / ns;
+    std::vector<F> per;
+    per.reserve(ns);
+    F acc = 0;
+    size_t in_block = 0;
     size_t idx = 0;
     for (size_t z = z0; z < z0 + lz; z++)
       for (size_t y = y0; y < y0 + ly; y++) {
         size_t base = (z * vny + y) * vnx + x0;
-        if (is_float) {
-          const float* p = static_cast<const float*>(src) + base;
-          for (size_t x = 0; x < lx; x++) vals[idx++] = p[x];
-        } else {
-          const double* p = static_cast<const double*>(src) + base;
-          for (size_t x = 0; x < lx; x++) vals[idx++] = p[x];
+        for (size_t x = 0; x < lx; x++) {
+          F v = is_float ? F(static_cast<const float*>(src)[base + x])
+                         : F(static_cast<const double*>(src)[base + x]);
+          vals[idx++] = v;
+          acc += v;
+          if (++in_block == stride) {
+            per.push_back(acc / F(stride));
+            acc = 0;
+            in_block = 0;
+          }
         }
       }
+    F sum = 0;
+    for (F m : per) sum += m;
+    mean_out = sum / F(ns);
   };
   std::vector<uint8_t> stream;
   if (precision == 32) {
     rvec<float> vals(n);
-    gather(vals.data());
-    stream = compress_chunk<float>(3, vals, lx, ly, lz, mode, quality);
+    float mean = 0;
+    gather_mean(vals.data(), mean);
+    stream = compress_chunk<float>(3, vals, lx, ly, lz, mode, quality, &mean);
   } else {
     rvec<double> vals(n);
-    gather(vals.data());
-    stream = compress_chunk<double>(3, vals, lx, ly, lz, mode, quality);
+    double mean = 0;
+    gather_mean(vals.data(), mean);
+    stream = compress_chunk<double>(3, vals, lx, ly, lz, mode, quality, &mean);
   }
   uint8_t* buf = static_cast<uint8_t*>(std::malloc(stream.size()));
   if (!buf) return -1;
