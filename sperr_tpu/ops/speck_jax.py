@@ -298,6 +298,102 @@ def encode_3d_device(mags_np, signs_np, dims, budget_bits: int = 0) -> bytes:
     )
 
 
+class PyramidIndex:
+    """Static device tables for the pyramid-form schedule (3D dyadic dims):
+    per-axis slot tables, per-depth tree-order gathers, per-pixel parent
+    depth masks.  O(n) total instead of the child-table's O(n) *rows*;
+    every data-dependent op is a reshape/max or a regular gather."""
+
+    __slots__ = ("dims", "levels", "ax_depth", "slots", "tree_perm",
+                 "pd_masks", "nn")
+
+    def __init__(self, dims):
+        from . import pyramid as pm
+
+        nx, ny, nz = (int(d) for d in dims)
+        self.dims = (nx, ny, nz)
+        pyr = pm.Pyramid((nx, ny, nz))
+        tree = build_tree((nx, ny, nz))
+        perm = pm._build_tree_perm(pyr, tree)  # raises for packet dims
+        self.levels = pyr.levels
+        self.ax_depth = (pyr.az.depth, pyr.ay.depth, pyr.ax.depth)
+        self.slots = (
+            jnp.asarray(pyr.az.slot), jnp.asarray(pyr.ay.slot),
+            jnp.asarray(pyr.ax.slot),
+        )
+        self.nn = tree.node_ch_start.size
+        self.tree_perm = {
+            d: (jnp.asarray(ids), jnp.asarray(boxes))
+            for d, (ids, boxes) in perm.items()
+        }
+        # static per-pixel parent depth (max over axes of the depth where the
+        # interval reaches length 1), as per-depth boolean masks
+        dz = pyr.az.d_single.astype(np.int16)
+        dy = pyr.ay.d_single.astype(np.int16)
+        dx = pyr.ax.d_single.astype(np.int16)
+        pd = np.maximum.outer(np.maximum.outer(dz, dy), dx)
+        self.pd_masks = [
+            (d, jnp.asarray((pd == d).reshape(-1)))
+            for d in range(int(pd.max()) + 1)
+            if (pd == d).any()
+        ]
+
+
+_PYR_INDEXES = {}
+
+
+def pyramid_index(dims):
+    key = tuple(int(d) for d in dims)
+    pi = _PYR_INDEXES.get(key)
+    if pi is None:
+        pi = PyramidIndex(key)
+        _PYR_INDEXES[key] = pi
+    return pi
+
+
+def pixel_schedule_pyramid(mags: jnp.ndarray, pi: PyramidIndex, num_bp):
+    """pixel_schedule via max-pool pyramids (3D dyadic dims): returns
+    (s, e, node_max-in-tree-order), identical to the child-table version."""
+    nz_d, ny_d, nx_d = pi.ax_depth
+    nx, ny, nz = pi.dims
+    pm = msbp1_device(mags)
+    vol = pm.reshape(nz, ny, nx)
+    deep = jnp.zeros((1 << nz_d, 1 << ny_d, 1 << nx_d), dtype=pm.dtype)
+    zi, yi, xi = pi.slots
+    deep = deep.at[zi[:, None, None], yi[None, :, None], xi[None, None, :]].set(vol)
+    levels = [None] * (pi.levels + 1)
+    levels[pi.levels] = deep
+    cur = deep
+    for d in range(pi.levels - 1, -1, -1):
+        z2 = 2 if d < nz_d else 1
+        y2 = 2 if d < ny_d else 1
+        x2 = 2 if d < nx_d else 1
+        sz, sy, sx = cur.shape
+        cur = cur.reshape(sz // z2, z2, sy // y2, y2, sx // x2, x2).max(
+            axis=(1, 3, 5)
+        )
+        levels[d] = cur
+
+    nm = jnp.zeros(pi.nn, dtype=jnp.int32)
+    for d, (ids, boxes) in pi.tree_perm.items():
+        nm = nm.at[ids].set(levels[d].reshape(-1)[boxes].astype(jnp.int32))
+
+    s = jnp.where(pm > 0, num_bp - pm, _NEVER).astype(jnp.int32)
+    e = jnp.full((pi.dims[0] * pi.dims[1] * pi.dims[2],), _NEVER, jnp.int32)
+    for d, mask in pi.pd_masks:
+        pdep = max(d - 1, 0)
+        ddz = min(pdep, nz_d)
+        ddy = min(pdep, ny_d)
+        ddx = min(pdep, nx_d)
+        bz = zi >> (nz_d - ddz)
+        by = yi >> (ny_d - ddy)
+        bx = xi >> (nx_d - ddx)
+        bm = levels[pdep][bz[:, None, None], by[None, :, None], bx[None, None, :]]
+        ev = jnp.where(bm > 0, num_bp - bm.astype(jnp.int32), _NEVER)
+        e = jnp.where(mask, ev.reshape(-1), e)
+    return s, e, nm
+
+
 def encode_2d_device(mags_np, signs_np, dims, budget_bits: int = 0) -> bytes:
     """2D analog of encode_3d_device: pixel bit-work on the JAX device, the
     quad/I-set walk and stitching on the host.  Byte-identical streams."""

@@ -139,7 +139,13 @@ def _dense_encode_wave(
 
     out, ll = _encode_core(batch, mode, quality, cap, out_cap)
     B, n = ll.shape
-    ti = sj.tree_index(dims3)
+    # pyramid-form schedule (regular max-pools) for dyadic dims; the
+    # child-table segment reductions otherwise
+    try:
+        pti = sj.pyramid_index(dims3)
+    except ValueError:
+        pti = None
+    ti = None if pti is not None else sj.tree_index(dims3)
     # total bytes for the concatenated segments, sized by the candidate cap;
     # overflow (counted on device) falls back to host entropy
     cap_total = min(n, (2 * cap * (num_bp_cap + 4)) // 8 + 8)
@@ -148,7 +154,10 @@ def _dense_encode_wave(
         mags = jnp.abs(row).astype(jnp.uint32)
         pm = sj.msbp1_device(mags)
         num_bp = jnp.max(pm)
-        s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
+        if pti is not None:
+            s, e, nm = sj.pixel_schedule_pyramid(mags, pti, num_bp)
+        else:
+            s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
         # candidate compaction: only ever-exposed pixels emit LIP/refinement
         # bits, and nonzero ascending indices preserve the emission order —
         # per-pass work shrinks from O(n) to O(significant neighborhood)
@@ -334,7 +343,11 @@ class TpuCompressor3D:
             if self.entropy == "wave":
                 from ..ops import speck_jax as sj
 
-                sj.tree_index((lx, ly, lz))  # build outside any jit trace
+                # build static indexes outside any jit trace (tracer safety)
+                try:
+                    sj.pyramid_index((lx, ly, lz))
+                except ValueError:
+                    sj.tree_index((lx, ly, lz))
                 res = _dense_encode_wave(
                     dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
                     (lx, ly, lz),
