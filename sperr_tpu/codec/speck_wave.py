@@ -709,9 +709,11 @@ def stitch_3d(
         rs = s_lin[rnz]
         rmag = mags[rnz].astype(np.uint64)
 
-    walk = _EncWalk(tree, node_s, s_lin, signs)
-    for rid in tree.root_ids:
-        walk.add_root(int(rid), int(tree.root_levels[rid]))
+    # LIS bits: the set walk as a lexicographic sort (codec/speck_sorted.py)
+    # — no recursion anywhere in the 3D encoder.
+    from .speck_sorted import lis_segments_sorted
+
+    lis_all = lis_segments_sorted(tree, node_s, s_lin, signs, num_bp)
 
     segments: List[np.ndarray] = []
     total = 0
@@ -722,7 +724,7 @@ def stitch_3d(
             lip_bits = lip_segments[p]
         else:
             lip_bits = _lip_segment(ce, cs, csign, p)
-        lis_bits = walk.lis_pass(p)
+        lis_bits = lis_all[p]
 
         segments.append(lip_bits)
         segments.append(lis_bits)

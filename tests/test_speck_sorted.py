@@ -1,0 +1,68 @@
+"""Sorted SPECK emission (codec/speck_sorted.py): the set walk as a sort.
+
+Pins segment-level equality between the recursive walk and the sorted
+emission across shapes and densities (including the root/born interleaving
+case that requires roots-first ordering within a birth group)."""
+
+import numpy as np
+import pytest
+
+from sperr_tpu.codec import speck_sorted as ss
+from sperr_tpu.codec import speck_wave as sw
+
+SHAPES = [(8, 8, 8), (16, 16, 16), (7, 5, 3), (18, 18, 18), (64, 64, 21),
+          (2, 2, 2), (1, 1, 8), (17, 19, 23)]
+
+
+def _segments_via_walk(tree, node_s, s_lin, signs, num_bp):
+    walk = sw._EncWalk(tree, node_s, s_lin, signs)
+    for rid in tree.root_ids:
+        walk.add_root(int(rid), int(tree.root_levels[rid]))
+    return [walk.lis_pass(p) for p in range(num_bp)]
+
+
+@pytest.mark.parametrize("dims", SHAPES)
+def test_sorted_segments_match_walk(dims):
+    rng = np.random.default_rng(hash(dims) % (2**31))
+    n = int(np.prod(dims))
+    for density in (0.03, 0.5):
+        mags = np.zeros(n, dtype=np.uint64)
+        k = max(1, int(n * density))
+        mags[rng.choice(n, k, replace=False)] = rng.integers(1, 1 << 17, size=k)
+        signs = rng.random(n) > 0.5
+        pmsb = sw.msbp1(mags)
+        num_bp = int(pmsb.max())
+        if num_bp == 0:
+            continue
+        tree = sw.build_tree(dims)
+        node_max = sw.compute_node_max(tree, pmsb)
+        node_s = np.where(node_max > 0, num_bp - node_max, sw._NEVER).astype(
+            np.int32
+        )
+        s_lin = np.where(pmsb > 0, num_bp - pmsb, sw._NEVER).astype(np.int32)
+        want = _segments_via_walk(tree, node_s, s_lin, signs, num_bp)
+        got = ss.lis_segments_sorted(tree, node_s, s_lin, signs, num_bp)
+        for p in range(num_bp):
+            np.testing.assert_array_equal(got[p], want[p])
+
+
+def test_roots_precede_born_within_birth_group():
+    """A coarse root partitioning at pass 0 appends children into a list that
+    still holds unpartitioned roots; the sorted order must keep roots first
+    (verified against the walk)."""
+    dims = (18, 18, 18)
+    n = int(np.prod(dims))
+    mags = np.zeros(n, dtype=np.uint64)
+    mags[n - 1] = 1024  # level-3 root region: partitions at pass 0
+    mags[0] = 3         # chain corner: level-6 roots survive, partition later
+    signs = np.ones(n, dtype=bool)
+    pmsb = sw.msbp1(mags)
+    num_bp = int(pmsb.max())
+    tree = sw.build_tree(dims)
+    node_max = sw.compute_node_max(tree, pmsb)
+    node_s = np.where(node_max > 0, num_bp - node_max, sw._NEVER).astype(np.int32)
+    s_lin = np.where(pmsb > 0, num_bp - pmsb, sw._NEVER).astype(np.int32)
+    want = _segments_via_walk(tree, node_s, s_lin, signs, num_bp)
+    got = ss.lis_segments_sorted(tree, node_s, s_lin, signs, num_bp)
+    for p in range(num_bp):
+        np.testing.assert_array_equal(got[p], want[p])
