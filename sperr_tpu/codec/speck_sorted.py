@@ -187,12 +187,16 @@ def lis_segments_sorted(
             grp = sel[lev[sel] == t]
             ar = anchor[grp]
             a_lev = np.where(is_root[grp], ROOT_FIRST, -lev[ar])
+            # among anchors of the same level, roots precede born nodes (a
+            # root sits in its list from pass 0; born anchors joined later),
+            # and root_rank / O are separate scales — never compare across.
+            a_born = np.where(is_root[grp] | is_root[ar], 0, 1)
             a_ord = np.where(
                 is_root[grp], root_rank[grp],
                 np.where(is_root[ar], root_rank[ar], O[ar]),
             )
             order = np.lexsort(
-                (st.path_lo[grp], st.path_hi[grp], a_ord, a_lev)
+                (st.path_lo[grp], st.path_hi[grp], a_ord, a_born, a_lev)
             )
             O[grp[order]] = offsets[t] + np.arange(grp.size)
             offsets[t] += grp.size

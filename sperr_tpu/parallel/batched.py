@@ -50,9 +50,14 @@ def make_chunk_mesh(devices=None) -> Mesh:
 # ---------------------------------------------------------------------------
 # Device-side dense stages (jitted per chunk shape / mode).
 # ---------------------------------------------------------------------------
-def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int):
+def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
+                 residual: bool = True):
     """Shared device stages: condition -> DWT -> q -> quantize -> sparse
-    compaction [-> PWE outlier detection].  Returns (out dict, ll)."""
+    compaction [-> PWE outlier detection].  Returns (out dict, ll).
+
+    `residual=False` (strict PWE) skips the on-device f32 reconstruction and
+    outlier scan; the host computes the outlier set against the exact f64
+    reconstruction instead (see TpuCompressor3D.pwe_strict)."""
     B = batch.shape[0]
     n = batch.shape[1] * batch.shape[2] * batch.shape[3]
     flat = batch.reshape(B, n)
@@ -88,7 +93,7 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int):
         is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
         nnz=nnz, idx=idx, vals=vals, maxmag=maxmag,
     )
-    if mode == "pwe":
+    if mode == "pwe" and residual:
         signs = ll >= 0
         mags = jnp.abs(ll)
         rec = qzj.midtread_inv_quantize_batched(mags, signs, q)
@@ -108,8 +113,11 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int):
     return out, ll
 
 
-@partial(jax.jit, static_argnames=("mode", "quality", "cap", "out_cap"))
-def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: int):
+@partial(
+    jax.jit, static_argnames=("mode", "quality", "cap", "out_cap", "residual")
+)
+def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: int,
+                         residual: bool = True):
     """Device stages + on-device compaction of significant coefficients.
 
     Returns per chunk: indices (i32) and *signed* quantized values (i32) of
@@ -119,17 +127,19 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
     the decisive factor both over PCIe in real deployments and over this
     environment's device tunnel.
     """
-    out, _ = _encode_core(batch, mode, quality, cap, out_cap)
+    out, _ = _encode_core(batch, mode, quality, cap, out_cap, residual)
     return out
 
 
 @partial(
     jax.jit,
-    static_argnames=("mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3"),
+    static_argnames=(
+        "mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3", "residual"
+    ),
 )
 def _dense_encode_wave(
     batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
-    dims3: Tuple[int, int, int],
+    dims3: Tuple[int, int, int], residual: bool = True,
 ):
     """Device stages + the wavefront entropy pixel work (ops/speck_jax.py):
     per-pass packed LIP/refinement segments, per-node maxes (compacted), and
@@ -137,7 +147,7 @@ def _dense_encode_wave(
     traffic for the entropy stage is then stream-sized."""
     from ..ops import speck_jax as sj
 
-    out, ll = _encode_core(batch, mode, quality, cap, out_cap)
+    out, ll = _encode_core(batch, mode, quality, cap, out_cap, residual)
     B, n = ll.shape
     # pyramid-form schedule (regular max-pools) for dyadic dims; the
     # child-table segment reductions otherwise
@@ -198,8 +208,8 @@ def _dense_encode_wave(
     return out
 
 
-@partial(jax.jit, static_argnames=("mode", "quality"))
-def _dense_encode(batch, mode: str, quality: float):
+@partial(jax.jit, static_argnames=("mode", "quality", "residual"))
+def _dense_encode(batch, mode: str, quality: float, residual: bool = True):
     """batch: (B, lz, ly, lx) device dtype. Returns per-chunk dense results."""
     B = batch.shape[0]
     n = batch.shape[1] * batch.shape[2] * batch.shape[3]
@@ -227,7 +237,7 @@ def _dense_encode(batch, mode: str, quality: float):
         is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
         mags=mags, signs=signs, maxmag=maxmag,
     )
-    if mode == "pwe":
+    if mode == "pwe" and residual:
         rec = qzj.midtread_inv_quantize_batched(mags, signs, q)
         rec = cdfj.idwt3d(rec.reshape(batch.shape)).reshape(B, n)
         diff = conditioned - rec
@@ -247,6 +257,33 @@ def _dense_decode(mags, signs, q, mean, shape3):
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
+_NATIVE_RESID = None  # cached: native binding, or False if unavailable
+
+
+def _residual_outliers(ll, dims3, q, mean, orig, tol):
+    """Strict-PWE outlier set: positions/errors where the exact f64 decode
+    reconstruction misses `orig` by more than `tol` (ascending positions,
+    the reference's scan order, SPECK_FLT.cpp:461-486)."""
+    global _NATIVE_RESID
+    if _NATIVE_RESID is None:
+        try:
+            from ..runtime.native import residual_outliers as nat
+
+            _NATIVE_RESID = nat
+        except Exception:
+            _NATIVE_RESID = False
+    if _NATIVE_RESID:
+        return _NATIVE_RESID(ll, dims3, q, mean, orig, tol)
+    from ..ops import cdf97_np
+
+    lx, ly, lz = dims3
+    rec = (q * np.asarray(ll, dtype=np.float64)).reshape(lz, ly, lx)
+    rec = cdf97_np.idwt3d(rec).ravel()
+    err = (orig - mean) - rec
+    pos = np.flatnonzero(np.abs(err) > tol)
+    return pos, err[pos]
+
+
 def _width_for(maxmag: int) -> int:
     if maxmag <= 0xFF:
         return 8
@@ -283,6 +320,7 @@ class TpuCompressor3D:
         engine=None,
         num_threads: Optional[int] = None,
         entropy: str = "host",
+        pwe_strict: bool = True,
     ):
         assert entropy in ("host", "wave")
         self.vol_dims = tuple(int(d) for d in vol_dims)
@@ -301,6 +339,13 @@ class TpuCompressor3D:
         # host, which runs the set walk and stitches the stream.
         self.entropy = entropy
         self.num_bp_cap = 34
+        # pwe_strict: compute the PWE outlier set on host against the exact
+        # f64 reconstruction the decoder runs, so max|err| <= tol holds for
+        # the f64 decode paths (ours and the reference's) even though the
+        # device stages run at f32.  pwe_strict=False keeps the all-device
+        # residual scan: fastest, but the bound is only as tight as f32
+        # roundoff allows (same contract as precision=32 native fast mode).
+        self.pwe_strict = pwe_strict
 
     def _shard(self, arr):
         if self.mesh is None:
@@ -324,6 +369,10 @@ class TpuCompressor3D:
             groups.setdefault((c[5], c[3], c[1]), []).append(i)
 
         streams: List[Optional[bytes]] = [None] * len(chunks)
+
+        # strict PWE: the outlier set comes from the host f64 residual pass,
+        # so the device skips its f32 reconstruction/scan entirely.
+        dev_resid = not (mode == "pwe" and self.pwe_strict)
 
         for shape, idxs in groups.items():
             lz, ly, lx = shape
@@ -350,7 +399,7 @@ class TpuCompressor3D:
                     sj.tree_index((lx, ly, lz))
                 res = _dense_encode_wave(
                     dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                    (lx, ly, lz),
+                    (lx, ly, lz), dev_resid,
                 )
                 wdev = res.pop("wave")
                 # counts first, then total-trimmed fetches of the
@@ -373,7 +422,9 @@ class TpuCompressor3D:
                     jax.device_get(wdev["node_max"][:, :nmax_n])
                 )
             else:
-                res = _dense_encode_sparse(dev, mode, float(quality), cap, out_cap)
+                res = _dense_encode_sparse(
+                    dev, mode, float(quality), cap, out_cap, dev_resid
+                )
             # Pull small per-chunk scalars first; decide dense fallback.
             nnz = np.asarray(jax.device_get(res["nnz"]))
             small = {
@@ -381,11 +432,15 @@ class TpuCompressor3D:
                 for k in ("is_const", "v0", "mean", "q", "maxmag")
             }
             n_out = (
-                np.asarray(jax.device_get(res["n_out"])) if mode == "pwe" else None
+                np.asarray(jax.device_get(res["n_out"]))
+                if mode == "pwe" and dev_resid
+                else None
             )
             dense = None
-            if (nnz > cap).any() or (mode == "pwe" and (n_out > out_cap).any()):
-                dense = jax.device_get(_dense_encode(dev, mode, float(quality)))
+            if (nnz > cap).any() or (n_out is not None and (n_out > out_cap).any()):
+                dense = jax.device_get(
+                    _dense_encode(dev, mode, float(quality), dev_resid)
+                )
             else:
                 # Slice the compacted arrays to the actual occupancy on the
                 # device before fetching: transfer ~ max(nnz), not cap.
@@ -400,7 +455,7 @@ class TpuCompressor3D:
                     "idx": _trim("idx", nnz, cap),
                     "vals": _trim("vals", nnz, cap),
                 }
-                if mode == "pwe":
+                if mode == "pwe" and dev_resid:
                     sparse["out_idx"] = _trim("out_idx", n_out, out_cap)
                     sparse["out_vals"] = _trim("out_vals", n_out, out_cap)
 
@@ -410,8 +465,16 @@ class TpuCompressor3D:
                 gi = idxs[k]
                 if bool(small["is_const"][k]):
                     return _condi_header(True, float(small["v0"][k]), n, 0.0, 0.0)
-                q = float(small["q"][k])
-                condi = _condi_header(False, 0.0, 0, float(small["mean"][k]), q)
+                # strict PWE stores the reference's exact f64 q = 1.5*tol
+                # (SPECK_FLT.cpp:281): the host residual, the header, and the
+                # decoder then all agree on the same reconstruction scale.
+                q = (
+                    1.5 * float(quality)
+                    if mode == "pwe" and not dev_resid
+                    else float(small["q"][k])
+                )
+                mean = float(small["mean"][k])
+                condi = _condi_header(False, 0.0, 0, mean, q)
                 cap_total = min(n, (2 * cap * (self.num_bp_cap + 4)) // 8 + 8)
                 use_wave = (
                     wave is not None
@@ -443,7 +506,28 @@ class TpuCompressor3D:
                     )
                 out_stream = b""
                 if mode == "pwe":
-                    if dense is not None:
+                    if not dev_resid:
+                        # strict: exact f64 decoder-visible residual on host
+                        if dense is not None:
+                            mg = dense["mags"][k].astype(np.int64)
+                            ll = np.where(dense["signs"][k], mg, -mg)
+                        else:
+                            ll = np.zeros(n, dtype=np.int64)
+                            m = int(nnz[k])
+                            ll[sparse["idx"][k][:m]] = sparse["vals"][k][:m]
+                        c = chunks[gi]
+                        orig = np.ascontiguousarray(
+                            vol3[
+                                c[4] : c[4] + c[5],
+                                c[2] : c[2] + c[3],
+                                c[0] : c[0] + c[1],
+                            ],
+                            dtype=np.float64,
+                        ).ravel()
+                        pos, errs = _residual_outliers(
+                            ll, (lx, ly, lz), q, mean, orig, float(quality)
+                        )
+                    elif dense is not None:
                         mask = dense["outlier_mask"][k]
                         pos = np.flatnonzero(mask)
                         errs = np.asarray(dense["diff"][k][pos], dtype=np.float64)

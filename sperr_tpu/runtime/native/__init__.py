@@ -99,7 +99,48 @@ def _load():
         ct.c_uint64, ct.c_uint64, ct.c_uint64,
         ct.c_int, ct.c_void_p,
     ]
+    lib.st_residual_outliers.restype = ct.c_int64
+    lib.st_residual_outliers.argtypes = [
+        ct.c_void_p, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.c_double, ct.c_double, ct.c_void_p, ct.c_double,
+        ct.POINTER(ct.c_void_p), ct.POINTER(ct.c_void_p),
+    ]
     return lib
+
+
+def residual_outliers(ll, dims, q, mean, orig, tol):
+    """Exact f64 decoder-visible PWE residual for the device fast path:
+    rec = IDWT(q·ll) in the decoder's own arithmetic; returns (pos, err)
+    where |(orig − mean) − rec| > tol, positions ascending
+    (SPECK_FLT.cpp:461-486 semantics against the f64 decode path)."""
+    import numpy as np
+
+    lib = _load()
+    ll = np.ascontiguousarray(ll, dtype=np.int32)
+    orig = np.ascontiguousarray(orig, dtype=np.float64)
+    nx, ny, nz = dims
+    assert ll.size == orig.size == nx * ny * nz
+    pos_p = ct.c_void_p(None)
+    err_p = ct.c_void_p(None)
+    m = lib.st_residual_outliers(
+        ll.ctypes.data_as(ct.c_void_p), nx, ny, nz,
+        ct.c_double(q), ct.c_double(mean),
+        orig.ctypes.data_as(ct.c_void_p), ct.c_double(tol),
+        ct.byref(pos_p), ct.byref(err_p),
+    )
+    if m < 0:
+        raise MemoryError("st_residual_outliers failed")
+    try:
+        pos = np.ctypeslib.as_array(
+            ct.cast(pos_p, ct.POINTER(ct.c_uint64)), shape=(m,)
+        ).copy() if m else np.zeros(0, dtype=np.uint64)
+        err = np.ctypeslib.as_array(
+            ct.cast(err_p, ct.POINTER(ct.c_double)), shape=(m,)
+        ).copy() if m else np.zeros(0, dtype=np.float64)
+    finally:
+        lib.st_free(pos_p)
+        lib.st_free(err_p)
+    return pos, err
 
 
 def capi_lib_path() -> str:

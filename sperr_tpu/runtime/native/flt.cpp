@@ -144,7 +144,7 @@ struct Wavelet {
   // `orig_plane` aligns with `p`; `global_base` = linear index of p[0].
   void inv_axis_x_outliers(F* p, size_t len, size_t rows, size_t row_stride,
                            const F* orig_plane, size_t global_base, double tol,
-                           OutlierList* out) {
+                           OutlierList* out, double bias = 0.0) {
     tmp.resize(len);
     for (size_t r = 0; r < rows; r++) {
       F* row = p + r * row_stride;
@@ -154,7 +154,7 @@ struct Wavelet {
       const F* og = orig_plane + r * row_stride;
       size_t base = global_base + r * row_stride;
       for (size_t i = 0; i < len; i++) {
-        double d = double(og[i]) - double(row[i]);
+        double d = (double(og[i]) - bias) - double(row[i]);
         if (std::fabs(d) > tol) {
           out->pos.push_back(base + i);
           out->err.push_back(d);
@@ -317,13 +317,14 @@ struct Wavelet {
   // x-pass (rows compared cache-hot; ascending positions).  Returns false
   // for wavelet-packet dims.
   bool idwt3d_fused_outliers(F* v, size_t nx, size_t ny, size_t nz,
-                             const F* orig, double tol, OutlierList* out) {
+                             const F* orig, double tol, OutlierList* out,
+                             double bias = 0.0) {
     size_t dy_lev = 0;
     if (!can_use_dyadic(nx, ny, nz, &dy_lev)) return false;
     if (dy_lev == 0) {  // no transform levels: compare directly
       const size_t n = nx * ny * nz;
       for (size_t i = 0; i < n; i++) {
-        double d = double(orig[i]) - double(v[i]);
+        double d = (double(orig[i]) - bias) - double(v[i]);
         if (std::fabs(d) > tol) {
           out->pos.push_back(i);
           out->err.push_back(d);
@@ -342,7 +343,7 @@ struct Wavelet {
         inv_axis_strided(v + z * nx * ny, ly, lx, 1, nx);
         if (lev == 1)
           inv_axis_x_outliers(v + z * nx * ny, lx, ly, nx, orig + z * nx * ny,
-                              z * nx * ny, tol, out);
+                              z * nx * ny, tol, out, bias);
         else
           inv_axis_x(v + z * nx * ny, lx, ly, nx);
       }
@@ -982,6 +983,49 @@ int64_t st_decompress_chunk_strided(const uint8_t* stream, uint64_t len,
     scatter(buf.data());
   }
   return 0;
+}
+
+// Exact decoder-visible residual scan for the device fast path ("strict"
+// PWE): reconstruct rec = IDWT_f64(q * ll) with the same f64 arithmetic the
+// decoder will run (SPECK_FLT.cpp:543-606 order), then collect outliers of
+// (orig - mean) - rec beyond `tol` in ascending position order.  `ll` are
+// the (possibly reduced-precision) quantized signed coefficients; `orig` is
+// the unconditioned f64 chunk.  Fills malloc'd pos/err arrays (st_free) and
+// returns the outlier count.
+int64_t st_residual_outliers(const int32_t* ll, uint64_t nx, uint64_t ny,
+                             uint64_t nz, double q, double mean,
+                             const double* orig, double tol,
+                             uint64_t** pos_out, double** err_out) {
+  const size_t n = size_t(nx) * ny * nz;
+  rvec<double> v(n);
+  for (size_t i = 0; i < n; i++) v[i] = q * double(ll[i]);
+  OutlierList out;
+  Wavelet<double> w;
+  if (!w.idwt3d_fused_outliers(v.data(), nx, ny, nz, orig, tol, &out, mean)) {
+    w.idwt3d(v.data(), nx, ny, nz);
+    for (size_t i = 0; i < n; i++) {
+      double d = (orig[i] - mean) - v[i];
+      if (std::fabs(d) > tol) {
+        out.pos.push_back(i);
+        out.err.push_back(d);
+      }
+    }
+  }
+  const size_t m = out.pos.size();
+  uint64_t* pp = static_cast<uint64_t*>(std::malloc(std::max<size_t>(m, 1) * 8));
+  double* ep = static_cast<double*>(std::malloc(std::max<size_t>(m, 1) * 8));
+  if (!pp || !ep) {
+    std::free(pp);
+    std::free(ep);
+    return -1;
+  }
+  if (m) {
+    std::memcpy(pp, out.pos.data(), m * 8);
+    std::memcpy(ep, out.err.data(), m * 8);
+  }
+  *pos_out = pp;
+  *err_out = ep;
+  return int64_t(m);
 }
 
 }  // extern "C"

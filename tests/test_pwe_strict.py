@@ -1,0 +1,115 @@
+"""Strict PWE on the TPU (f32 device) path.
+
+The device stages run at f32, so an on-device outlier scan certifies the
+error bound only against the f32 reconstruction — the f64 decoders (ours and
+the reference's) can then land outside the tolerance.  With
+``pwe_strict=True`` (default) the outlier set is computed on host against
+the exact f64 reconstruction the decoder runs (runtime/native
+st_residual_outliers; SPECK_FLT.cpp:461-486 semantics), so max|err| <= tol
+holds for real f64 decodes.  ``pwe_strict=False`` keeps the all-device scan
+(fast mode, f32-roundoff-bounded contract)."""
+
+import numpy as np
+import pytest
+
+import oracle
+from sperr_tpu.parallel.batched import TpuCompressor3D, TpuDecompressor3D
+
+
+def _field(nx, ny, nz, seed=11):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0:nz, 0:ny, 0:nx]
+    f = np.sin(x * 0.21) * np.cos(y * 0.13) * np.sin(z * 0.17 + 0.5)
+    return (f + 0.02 * rng.normal(size=f.shape)).astype(np.float64)
+
+
+# tolerances near/below f32 certification ability for O(1)-range data
+@pytest.mark.parametrize("entropy", ["host", "wave"])
+@pytest.mark.parametrize("tol", [1e-3, 1e-5, 1e-6])
+def test_strict_pwe_bound_f64_decode(entropy, tol):
+    from sperr_tpu.parallel.chunked3d import Sperr3DDecompressor
+
+    dims = (40, 40, 24)
+    vol = _field(*dims)
+    comp = TpuCompressor3D(dims, (24, 24, 24), entropy=entropy)
+    assert comp.pwe_strict
+    s = bytes(comp.compress(vol, "pwe", tol))
+    out, _ = Sperr3DDecompressor().decompress(s)
+    err = np.abs(np.asarray(out).reshape(vol.shape) - vol).max()
+    assert err <= tol
+
+
+@pytest.mark.parametrize("tol", [1e-3, 1e-5])
+def test_device_decode_adds_only_f32_roundoff(tol):
+    """TpuDecompressor3D reconstructs at device precision (f32): the strict
+    bound can be exceeded only by the f32 reconstruction roundoff, which is
+    O(eps32 * scale)."""
+    dims = (40, 40, 24)
+    vol = _field(*dims)
+    s = bytes(TpuCompressor3D(dims, (24, 24, 24)).compress(vol, "pwe", tol))
+    out, _ = TpuDecompressor3D().decompress(s)
+    err = np.abs(np.asarray(out).reshape(vol.shape) - vol).max()
+    margin = 64 * np.finfo(np.float32).eps * np.abs(vol).max()
+    assert err <= tol + margin
+
+
+@pytest.mark.skipif(oracle.get_lib() is None, reason="oracle unavailable")
+def test_strict_pwe_bound_reference_decode():
+    """The bound must hold when the stream is decoded by the reference
+    implementation itself."""
+    dims = (33, 27, 18)
+    vol = _field(*dims, seed=3)
+    s = bytes(TpuCompressor3D(dims, dims).compress(vol, "pwe", 1e-5))
+    out, _ = oracle.decomp_3d(s)
+    err = np.abs(np.asarray(out).ravel() - vol.ravel()).max()
+    assert err <= 1e-5
+
+
+def test_strict_q_matches_reference_formula():
+    """Strict PWE stores q = 1.5*tol in f64 (SPECK_FLT.cpp:281), not the
+    device-f32 rounding of it."""
+    import struct
+
+    dims = (24, 24, 24)
+    vol = _field(*dims, seed=5)
+    tol = 1.3e-4
+    s = bytes(TpuCompressor3D(dims, dims).compress(vol, "pwe", tol))
+    # container header (14 or 20+4n bytes) then condi header: flags u8,
+    # mean f64, q f64
+    from sperr_tpu.stream import tools
+
+    hdr_len = tools.get_header_len(s[:20])
+    q = struct.unpack_from("<d", s, hdr_len + 1 + 8)[0]
+    assert q == 1.5 * tol
+
+
+def test_fast_mode_still_roundtrips():
+    dims = (32, 32, 32)
+    vol = _field(*dims, seed=7)
+    comp = TpuCompressor3D(dims, (16, 16, 16), pwe_strict=False)
+    s = bytes(comp.compress(vol, "pwe", 1e-2))
+    out, _ = TpuDecompressor3D().decompress(s)
+    err = np.abs(np.asarray(out).reshape(vol.shape) - vol).max()
+    assert err <= 1e-2  # loose tol: f32 scan certifies it comfortably
+
+
+def test_residual_outliers_matches_numpy_reference():
+    """Native st_residual_outliers == the pure-NumPy f64 residual."""
+    from sperr_tpu.ops import cdf97_np
+    from sperr_tpu.runtime import native
+
+    dims3 = (18, 14, 10)  # (lx, ly, lz)
+    lx, ly, lz = dims3
+    n = lx * ly * lz
+    rng = np.random.default_rng(17)
+    ll = np.zeros(n, dtype=np.int32)
+    pick = rng.choice(n, n // 5, replace=False)
+    ll[pick] = rng.integers(-2000, 2000, size=pick.size)
+    orig = rng.normal(size=n)
+    q, mean, tol = 3.7e-4, 0.125, 2e-1
+    pos, err = native.residual_outliers(ll, dims3, q, mean, orig, tol)
+    rec = cdf97_np.idwt3d((q * ll.astype(np.float64)).reshape(lz, ly, lx)).ravel()
+    diff = (orig - mean) - rec
+    want = np.flatnonzero(np.abs(diff) > tol)
+    np.testing.assert_array_equal(pos.astype(np.int64), want)
+    np.testing.assert_array_equal(err, diff[want])

@@ -46,6 +46,59 @@ def test_sorted_segments_match_walk(dims):
             np.testing.assert_array_equal(got[p], want[p])
 
 
+@pytest.mark.parametrize("dims,q", [((64, 64, 21), 0.05), ((36, 36, 9), 0.02),
+                                    ((48, 40, 48), 0.08)])
+def test_structured_field_low_bitplanes(dims, q):
+    """DWT coefficients of a smooth field at coarse quantization: few
+    bitplanes, so many same-level lists mix initial roots with born anchors
+    — the case where root_rank and O must never be compared directly."""
+    from sperr_tpu.ops import cdf97_np
+
+    nx, ny, nz = dims
+    z, y, x = np.mgrid[0:nz, 0:ny, 0:nx]
+    f = np.sin(x * 0.19) * np.cos(y * 0.23) * np.sin(z * 0.11 + 0.7)
+    co = cdf97_np.dwt3d(f - f.mean())
+    ll = np.rint(co.ravel() / q).astype(np.int64)
+    mags = np.abs(ll).astype(np.uint64)
+    signs = ll >= 0
+    pmsb = sw.msbp1(mags)
+    num_bp = int(pmsb.max())
+    assert num_bp > 0
+    tree = sw.build_tree(dims)
+    node_max = sw.compute_node_max(tree, pmsb)
+    node_s = np.where(node_max > 0, num_bp - node_max, sw._NEVER).astype(np.int32)
+    s_lin = np.where(pmsb > 0, num_bp - pmsb, sw._NEVER).astype(np.int32)
+    want = _segments_via_walk(tree, node_s, s_lin, signs, num_bp)
+    got = ss.lis_segments_sorted(tree, node_s, s_lin, signs, num_bp)
+    for p in range(num_bp):
+        np.testing.assert_array_equal(got[p], want[p])
+
+
+@pytest.mark.parametrize("dims", [(16, 16, 16), (18, 18, 18), (64, 64, 21)])
+def test_low_magnitude_fuzz(dims):
+    """Magnitudes <= 7 (<=3 bitplanes): dense same-birth groups across many
+    levels stress the anchor ordering."""
+    rng = np.random.default_rng(hash(dims) % (2**31) + 7)
+    n = int(np.prod(dims))
+    for density in (0.1, 0.7):
+        mags = np.zeros(n, dtype=np.uint64)
+        k = max(1, int(n * density))
+        mags[rng.choice(n, k, replace=False)] = rng.integers(1, 8, size=k)
+        signs = rng.random(n) > 0.5
+        pmsb = sw.msbp1(mags)
+        num_bp = int(pmsb.max())
+        tree = sw.build_tree(dims)
+        node_max = sw.compute_node_max(tree, pmsb)
+        node_s = np.where(node_max > 0, num_bp - node_max, sw._NEVER).astype(
+            np.int32
+        )
+        s_lin = np.where(pmsb > 0, num_bp - pmsb, sw._NEVER).astype(np.int32)
+        want = _segments_via_walk(tree, node_s, s_lin, signs, num_bp)
+        got = ss.lis_segments_sorted(tree, node_s, s_lin, signs, num_bp)
+        for p in range(num_bp):
+            np.testing.assert_array_equal(got[p], want[p])
+
+
 def test_roots_precede_born_within_birth_group():
     """A coarse root partitioning at pass 0 appends children into a list that
     still holds unpartitioned roots; the sorted order must keep roots first
