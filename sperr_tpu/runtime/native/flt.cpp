@@ -85,6 +85,83 @@ void lift_inv(F* buf, size_t n) {
   o[ol - 1] -= C::A * (e[ol - 1] + e[el - 1]);
 }
 
+// Lane-parallel lifting: `buf` holds K interleaved columns in row-major
+// [position][lane] layout (already even/odd-deinterleaved along positions,
+// like lift_fwd's input).  Each lane runs exactly the scalar lift_fwd
+// operation sequence, so results are bit-identical per column; the inner
+// j-loops are contiguous and vectorize.
+template <typename F>
+void lift_fwd_lanes(F* buf, size_t n, size_t K, size_t k) {
+  using C = Cdf97C<F>;
+  const size_t el = n - n / 2, ol = n / 2;
+  F* e = buf;
+  F* o = buf + el * K;
+  for (size_t i = 0; i + 1 < ol; i++)
+    for (size_t j = 0; j < k; j++)
+      o[i * K + j] += C::A * (e[i * K + j] + e[(i + 1) * K + j]);
+  for (size_t j = 0; j < k; j++)
+    o[(ol - 1) * K + j] += C::A * (e[(ol - 1) * K + j] + e[(el - 1) * K + j]);
+  for (size_t j = 0; j < k; j++) e[j] += F(2) * C::B * o[j];
+  for (size_t i = 1; i + 1 < el; i++)
+    for (size_t j = 0; j < k; j++)
+      e[i * K + j] += C::B * (o[(i - 1) * K + j] + o[i * K + j]);
+  for (size_t j = 0; j < k; j++)
+    e[(el - 1) * K + j] += C::B * (o[(el - 2) * K + j] + o[(ol - 1) * K + j]);
+  for (size_t i = 0; i + 1 < ol; i++)
+    for (size_t j = 0; j < k; j++)
+      o[i * K + j] += C::G * (e[i * K + j] + e[(i + 1) * K + j]);
+  for (size_t j = 0; j < k; j++)
+    o[(ol - 1) * K + j] += C::G * (e[(ol - 1) * K + j] + e[(el - 1) * K + j]);
+  for (size_t j = 0; j < k; j++)
+    e[j] = C::E * (e[j] + F(2) * C::D * o[j]);
+  for (size_t i = 1; i + 1 < el; i++)
+    for (size_t j = 0; j < k; j++)
+      e[i * K + j] =
+          C::E * (e[i * K + j] + C::D * (o[(i - 1) * K + j] + o[i * K + j]));
+  for (size_t j = 0; j < k; j++)
+    e[(el - 1) * K + j] =
+        C::E * (e[(el - 1) * K + j] +
+                C::D * (o[(el - 2) * K + j] + o[(ol - 1) * K + j]));
+  for (size_t i = 0; i < ol; i++)
+    for (size_t j = 0; j < k; j++) o[i * K + j] *= -C::IE;
+}
+
+template <typename F>
+void lift_inv_lanes(F* buf, size_t n, size_t K, size_t k) {
+  using C = Cdf97C<F>;
+  const size_t el = n - n / 2, ol = n / 2;
+  F* e = buf;
+  F* o = buf + el * K;
+  for (size_t i = 0; i < ol; i++)
+    for (size_t j = 0; j < k; j++) o[i * K + j] *= -C::E;
+  for (size_t j = 0; j < k; j++)
+    e[j] = e[j] * C::IE - F(2) * C::D * o[j];
+  for (size_t i = 1; i + 1 < el; i++)
+    for (size_t j = 0; j < k; j++)
+      e[i * K + j] =
+          e[i * K + j] * C::IE - C::D * (o[(i - 1) * K + j] + o[i * K + j]);
+  for (size_t j = 0; j < k; j++)
+    e[(el - 1) * K + j] =
+        e[(el - 1) * K + j] * C::IE -
+        C::D * (o[(el - 2) * K + j] + o[(ol - 1) * K + j]);
+  for (size_t i = 0; i + 1 < ol; i++)
+    for (size_t j = 0; j < k; j++)
+      o[i * K + j] -= C::G * (e[i * K + j] + e[(i + 1) * K + j]);
+  for (size_t j = 0; j < k; j++)
+    o[(ol - 1) * K + j] -= C::G * (e[(ol - 1) * K + j] + e[(el - 1) * K + j]);
+  for (size_t j = 0; j < k; j++) e[j] -= F(2) * C::B * o[j];
+  for (size_t i = 1; i + 1 < el; i++)
+    for (size_t j = 0; j < k; j++)
+      e[i * K + j] -= C::B * (o[(i - 1) * K + j] + o[i * K + j]);
+  for (size_t j = 0; j < k; j++)
+    e[(el - 1) * K + j] -= C::B * (o[(el - 2) * K + j] + o[(ol - 1) * K + j]);
+  for (size_t i = 0; i + 1 < ol; i++)
+    for (size_t j = 0; j < k; j++)
+      o[i * K + j] -= C::A * (e[i * K + j] + e[(i + 1) * K + j]);
+  for (size_t j = 0; j < k; j++)
+    o[(ol - 1) * K + j] -= C::A * (e[(ol - 1) * K + j] + e[(el - 1) * K + j]);
+}
+
 template <typename F>
 void deinterleave(const F* src, size_t n, F* dst) {
   const size_t el = n - n / 2;
@@ -171,46 +248,84 @@ struct Wavelet {
       std::memcpy(row, tmp.data(), len * sizeof(F));
     }
   }
-  // Strided (non-contiguous) axis: gather a block of K columns, transform,
-  // scatter back.  K keeps the gather cache-friendly.
+  // Strided (non-contiguous) axis, lane-parallel: gather K adjacent columns
+  // as contiguous rows ([position][lane] layout — a memcpy per position when
+  // col_stride==1, which is every caller), run all K lifts simultaneously
+  // (lift_*_lanes: contiguous SIMD over lanes, bit-identical per column),
+  // scatter rows back.  Compared with per-column lifting this amortizes the
+  // page/TLB cost of the big elem_stride (the z-pass strides nx*ny) across a
+  // whole row instead of one element.
+  static constexpr size_t LANES = 256 / sizeof(F);  // 64 f32 / 32 f64 lanes
   void fwd_axis_strided(F* p, size_t len, size_t ncols, size_t col_stride,
                         size_t elem_stride) {
-    constexpr size_t K = 16;
-    tmp.resize(len * K);
-    tmp2.resize(len);
+    constexpr size_t K = LANES;
+    const size_t el = len - len / 2;
+    tmp2.resize(len * K);
     for (size_t c0 = 0; c0 < ncols; c0 += K) {
       size_t k = std::min(K, ncols - c0);
-      for (size_t i = 0; i < len; i++)
-        for (size_t j = 0; j < k; j++)
-          tmp[j * len + i] = p[(c0 + j) * col_stride + i * elem_stride];
-      for (size_t j = 0; j < k; j++) {
-        deinterleave(tmp.data() + j * len, len, tmp2.data());
-        lift_fwd(tmp2.data(), len);
-        std::memcpy(tmp.data() + j * len, tmp2.data(), len * sizeof(F));
+      // gather + even/odd deinterleave along positions, lane layout
+      if (col_stride == 1) {
+        const F* base = p + c0;
+        for (size_t i = 0; i < len; i++) {
+          F* dst = (i & 1) ? tmp2.data() + (el + i / 2) * K
+                           : tmp2.data() + (i / 2) * K;
+          std::memcpy(dst, base + i * elem_stride, k * sizeof(F));
+        }
+      } else {
+        for (size_t i = 0; i < len; i++) {
+          F* dst = (i & 1) ? tmp2.data() + (el + i / 2) * K
+                           : tmp2.data() + (i / 2) * K;
+          for (size_t j = 0; j < k; j++)
+            dst[j] = p[(c0 + j) * col_stride + i * elem_stride];
+        }
       }
-      for (size_t i = 0; i < len; i++)
-        for (size_t j = 0; j < k; j++)
-          p[(c0 + j) * col_stride + i * elem_stride] = tmp[j * len + i];
+      lift_fwd_lanes(tmp2.data(), len, K, k);
+      if (col_stride == 1) {
+        F* base = p + c0;
+        for (size_t i = 0; i < len; i++)
+          std::memcpy(base + i * elem_stride, tmp2.data() + i * K,
+                      k * sizeof(F));
+      } else {
+        for (size_t i = 0; i < len; i++)
+          for (size_t j = 0; j < k; j++)
+            p[(c0 + j) * col_stride + i * elem_stride] = tmp2[i * K + j];
+      }
     }
   }
   void inv_axis_strided(F* p, size_t len, size_t ncols, size_t col_stride,
                         size_t elem_stride) {
-    constexpr size_t K = 16;
-    tmp.resize(len * K);
-    tmp2.resize(len);
+    constexpr size_t K = LANES;
+    const size_t el = len - len / 2;
+    tmp2.resize(len * K);
     for (size_t c0 = 0; c0 < ncols; c0 += K) {
       size_t k = std::min(K, ncols - c0);
-      for (size_t i = 0; i < len; i++)
-        for (size_t j = 0; j < k; j++)
-          tmp[j * len + i] = p[(c0 + j) * col_stride + i * elem_stride];
-      for (size_t j = 0; j < k; j++) {
-        lift_inv(tmp.data() + j * len, len);
-        interleave(tmp.data() + j * len, len, tmp2.data());
-        std::memcpy(tmp.data() + j * len, tmp2.data(), len * sizeof(F));
+      if (col_stride == 1) {
+        const F* base = p + c0;
+        for (size_t i = 0; i < len; i++)
+          std::memcpy(tmp2.data() + i * K, base + i * elem_stride,
+                      k * sizeof(F));
+      } else {
+        for (size_t i = 0; i < len; i++)
+          for (size_t j = 0; j < k; j++)
+            tmp2[i * K + j] = p[(c0 + j) * col_stride + i * elem_stride];
       }
-      for (size_t i = 0; i < len; i++)
-        for (size_t j = 0; j < k; j++)
-          p[(c0 + j) * col_stride + i * elem_stride] = tmp[j * len + i];
+      lift_inv_lanes(tmp2.data(), len, K, k);
+      // interleave along positions while scattering rows back
+      if (col_stride == 1) {
+        F* base = p + c0;
+        for (size_t i = 0; i < len; i++) {
+          const F* src = (i & 1) ? tmp2.data() + (el + i / 2) * K
+                                 : tmp2.data() + (i / 2) * K;
+          std::memcpy(base + i * elem_stride, src, k * sizeof(F));
+        }
+      } else {
+        for (size_t i = 0; i < len; i++) {
+          const F* src = (i & 1) ? tmp2.data() + (el + i / 2) * K
+                                 : tmp2.data() + (i / 2) * K;
+          for (size_t j = 0; j < k; j++)
+            p[(c0 + j) * col_stride + i * elem_stride] = src[j];
+        }
+      }
     }
   }
 
