@@ -14,7 +14,10 @@
 #include "speck.cpp"  // bit coders + utilities (single-TU build)
 
 #include <cfenv>
+#include <chrono>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 
 namespace {
 
@@ -185,12 +188,21 @@ template <typename F>
 struct Wavelet {
   std::vector<F> tmp, tmp2;
 
-  void fwd_axis_x(F* p, size_t len, size_t rows, size_t row_stride) {
+  void fwd_axis_x(F* p, size_t len, size_t rows, size_t row_stride,
+                  F* acc_max = nullptr) {
     tmp.resize(len);
     for (size_t r = 0; r < rows; r++) {
       F* row = p + r * row_stride;
       deinterleave(row, len, tmp.data());
       lift_fwd(tmp.data(), len);
+      if (acc_max) {
+        F mx = *acc_max < 0 ? F(0) : *acc_max;
+        for (size_t i = 0; i < len; i++) {
+          F a = std::fabs(tmp[i]);
+          mx = a > mx ? a : mx;
+        }
+        *acc_max = mx;
+      }
       std::memcpy(row, tmp.data(), len * sizeof(F));
     }
   }
@@ -239,6 +251,31 @@ struct Wavelet {
       }
     }
   }
+  // Final-level inverse x-pass with the inverse conditioner fused: writes
+  // val + mean directly, and applies the sparse PWE outlier corrections in
+  // the reference's exact order — (raw + corr) + mean — using the raw row
+  // buffer (SPECK_FLT.cpp:576-585 then Conditioner.cpp:66-96 semantics).
+  // Rows must advance in ascending global index order and cover every index
+  // once (true for the lev==1 dyadic x-pass, where the box is the volume).
+  void inv_axis_x_mean(F* p, size_t len, size_t rows, size_t row_stride,
+                       F mean, size_t global_base, const uint64_t* opos,
+                       const F* ocorr, size_t onum, size_t* ocur) {
+    tmp.resize(len);
+    for (size_t r = 0; r < rows; r++) {
+      F* row = p + r * row_stride;
+      lift_inv(row, len);
+      interleave(row, len, tmp.data());
+      for (size_t i = 0; i < len; i++) row[i] = tmp[i] + mean;
+      size_t base = global_base + r * row_stride;
+      while (*ocur < onum && opos[*ocur] < base + len) {
+        if (opos[*ocur] >= base) {
+          size_t i = size_t(opos[*ocur] - base);
+          row[i] = (tmp[i] + ocorr[*ocur]) + mean;
+        }
+        ++*ocur;
+      }
+    }
+  }
   void inv_axis_x(F* p, size_t len, size_t rows, size_t row_stride) {
     tmp.resize(len);
     for (size_t r = 0; r < rows; r++) {
@@ -256,8 +293,11 @@ struct Wavelet {
   // page/TLB cost of the big elem_stride (the z-pass strides nx*ny) across a
   // whole row instead of one element.
   static constexpr size_t LANES = 256 / sizeof(F);  // 64 f32 / 32 f64 lanes
+  // `acc_max`: running max of |written value| over this pass (the caller
+  // passes it on each level's final pass so the quantizer width needs no
+  // separate full-volume scan; see compress_chunk).
   void fwd_axis_strided(F* p, size_t len, size_t ncols, size_t col_stride,
-                        size_t elem_stride) {
+                        size_t elem_stride, F* acc_max = nullptr) {
     constexpr size_t K = LANES;
     const size_t el = len - len / 2;
     tmp2.resize(len * K);
@@ -280,6 +320,17 @@ struct Wavelet {
         }
       }
       lift_fwd_lanes(tmp2.data(), len, K, k);
+      if (acc_max) {
+        F mxl[K] = {};  // per-lane accumulators: the i-loop vectorizes
+        for (size_t i = 0; i < len; i++)
+          for (size_t j = 0; j < k; j++) {
+            F a = std::fabs(tmp2[i * K + j]);
+            mxl[j] = a > mxl[j] ? a : mxl[j];
+          }
+        F mx = *acc_max < 0 ? F(0) : *acc_max;
+        for (size_t j = 0; j < k; j++) mx = mxl[j] > mx ? mxl[j] : mx;
+        *acc_max = mx;
+      }
       if (col_stride == 1) {
         F* base = p + c0;
         for (size_t i = 0; i < len; i++)
@@ -329,21 +380,23 @@ struct Wavelet {
     }
   }
 
-  void level2_fwd(F* plane, size_t lx, size_t ly, size_t stride) {
+  void level2_fwd(F* plane, size_t lx, size_t ly, size_t stride,
+                  F* acc_max = nullptr) {
     fwd_axis_x(plane, lx, ly, stride);
-    fwd_axis_strided(plane, ly, lx, 1, stride);
+    fwd_axis_strided(plane, ly, lx, 1, stride, acc_max);
   }
   void level2_inv(F* plane, size_t lx, size_t ly, size_t stride) {
     inv_axis_strided(plane, ly, lx, 1, stride);
     inv_axis_x(plane, lx, ly, stride);
   }
 
-  void dwt2d(F* plane, size_t nx, size_t ny, size_t levels, size_t stride) {
+  void dwt2d(F* plane, size_t nx, size_t ny, size_t levels, size_t stride,
+             F* acc_max = nullptr) {
     for (size_t lev = 0; lev < levels; lev++) {
       size_t lx, dx, ly, dy;
       approx_detail(nx, lev, &lx, &dx);
       approx_detail(ny, lev, &ly, &dy);
-      level2_fwd(plane, lx, ly, stride);
+      level2_fwd(plane, lx, ly, stride, acc_max);
     }
   }
   void idwt2d(F* plane, size_t nx, size_t ny, size_t levels, size_t stride) {
@@ -355,10 +408,10 @@ struct Wavelet {
     }
   }
 
-  void dwt1d(F* p, size_t n, size_t levels) {
+  void dwt1d(F* p, size_t n, size_t levels, F* acc_max = nullptr) {
     size_t len = n;
     for (size_t lev = 0; lev < levels; lev++) {
-      fwd_axis_x(p, len, 1, 0);
+      fwd_axis_x(p, len, 1, 0, acc_max);
       len -= len / 2;
     }
   }
@@ -373,7 +426,8 @@ struct Wavelet {
   // Dyadic 3D forward with the conditioner fused into the level-0 x-pass
   // (see fwd_axis_x_sub).  Returns false for wavelet-packet dims, where the
   // caller must pre-subtract and call dwt3d.
-  bool dwt3d_fused_sub(F* v, size_t nx, size_t ny, size_t nz, F mean, F* orig) {
+  bool dwt3d_fused_sub(F* v, size_t nx, size_t ny, size_t nz, F mean, F* orig,
+                       F* acc_max = nullptr) {
     size_t dy_lev = 0;
     if (!can_use_dyadic(nx, ny, nz, &dy_lev)) return false;
     for (size_t lev = 0; lev < dy_lev; lev++) {
@@ -389,7 +443,7 @@ struct Wavelet {
         fwd_axis_strided(v + z * nx * ny, ly, lx, 1, nx);
       }
       for (size_t y = 0; y < ly; y++)
-        fwd_axis_strided(v + y * nx, lz, lx, 1, nx * ny);
+        fwd_axis_strided(v + y * nx, lz, lx, 1, nx * ny, acc_max);
     }
     if (dy_lev == 0) {  // no transform levels: conditioner still applies
       const size_t n = nx * ny * nz;
@@ -402,7 +456,7 @@ struct Wavelet {
     return true;
   }
 
-  void dwt3d(F* v, size_t nx, size_t ny, size_t nz) {
+  void dwt3d(F* v, size_t nx, size_t ny, size_t nz, F* acc_max = nullptr) {
     size_t dy_lev = 0;
     if (can_use_dyadic(nx, ny, nz, &dy_lev)) {
       for (size_t lev = 0; lev < dy_lev; lev++) {
@@ -412,7 +466,7 @@ struct Wavelet {
         approx_detail(nz, lev, &lz, &d);
         for (size_t z = 0; z < lz; z++) level2_fwd(v + z * nx * ny, lx, ly, nx);
         for (size_t y = 0; y < ly; y++)
-          fwd_axis_strided(v + y * nx, lz, lx, 1, nx * ny);
+          fwd_axis_strided(v + y * nx, lz, lx, 1, nx * ny, acc_max);
       }
     } else {
       size_t zl = num_of_xforms(nz);
@@ -423,8 +477,11 @@ struct Wavelet {
           len -= len / 2;
         }
       }
+      // the 2D levels run after the z transform and their y-passes cover
+      // every element's final value across levels
       size_t xyl = num_of_xforms(nx < ny ? nx : ny);
-      for (size_t z = 0; z < nz; z++) dwt2d(v + z * nx * ny, nx, ny, xyl, nx);
+      for (size_t z = 0; z < nz; z++)
+        dwt2d(v + z * nx * ny, nx, ny, xyl, nx, acc_max);
     }
   }
 
@@ -494,14 +551,15 @@ struct Wavelet {
 };
 
 template <typename F>
-void wavelet_fwd(int ndim, F* v, size_t nx, size_t ny, size_t nz) {
+void wavelet_fwd(int ndim, F* v, size_t nx, size_t ny, size_t nz,
+                 F* acc_max = nullptr) {
   Wavelet<F> w;
   if (ndim == 3)
-    w.dwt3d(v, nx, ny, nz);
+    w.dwt3d(v, nx, ny, nz, acc_max);
   else if (ndim == 2)
-    w.dwt2d(v, nx, ny, num_of_xforms(nx < ny ? nx : ny), nx);
+    w.dwt2d(v, nx, ny, num_of_xforms(nx < ny ? nx : ny), nx, acc_max);
   else
-    w.dwt1d(v, nx, num_of_xforms(nx));
+    w.dwt1d(v, nx, num_of_xforms(nx), acc_max);
 }
 
 template <typename F>
@@ -623,20 +681,6 @@ void quantize_into_with_rec(const F* p, size_t n, F q, rvec<U>& mags,
   }
 }
 
-template <typename F>
-int pick_width(const F* p, size_t n, F q) {
-  F best = 0;  // pure max-reduction: vectorizes
-  for (size_t i = 0; i < n; i++) {
-    F a = std::fabs(p[i]);
-    best = a > best ? a : best;
-  }
-  long long maxll = std::llrint(best / q);
-  if (maxll <= 0xFF) return 8;
-  if (maxll <= 0xFFFF) return 16;
-  if (maxll <= 0xFFFFFFFFll) return 32;
-  return 64;
-}
-
 template <typename F, typename U>
 void inv_quantize(const rvec<U>& mags, const rvec<uint8_t>& signs,
                   F q, F* out) {
@@ -667,9 +711,15 @@ void inv_quant_box(const U* mags, const uint8_t* signs, F q, F* out, size_t nx,
 // the dyadic IDWT first touches it (coarsest corner, then per-level shells),
 // skipping the separate full-volume inverse-quantization sweep.  Values are
 // identical element-wise, so streams/outputs stay bit-exact.
+// `fuse_mean`: also apply the inverse conditioner (+mean) and the sparse
+// PWE corrections inside the final-level x-pass — one full read+write sweep
+// fewer than reconstruct-then-correct-then-add-mean, with bit-identical
+// results (see inv_axis_x_mean).
 template <typename F, typename U>
 bool idwt3d_lazy(const U* mags, const uint8_t* signs, F q, F* v, size_t nx,
-                 size_t ny, size_t nz) {
+                 size_t ny, size_t nz, bool fuse_mean = false, F mean = F(0),
+                 const uint64_t* opos = nullptr, const F* ocorr = nullptr,
+                 size_t onum = 0) {
   size_t dy_lev = 0;
   if (!can_use_dyadic(nx, ny, nz, &dy_lev)) return false;
   Wavelet<F> w;
@@ -678,6 +728,7 @@ bool idwt3d_lazy(const U* mags, const uint8_t* signs, F q, F* v, size_t nx,
   approx_detail(ny, dy_lev, &py, &d);
   approx_detail(nz, dy_lev, &pz, &d);
   inv_quant_box(mags, signs, q, v, nx, ny, 0, px, 0, py, 0, pz);
+  size_t ocur = 0;
   for (size_t lev = dy_lev; lev > 0; lev--) {
     size_t lx, ly, lz;
     approx_detail(nx, lev - 1, &lx, &d);
@@ -689,23 +740,39 @@ bool idwt3d_lazy(const U* mags, const uint8_t* signs, F q, F* v, size_t nx,
     inv_quant_box(mags, signs, q, v, nx, ny, px, lx, 0, py, 0, pz);
     for (size_t y = 0; y < ly; y++)
       w.inv_axis_strided(v + y * nx, lz, lx, 1, nx * ny);
-    for (size_t z = 0; z < lz; z++) w.level2_inv(v + z * nx * ny, lx, ly, nx);
+    for (size_t z = 0; z < lz; z++) {
+      if (fuse_mean && lev == 1) {
+        // lev==1 box is the full volume: rows ascend and cover every index
+        w.inv_axis_strided(v + z * nx * ny, ly, lx, 1, nx);
+        w.inv_axis_x_mean(v + z * nx * ny, lx, ly, nx, mean, z * nx * ny,
+                          opos, ocorr, onum, &ocur);
+      } else {
+        w.level2_inv(v + z * nx * ny, lx, ly, nx);
+      }
+    }
     px = lx;
     py = ly;
     pz = lz;
+  }
+  if (fuse_mean && dy_lev == 0) {  // no transform levels: apply directly,
+    // in the reference's order: corrections on raw values, then +mean
+    for (size_t k = 0; k < onum; k++) v[opos[k]] += ocorr[k];
+    const size_t n = nx * ny * nz;
+    for (size_t i = 0; i < n; i++) v[i] += mean;
   }
   return true;
 }
 
 // ------------------------------------------------------------- outliers ---
 
+// `mags` is scratch owned by the caller: the encoder may mutate it in place.
 template <typename U>
-std::vector<uint8_t> speck_encode_vec(int ndim, const U* mags,
+std::vector<uint8_t> speck_encode_vec(int ndim, U* mags,
                                       const uint8_t* signs, size_t nx,
                                       size_t ny, size_t nz, size_t budget_bits) {
   uint8_t* buf = nullptr;
   int64_t len = encode_any<U>(ndim, mags, signs, nx, ny, nz,
-                              budget_bits, &buf);
+                              budget_bits, &buf, true);
   std::vector<uint8_t> out(buf, buf + len);
   std::free(buf);
   return out;
@@ -719,16 +786,29 @@ std::vector<uint8_t> encode_outliers(const OutlierList& los, size_t total_len,
   int width = maxint <= 0xFF ? 8 : maxint <= 0xFFFF ? 16 : maxint <= 0xFFFFFFFFll ? 32 : 64;
 
   const double inv = 1.0 / tol;
-  auto run = [&](auto tag) {
+  auto run = [&](auto tag) -> std::vector<uint8_t> {
     using U = decltype(tag);
-    std::vector<U> mags(total_len, 0);
-    std::vector<uint8_t> signs(total_len, 1);
+    // sparse codec: state ~ #outliers, streams byte-identical to the dense
+    // Codec1D (and therefore to the reference's SPECK1D_INT_ENC)
+    SparseEnc1D<U> c;
+    c.n = total_len;
+    c.pos.reserve(los.pos.size());
+    c.val.reserve(los.pos.size());
+    c.sgn.reserve(los.pos.size());
     for (size_t k = 0; k < los.pos.size(); k++) {
       long long ll = std::llrint(los.err[k] * inv);
-      signs[los.pos[k]] = ll >= 0;
-      mags[los.pos[k]] = U(ll < 0 ? -(unsigned long long)ll : (unsigned long long)ll);
+      if (ll == 0) continue;  // zero entries are not nonzeros
+      c.pos.push_back(los.pos[k]);
+      c.sgn.push_back(ll >= 0);
+      c.val.push_back(U(ll < 0 ? -(unsigned long long)ll : (unsigned long long)ll));
     }
-    return speck_encode_vec<U>(1, mags.data(), signs.data(), total_len, 1, 1, 0);
+    c.encode();
+    uint64_t tb = c.total_bits;
+    std::vector<uint8_t> out(9 + (tb + 7) / 8);
+    out[0] = c.num_bitplanes;
+    std::memcpy(out.data() + 1, &tb, 8);
+    c.sink.emit(out.data() + 9, tb);
+    return out;
   };
   switch (width) {
     case 8: return run(uint8_t{});
@@ -739,19 +819,33 @@ std::vector<uint8_t> encode_outliers(const OutlierList& los, size_t total_len,
 }
 
 template <typename F>
-void decode_outliers(const uint8_t* stream, size_t len, size_t total_len,
-                     double tol, F* add_to) {
+void decode_outlier_list(const uint8_t* stream, size_t len, size_t total_len,
+                         double tol, std::vector<uint64_t>* pos,
+                         std::vector<F>* corr) {
+  // Sparse decode: consumes exactly the dense coder's bits, returns only the
+  // significant entries (callers pass complete outlier sections;
+  // decompress_chunk verifies the section length first).
+  if (len < 9) return;
   int nbp = stream[0];
   int width = nbp <= 8 ? 8 : nbp <= 16 ? 16 : nbp <= 32 ? 32 : 64;
+  uint64_t total_bits;
+  std::memcpy(&total_bits, stream + 1, 8);
+  size_t avail = (len - 9) * 8;
+  if (avail > total_bits) avail = total_bits;
   auto run = [&](auto tag) {
     using U = decltype(tag);
-    rvec<U> mags(total_len);
-    rvec<uint8_t> signs(total_len);
-    decode_any<U>(1, stream, len, total_len, 1, 1, mags.data(), signs.data());
-    for (size_t i = 0; i < total_len; i++) {
-      if (mags[i] == 0) continue;
-      double v = mags[i] == 1 ? 1.1 : double(mags[i]) - 0.25;
-      add_to[i] += F(v * (tol * (signs[i] ? 1.0 : -1.0)));
+    SparseDec1D<U> c;
+    c.n = total_len;
+    c.num_bitplanes = uint8_t(nbp);
+    c.total_bits = total_bits;
+    c.src.load(stream + 9, avail, total_bits);
+    c.decode();
+    for (size_t k : c.lsp_order) {  // ascending positions (dense scan order)
+      U m = c.sp_val[k];
+      if (m == 0) continue;
+      double v = m == 1 ? 1.1 : double(m) - 0.25;
+      pos->push_back(c.sp_pos[k]);
+      corr->push_back(F(v * (tol * (c.sp_sgn[k] ? 1.0 : -1.0))));
     }
   };
   switch (width) {
@@ -760,6 +854,15 @@ void decode_outliers(const uint8_t* stream, size_t len, size_t total_len,
     case 32: run(uint32_t{}); break;
     default: run(uint64_t{}); break;
   }
+}
+
+template <typename F>
+void decode_outliers(const uint8_t* stream, size_t len, size_t total_len,
+                     double tol, F* add_to) {
+  std::vector<uint64_t> pos;
+  std::vector<F> corr;
+  decode_outlier_list<F>(stream, len, total_len, tol, &pos, &corr);
+  for (size_t k = 0; k < pos.size(); k++) add_to[pos[k]] += corr[k];
 }
 
 // --------------------------------------------------------------- headers --
@@ -777,10 +880,27 @@ void write_condi(uint8_t* h, bool constant, double mean_or_val, uint64_t nval,
 }
 
 // ------------------------------------------------------------- pipeline ---
+// SPERR_TPU_PROFILE=1: per-stage wall times to stderr (diagnostics only).
+struct StageClock {
+  bool on;
+  std::chrono::steady_clock::time_point t;
+  StageClock() : on(std::getenv("SPERR_TPU_PROFILE") != nullptr) {
+    if (on) t = std::chrono::steady_clock::now();
+  }
+  void lap(const char* name) {
+    if (!on) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[sperr_tpu] %-18s %7.1f ms\n", name,
+                 std::chrono::duration<double, std::milli>(now - t).count());
+    t = now;
+  }
+};
+
 template <typename F>
 std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
                                     size_t ny, size_t nz, int mode, double quality,
                                     const F* premean = nullptr) {
+  StageClock ck;
   // `premean`: mean already computed (in strided_mean's exact summation
   // order) while `vals` was being filled — skips one full read.
   const size_t n = vals.size();
@@ -798,15 +918,21 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
     return stream;
   }
   F mean = premean ? *premean : strided_mean(vals.data(), n);
+  ck.lap("const+mean");
   rvec<F> orig;
   double param = 0.0;
   Wavelet<F> wav;
+  // Coefficient max tracked inside each level's final forward pass: an
+  // upper bound on max|coeff| (per-level boxes overlap the next level's
+  // approx corner), which is all the width ladder needs — no full-volume
+  // scan.  Stays -1 when no transform pass ran (fallback scan below).
+  F coeff_max = F(-1);
   bool transformed = false;
   if (mode == 3) {  // pwe: fuse mean-subtract+copy into the level-0 DWT pass
     orig.resize(n);
     if (ndim == 3)
-      transformed =
-          wav.dwt3d_fused_sub(vals.data(), nx, ny, nz, mean, orig.data());
+      transformed = wav.dwt3d_fused_sub(vals.data(), nx, ny, nz, mean,
+                                        orig.data(), &coeff_max);
     if (!transformed) {
       for (size_t i = 0; i < n; i++) {
         F v = vals[i] - mean;
@@ -826,7 +952,8 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
     param = double(mx - mn);
   }
 
-  if (!transformed) wavelet_fwd(ndim, vals.data(), nx, ny, nz);
+  if (!transformed) wavelet_fwd(ndim, vals.data(), nx, ny, nz, &coeff_max);
+  ck.lap("fwd dwt");
 
   if (mode == 1) {  // rate: largest |coeff|
     size_t arg = 0;
@@ -846,7 +973,22 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
     double q = estimate_q<F>(mode, quality, param, vals.data(), n, high_prec);
     write_condi(stream.data(), false, double(mean), 0, q);
 
-    int width = pick_width(vals.data(), n, F(q));
+    // rate mode's q derives from the exact max (param); otherwise use the
+    // tracked bound.  Width only selects the uint container type — streams
+    // are independent of it (bitstream_definition; SPECK_INT.cpp header is
+    // num_bitplanes, a property of the values).
+    F best = mode == 1 ? F(param) : coeff_max;
+    if (best < 0) {  // no transform pass ran: scan once
+      best = 0;
+      for (size_t i = 0; i < n; i++) {
+        F a = std::fabs(vals[i]);
+        best = a > best ? a : best;
+      }
+      coeff_max = best;
+    }
+    long long maxll = std::llrint(best / F(q));
+    int width = maxll <= 0xFF ? 8 : maxll <= 0xFFFF ? 16
+                : maxll <= 0xFFFFFFFFll ? 32 : 64;
     std::vector<uint8_t> body, outlier_stream;
 
     auto run = [&](auto tag) {
@@ -857,6 +999,7 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
         rvec<F> rec(n);
         quantize_into_with_rec<F, U>(vals.data(), n, F(q), mags, signs,
                                      rec.data());
+        ck.lap("quantize+rec");
         OutlierList los;
         bool fused = ndim == 3 && wav.idwt3d_fused_outliers(
                                       rec.data(), nx, ny, nz, orig.data(),
@@ -871,11 +1014,15 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
             }
           }
         }
+        ck.lap("inv dwt+outlier");
         if (!los.pos.empty()) outlier_stream = encode_outliers(los, n, quality);
+        ck.lap("outlier encode");
       } else {
         quantize_into<F, U>(vals.data(), n, F(q), mags, signs);
+        ck.lap("quantize");
       }
       body = speck_encode_vec<U>(ndim, mags.data(), signs.data(), nx, ny, nz, budget);
+      ck.lap("speck encode");
     };
     switch (width) {
       case 8: run(uint8_t{}); break;
@@ -898,6 +1045,7 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
 template <typename F>
 int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
                      size_t ny, size_t nz, F* out) {
+  StageClock ck;
   const size_t n = nx * ny * nz;
   if (len < 17) return -1;
   if (stream[0] & 0x01) {  // constant field
@@ -919,15 +1067,39 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
   size_t speck_len = std::min(full, len - pos);
   int width = nbp <= 8 ? 8 : nbp <= 16 ? 16 : nbp <= 32 ? 32 : 64;
 
+  // Parse the outlier section (if any) before reconstruction so the
+  // corrections and the inverse conditioner can fuse into the final IDWT
+  // x-pass (one fewer full read+write sweep; values bit-identical).
+  std::vector<uint64_t> opos;
+  std::vector<F> ocorr;
+  {
+    size_t p2 = pos + speck_len;
+    if (p2 + 9 <= len) {
+      uint64_t obits;
+      std::memcpy(&obits, stream + p2 + 1, 8);
+      size_t olen = 9 + (obits + 7) / 8;
+      if (len - p2 == olen)
+        decode_outlier_list<F>(stream + p2, olen, n, q / 1.5, &opos, &ocorr);
+    }
+  }
+  ck.lap("outlier decode");
+
+  bool fused = false;
   auto run = [&](auto tag) {
     using U = decltype(tag);
     rvec<U> mags(n);
     rvec<uint8_t> signs(n);
     decode_any<U>(ndim, stream + pos, speck_len, nx, ny, nz, mags.data(),
                   signs.data());
+    ck.lap("speck decode");
     if (ndim == 3 &&
-        idwt3d_lazy<F, U>(mags.data(), signs.data(), F(q), out, nx, ny, nz))
-      return;  // fused inverse-quantize + IDWT (dyadic 3D)
+        idwt3d_lazy<F, U>(mags.data(), signs.data(), F(q), out, nx, ny, nz,
+                          true, F(mean), opos.data(), ocorr.data(),
+                          opos.size())) {
+      fused = true;  // fused inv-quantize + IDWT + corrections + mean
+      ck.lap("inv dwt fused");
+      return;
+    }
     inv_quantize<F, U>(mags, signs, F(q), out);
     wavelet_inv(ndim, out, nx, ny, nz);
   };
@@ -937,16 +1109,11 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
     case 32: run(uint32_t{}); break;
     default: run(uint64_t{}); break;
   }
-  pos += speck_len;
 
-  if (pos + 9 <= len) {
-    uint64_t obits;
-    std::memcpy(&obits, stream + pos + 1, 8);
-    size_t olen = 9 + (obits + 7) / 8;
-    if (len - pos == olen) decode_outliers(stream + pos, olen, n, q / 1.5, out);
+  if (!fused) {  // wavelet-packet dims: correct, then inverse-condition
+    for (size_t k = 0; k < opos.size(); k++) out[opos[k]] += ocorr[k];
+    for (size_t i = 0; i < n; i++) out[i] += F(mean);
   }
-
-  for (size_t i = 0; i < n; i++) out[i] += F(mean);
   return 0;
 }
 

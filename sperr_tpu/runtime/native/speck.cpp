@@ -16,6 +16,7 @@
 // Exposed as a flat C ABI consumed via ctypes; calls release the GIL, so a
 // Python thread pool scales chunk encoding across host cores.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -257,7 +258,11 @@ ST_INLINE uint32_t partition_xyz(const Set3& s, uint32_t lev, Set3 out[8]) {
 template <bool ENC, typename U>
 struct Codec3D {
   size_t nx, ny, nz, n;
-  std::vector<U> coeff;          // ENC: working copy (mutated); DEC: output
+  // ENC: working values (mutated by refinement) — borrowed from the caller
+  // when the buffer is disposable, else copied into coeff_store.
+  // DEC: the caller's output buffer.
+  U* cf = nullptr;
+  rvec<U> coeff_store;
   rvec<uint8_t> msb;             // ENC only: msb+1 per coeff, Morton order
   const uint8_t* signs_in = nullptr;  // ENC
   uint8_t* signs_out = nullptr;       // DEC (preset to 1)
@@ -383,7 +388,7 @@ struct Codec3D {
   }
 
   ST_INLINE uint8_t val_msbp1(size_t idx) const {
-    U v = coeff[idx];
+    U v = cf[idx];
     return v ? uint8_t(msb_pos(v) + 1) : 0;
   }
 
@@ -412,7 +417,7 @@ struct Codec3D {
 
   ST_INLINE void process_p_lite(size_t idx) {
     if constexpr (ENC) {
-      bool sig = coeff[idx] >= threshold;
+      bool sig = cf[idx] >= threshold;
       sink.put(sig);
       if (sig) {
         sink.put(signs_in[idx] != 0);
@@ -510,13 +515,13 @@ struct Codec3D {
       while (v) {
         unsigned j = __builtin_ctzll(v);
         size_t i = wi * 64 + j;
-        bool o1 = coeff[i] >= thr;
-        coeff[i] -= o1 ? thr : U(0);
+        bool o1 = cf[i] >= thr;
+        cf[i] -= o1 ? thr : U(0);
         sink.put(o1);
         v &= v - 1;
       }
     }
-    for (uint64_t i : lsp_new) coeff[i] -= thr;  // refinement_extra
+    for (uint64_t i : lsp_new) cf[i] -= thr;  // refinement_extra
     for (uint64_t i : lsp_new) lsp.set(i);
     lsp_new.clear();
   }
@@ -534,11 +539,11 @@ struct Codec3D {
         size_t i = wi * 64 + j;
         if (threshold >= U(2)) {
           if (src.get())
-            coeff[i] += half;
+            cf[i] += half;
           else
-            coeff[i] -= half;
+            cf[i] -= half;
         } else {
-          if (src.get()) ++coeff[i];
+          if (src.get()) ++cf[i];
         }
         if (++read_pos == avail_bits) {
           exhausted = true;
@@ -548,7 +553,7 @@ struct Codec3D {
       }
     }
     U init_val = U(threshold + threshold - threshold / U(2) - U(1));
-    for (uint64_t i : lsp_new) coeff[i] = init_val;
+    for (uint64_t i : lsp_new) cf[i] = init_val;
     for (uint64_t i : lsp_new) lsp.set(i);
     lsp_new.clear();
     return !exhausted;
@@ -601,7 +606,7 @@ struct Codec3D {
     lip.init(n);
     lsp.init(n);
     lsp_new.clear();
-    coeff.assign(n, 0);
+    std::memset(cf, 0, n * sizeof(U));
     init_lists();
     if (num_bitplanes == 0) return;
     threshold = 1;
@@ -616,7 +621,7 @@ struct Codec3D {
     }
     if (!lsp_new.empty()) {
       U init_val = U(threshold + threshold - threshold / U(2) - U(1));
-      for (uint64_t i : lsp_new) coeff[i] = init_val;
+      for (uint64_t i : lsp_new) cf[i] = init_val;
       lsp_new.clear();
     }
   }
@@ -957,12 +962,14 @@ struct Codec2D {
 // =================================================================== 1D ====
 struct Set1 {
   uint64_t start = 0, len = 0;
+  uint8_t mx = 0;  // ENC: memoized max msb+1 over the set (set at creation)
 };
 
 template <bool ENC, typename U>
 struct Codec1D {
   size_t n;
   std::vector<U> coeff;
+  rvec<uint8_t> msb;  // ENC: per-coefficient msb+1 (0 for zero)
   const uint8_t* signs_in = nullptr;
   uint8_t* signs_out = nullptr;
   Mask lip, lsp;
@@ -974,6 +981,7 @@ struct Codec1D {
   size_t avail_bits = 0;
   uint64_t total_bits = 0;
   U threshold = 0;
+  unsigned thr_msbp1 = 0;
   uint8_t num_bitplanes = 0;
 
   enum Sig { INSIG = 0, SIG = 1, DUNNO = 2 };
@@ -986,14 +994,18 @@ struct Codec1D {
     uint64_t a = n - n / 2;
     lis[1].push_back({0, a});
     lis[1].push_back({a, n - a});
-  }
-
-  // First significant offset within [start, start+len), or -1.
-  ST_INLINE int64_t first_sig(uint64_t start, uint64_t len) const {
-    const U thr = threshold;
-    for (uint64_t i = 0; i < len; i++)
-      if (coeff[start + i] >= thr) return int64_t(i);
-    return -1;
+    if constexpr (ENC) {
+      // per-set max memoization (as in the 2D/3D coders): a set's
+      // significance test is one byte compare per pass instead of an
+      // O(len) rescan of mostly-zero ranges every bitplane.
+      msb.resize(n);
+      for (size_t i = 0; i < n; i++) {
+        U v = coeff[i];
+        msb[i] = v ? uint8_t(msb_pos(uint64_t(v)) + 1) : 0;
+      }
+      lis[1][0].mx = max_byte(msb.data(), a);
+      lis[1][1].mx = max_byte(msb.data() + a, n - a);
+    }
   }
 
   void process_p(size_t idx, int sig, size_t& counter, bool output) {
@@ -1019,41 +1031,34 @@ struct Codec1D {
   }
 
   void process_s(size_t lev, size_t i, int sig, size_t& counter, bool output) {
-    Set1& s = lis[lev][i];
-    int sub_sigs[2] = {DUNNO, DUNNO};
     if constexpr (ENC) {
-      if (sig == DUNNO) {
-        int64_t pos = first_sig(s.start, s.len);
-        sig = pos >= 0 ? SIG : INSIG;
-        if (pos >= 0) {
-          if (uint64_t(pos) < s.len - s.len / 2) {
-            sub_sigs[0] = SIG;
-          } else {
-            sub_sigs[0] = INSIG;
-            sub_sigs[1] = SIG;
-          }
-        }
-      }
+      if (sig == DUNNO)
+        sig = lis[lev][i].mx >= thr_msbp1 ? SIG : INSIG;
       if (output) sink.put(sig == SIG);
       if (sig == SIG) {
         ++counter;
-        code_s(lev, i, sub_sigs);
+        code_s(lev, i);
         lis[lev][i].len = 0;
       }
     } else {
       bool is_sig = output ? src.get() : true;
       if (is_sig) {
         ++counter;
-        code_s(lev, i, sub_sigs);
+        code_s(lev, i);
         lis[lev][i].len = 0;
       }
     }
   }
 
-  void code_s(size_t lev, size_t i, int sub_sigs[2]) {
+  void code_s(size_t lev, size_t i) {
     Set1 s = lis[lev][i];
     uint64_t a = s.len - s.len / 2;
     Set1 s0{s.start, a}, s1{s.start + a, s.len - a};
+    if constexpr (ENC) {
+      if (s0.len > 1) s0.mx = max_byte(msb.data() + s0.start, s0.len);
+      if (s1.len > 1) s1.mx = max_byte(msb.data() + s1.start, s1.len);
+    }
+    int sub_sigs[2] = {DUNNO, DUNNO};
     size_t nl = lev + 1;
     size_t counter = 0;
     bool output = true;
@@ -1163,26 +1168,23 @@ struct Codec1D {
     lsp_new.clear();
     sink.reserve_bits(n);
     init_lists();
-    U maxc = 0;
-    for (size_t i = 0; i < n; i++)
-      if (coeff[i] > maxc) maxc = coeff[i];
-    if (maxc == 0) {
+    // num_bitplanes = msb+1 of the max magnitude = max over the msb bytes
+    uint8_t mxb = max_byte(msb.data(), n);
+    if (mxb == 0) {
       num_bitplanes = 0;
       total_bits = 0;
       return;
     }
-    num_bitplanes = 1;
-    threshold = 1;
-    while (U(maxc - threshold) >= threshold) {
-      threshold = U(threshold * U(2));
-      num_bitplanes++;
-    }
+    num_bitplanes = mxb;
+    threshold = U(U(1) << (num_bitplanes - 1));
+    thr_msbp1 = num_bitplanes;
     for (unsigned bp = 0; bp < num_bitplanes; bp++) {
       sorting_pass();
       if (sink.nbits >= budget) break;
       refinement_encode();
       if (sink.nbits >= budget) break;
       threshold = U(threshold / U(2));
+      thr_msbp1--;
       clean_lis();
     }
     total_bits = sink.nbits;
@@ -1214,10 +1216,361 @@ struct Codec1D {
   }
 };
 
+
+// ---------------------------------------------------------- sparse 1D -----
+// Sparse 1D SPECK codec: bit-identical streams to Codec1D, but every data
+// structure is proportional to the number of nonzeros instead of the domain
+// length.  This is the outlier coder's regime (SPECK_FLT PWE corrections: a
+// handful of entries over a chunk-sized domain), where the dense codec's
+// O(n) buffers, fills and copies dominate its runtime.
+template <typename U>
+struct SparseEnc1D {
+  size_t n = 0;
+  // nonzeros (ascending positions); val is the working copy (mutated the
+  // same way Codec1D mutates coeff)
+  std::vector<uint64_t> pos;
+  std::vector<U> val;
+  std::vector<uint8_t> sgn;
+  std::vector<uint8_t> pmsb;
+
+  struct SSet {
+    uint64_t start = 0, len = 0;
+    uint32_t lo = 0, hi = 0;  // nonzero index range in pos[]
+    uint8_t mx = 0;           // max pmsb over [lo, hi)
+  };
+  struct Pix {
+    uint64_t p;
+    int64_t nz;  // index into pos[], or -1 when the pixel is zero
+  };
+  std::vector<std::vector<SSet>> lis;
+  std::vector<Pix> lip, lip_new;
+  std::vector<uint32_t> lsp, lsp_new;  // nonzero indices, lsp kept ascending
+  BitSink sink;
+  size_t budget = SIZE_MAX;
+  uint64_t total_bits = 0;
+  U threshold = 0;
+  unsigned thr_msbp1 = 0;
+  uint8_t num_bitplanes = 0;
+
+  enum Sig { INSIG = 0, SIG = 1, DUNNO = 2 };
+
+  uint8_t range_max(uint32_t lo, uint32_t hi) const {
+    uint8_t m = 0;
+    for (uint32_t i = lo; i < hi; i++) m = pmsb[i] > m ? pmsb[i] : m;
+    return m;
+  }
+
+  void init_lists() {
+    size_t levels = num_of_partitions(n) + 3;
+    lis.assign(levels, {});
+    uint64_t a = n - n / 2;
+    uint32_t mid = uint32_t(
+        std::lower_bound(pos.begin(), pos.end(), a) - pos.begin());
+    SSet s0{0, a, 0, mid, range_max(0, mid)};
+    SSet s1{a, n - a, mid, uint32_t(pos.size()),
+            range_max(mid, uint32_t(pos.size()))};
+    lis[1].push_back(s0);
+    lis[1].push_back(s1);
+  }
+
+  // returns true when the pixel went significant (stays out of LIP)
+  bool process_p(uint64_t p, int64_t nz, int sig, size_t& counter,
+                 bool output) {
+    bool is_sig =
+        sig == DUNNO ? (nz >= 0 && pmsb[nz] >= thr_msbp1) : (sig == SIG);
+    if (output) sink.put(is_sig);
+    if (is_sig) {
+      ++counter;
+      sink.put(sgn[nz] != 0);
+      val[nz] = U(val[nz] - threshold);
+      lsp_new.push_back(uint32_t(nz));
+    }
+    return is_sig;
+  }
+
+  void process_s(size_t lev, size_t i, int sig, size_t& counter, bool output) {
+    if (sig == DUNNO)
+      sig = lis[lev][i].mx >= thr_msbp1 ? SIG : INSIG;
+    if (output) sink.put(sig == SIG);
+    if (sig == SIG) {
+      ++counter;
+      code_s(lev, i);
+      lis[lev][i].len = 0;
+    }
+  }
+
+  void code_s(size_t lev, size_t i) {
+    SSet s = lis[lev][i];
+    uint64_t a = s.len - s.len / 2;
+    uint32_t mid = uint32_t(std::lower_bound(pos.begin() + s.lo,
+                                             pos.begin() + s.hi, s.start + a) -
+                            pos.begin());
+    SSet s0{s.start, a, s.lo, mid, range_max(s.lo, mid)};
+    SSet s1{s.start + a, s.len - a, mid, s.hi, range_max(mid, s.hi)};
+    size_t nl = lev + 1;
+    size_t counter = 0;
+    bool output = true;
+    int sub_sigs[2] = {DUNNO, DUNNO};
+
+    if (s0.len == 1) {
+      int64_t nz = s0.lo < s0.hi ? int64_t(s0.lo) : -1;
+      if (!process_p(s0.start, nz, sub_sigs[0], counter, output))
+        lip_new.push_back({s0.start, nz});
+    } else {
+      lis[nl].push_back(s0);
+      process_s(nl, lis[nl].size() - 1, sub_sigs[0], counter, output);
+    }
+    if (counter == 0) {
+      output = false;
+      sub_sigs[1] = SIG;
+    }
+    if (s1.len == 1) {
+      int64_t nz = s1.lo < s1.hi ? int64_t(s1.lo) : -1;
+      if (!process_p(s1.start, nz, sub_sigs[1], counter, output))
+        lip_new.push_back({s1.start, nz});
+    } else {
+      lis[nl].push_back(s1);
+      process_s(nl, lis[nl].size() - 1, sub_sigs[1], counter, output);
+    }
+  }
+
+  void sorting_pass() {
+    // LIP walk, ascending positions (Codec1D's mask-word walk order)
+    size_t k = 0;
+    for (size_t i = 0; i < lip.size(); i++) {
+      size_t dummy = 0;
+      if (!process_p(lip[i].p, lip[i].nz, DUNNO, dummy, true))
+        lip[k++] = lip[i];
+    }
+    lip.resize(k);
+    for (size_t t = lis.size(); t-- > 0;) {
+      for (size_t i = 0; i < lis[t].size(); i++) {
+        size_t dummy = 0;
+        process_s(t, i, DUNNO, dummy, true);
+      }
+    }
+    if (!lip_new.empty()) {  // merge this pass's additions, keep ascending
+      std::sort(lip_new.begin(), lip_new.end(),
+                [](const Pix& a, const Pix& b) { return a.p < b.p; });
+      size_t old = lip.size();
+      lip.insert(lip.end(), lip_new.begin(), lip_new.end());
+      std::inplace_merge(lip.begin(), lip.begin() + old, lip.end(),
+                         [](const Pix& a, const Pix& b) { return a.p < b.p; });
+      lip_new.clear();
+    }
+  }
+
+  void refinement_encode() {
+    const U thr = threshold;
+    for (uint32_t nz : lsp) {
+      bool o1 = val[nz] >= thr;
+      val[nz] = U(val[nz] - (o1 ? thr : U(0)));
+      sink.put(o1);
+    }
+    std::sort(lsp_new.begin(), lsp_new.end());
+    size_t old = lsp.size();
+    lsp.insert(lsp.end(), lsp_new.begin(), lsp_new.end());
+    std::inplace_merge(lsp.begin(), lsp.begin() + old, lsp.end());
+    lsp_new.clear();
+  }
+
+  void clean_lis() {
+    for (auto& lst : lis) {
+      size_t k = 0;
+      for (size_t i = 0; i < lst.size(); i++)
+        if (lst[i].len != 0) lst[k++] = lst[i];
+      lst.resize(k);
+    }
+  }
+
+  void encode() {
+    pmsb.resize(val.size());
+    for (size_t i = 0; i < val.size(); i++)
+      pmsb[i] = val[i] ? uint8_t(msb_pos(uint64_t(val[i])) + 1) : 0;
+    init_lists();
+    uint8_t mxb = 0;
+    for (uint8_t b : pmsb) mxb = b > mxb ? b : mxb;
+    if (mxb == 0) {
+      num_bitplanes = 0;
+      total_bits = 0;
+      return;
+    }
+    num_bitplanes = mxb;
+    threshold = U(U(1) << (num_bitplanes - 1));
+    thr_msbp1 = num_bitplanes;
+    for (unsigned bp = 0; bp < num_bitplanes; bp++) {
+      sorting_pass();
+      if (sink.nbits >= budget) break;
+      refinement_encode();
+      if (sink.nbits >= budget) break;
+      threshold = U(threshold / U(2));
+      thr_msbp1--;
+      clean_lis();
+    }
+    total_bits = sink.nbits;
+    sink.seal();
+  }
+};
+
+// Sparse 1D SPECK decoder: consumes exactly Codec1D's bits and returns the
+// significant entries (position, magnitude, sign) without materializing
+// dense n-sized arrays.  Assumes the full stream is available (the outlier
+// section is only decoded when complete; SPECK_FLT.cpp:576-585).
+template <typename U>
+struct SparseDec1D {
+  size_t n = 0;
+  struct SSet {
+    uint64_t start = 0, len = 0;
+  };
+  struct Pix {
+    uint64_t p;
+  };
+  std::vector<std::vector<SSet>> lis;
+  std::vector<Pix> lip, lip_new;
+  // significant pixels: positions ascending with parallel values/signs
+  std::vector<uint64_t> sp_pos;
+  std::vector<U> sp_val;
+  std::vector<uint8_t> sp_sgn;
+  std::vector<size_t> lsp_new;  // indices into sp_* added this pass
+  BitSource src;
+  uint64_t total_bits = 0;
+  U threshold = 0;
+  uint8_t num_bitplanes = 0;
+
+  void init_lists() {
+    size_t levels = num_of_partitions(n) + 3;
+    lis.assign(levels, {});
+    uint64_t a = n - n / 2;
+    lis[1].push_back({0, a});
+    lis[1].push_back({a, n - a});
+  }
+
+  bool process_p(uint64_t p, size_t& counter, bool output) {
+    bool is_sig = output ? src.get() : true;
+    if (is_sig) {
+      ++counter;
+      uint8_t sg = src.get();
+      sp_pos.push_back(p);
+      sp_val.push_back(0);
+      sp_sgn.push_back(sg);
+      lsp_new.push_back(sp_pos.size() - 1);
+    }
+    return is_sig;
+  }
+
+  void process_s(size_t lev, size_t i, size_t& counter, bool output) {
+    bool is_sig = output ? src.get() : true;
+    if (is_sig) {
+      ++counter;
+      code_s(lev, i);
+      lis[lev][i].len = 0;
+    }
+  }
+
+  void code_s(size_t lev, size_t i) {
+    SSet s = lis[lev][i];
+    uint64_t a = s.len - s.len / 2;
+    SSet s0{s.start, a}, s1{s.start + a, s.len - a};
+    size_t nl = lev + 1;
+    size_t counter = 0;
+    bool output = true;
+    if (s0.len == 1) {
+      if (!process_p(s0.start, counter, output)) lip_new.push_back({s0.start});
+    } else {
+      lis[nl].push_back(s0);
+      process_s(nl, lis[nl].size() - 1, counter, output);
+    }
+    if (counter == 0) output = false;
+    if (s1.len == 1) {
+      if (!process_p(s1.start, counter, output)) lip_new.push_back({s1.start});
+    } else {
+      lis[nl].push_back(s1);
+      process_s(nl, lis[nl].size() - 1, counter, output);
+    }
+  }
+
+  void sorting_pass() {
+    size_t k = 0;
+    for (size_t i = 0; i < lip.size(); i++) {
+      size_t dummy = 0;
+      if (!process_p(lip[i].p, dummy, true)) lip[k++] = lip[i];
+    }
+    lip.resize(k);
+    for (size_t t = lis.size(); t-- > 0;) {
+      for (size_t i = 0; i < lis[t].size(); i++) {
+        size_t dummy = 0;
+        process_s(t, i, dummy, true);
+      }
+    }
+    if (!lip_new.empty()) {
+      std::sort(lip_new.begin(), lip_new.end(),
+                [](const Pix& a, const Pix& b) { return a.p < b.p; });
+      size_t old = lip.size();
+      lip.insert(lip.end(), lip_new.begin(), lip_new.end());
+      std::inplace_merge(lip.begin(), lip.begin() + old, lip.end(),
+                         [](const Pix& a, const Pix& b) { return a.p < b.p; });
+      lip_new.clear();
+    }
+  }
+
+  // sp_* entries sorted by position; refinement must walk ascending
+  std::vector<size_t> lsp_order;  // indices into sp_* in position order
+
+  void refinement_decode() {
+    const U half = U(threshold / U(2));
+    for (size_t k : lsp_order) {
+      if (threshold >= U(2)) {
+        if (src.get())
+          sp_val[k] = U(sp_val[k] + half);
+        else
+          sp_val[k] = U(sp_val[k] - half);
+      } else {
+        if (src.get()) sp_val[k] = U(sp_val[k] + U(1));
+      }
+    }
+    U init_val = U(threshold + threshold - threshold / U(2) - U(1));
+    for (size_t k : lsp_new) sp_val[k] = init_val;
+    // merge new entries into the position-ordered walk list
+    std::sort(lsp_new.begin(), lsp_new.end(),
+              [&](size_t a, size_t b) { return sp_pos[a] < sp_pos[b]; });
+    size_t old = lsp_order.size();
+    lsp_order.insert(lsp_order.end(), lsp_new.begin(), lsp_new.end());
+    std::inplace_merge(
+        lsp_order.begin(), lsp_order.begin() + old, lsp_order.end(),
+        [&](size_t a, size_t b) { return sp_pos[a] < sp_pos[b]; });
+    lsp_new.clear();
+  }
+
+  void clean_lis() {
+    for (auto& lst : lis) {
+      size_t k = 0;
+      for (size_t i = 0; i < lst.size(); i++)
+        if (lst[i].len != 0) lst[k++] = lst[i];
+      lst.resize(k);
+    }
+  }
+
+  void decode() {
+    init_lists();
+    if (num_bitplanes == 0) return;
+    threshold = 1;
+    for (unsigned i = 1; i < num_bitplanes; i++) threshold = U(threshold * U(2));
+    for (unsigned bp = 0; bp < num_bitplanes; bp++) {
+      sorting_pass();
+      refinement_decode();
+      threshold = U(threshold / U(2));
+      clean_lis();
+    }
+  }
+};
+
 // ------------------------------------------------------------ entrypoints --
+// `mutable_in`: the mags buffer is caller-owned scratch the encoder may
+// mutate in place (refinement subtracts thresholds), skipping a full copy.
 template <typename U>
 int64_t encode_any(int ndim, const void* mags, const uint8_t* signs, uint64_t nx,
-                   uint64_t ny, uint64_t nz, uint64_t budget_bits, uint8_t** out) {
+                   uint64_t ny, uint64_t nz, uint64_t budget_bits, uint8_t** out,
+                   bool mutable_in = false) {
   const U* m = static_cast<const U*>(mags);
   size_t n = size_t(nx) * ny * nz;
   uint64_t total_bits = 0;
@@ -1246,7 +1599,13 @@ int64_t encode_any(int ndim, const void* mags, const uint8_t* signs, uint64_t nx
     c.ny = ny;
     c.nz = nz;
     c.n = n;
-    c.coeff.assign(m, m + n);
+    if (mutable_in) {
+      c.cf = const_cast<U*>(m);  // caller-owned scratch: no 2nd copy
+    } else {
+      c.coeff_store.resize(n);
+      std::memcpy(c.coeff_store.data(), m, n * sizeof(U));
+      c.cf = c.coeff_store.data();
+    }
     c.signs_in = signs;
     c.budget = budget;
     c.encode();
@@ -1301,7 +1660,13 @@ int64_t decode_any(int ndim, const uint8_t* stream, uint64_t len, uint64_t nx,
     c.ny = ny;
     c.nz = nz;
     c.n = n;
-    run(c);
+    c.cf = static_cast<U*>(mags_out);  // decode in place: no copy-out
+    c.num_bitplanes = nbp;
+    c.total_bits = total_bits;
+    c.avail_bits = avail;
+    c.signs_out = signs_out;
+    c.src.load(stream + 9, avail, total_bits);
+    c.decode();
   } else if (ndim == 2) {
     Codec2D<false, U> c;
     c.nx = nx;
