@@ -17,7 +17,9 @@
 // Python thread pool scales chunk encoding across host cores.
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <memory>
@@ -570,12 +572,17 @@ struct Codec3D {
 
   // ---- top level -----------------------------------------------------------
   void encode() {
+    auto t0 = std::chrono::steady_clock::now();
     lip.init(n);
     lsp.init(n);
     lsp_new.clear();
     lsp_new.reserve(n / 16);
     sink.reserve_bits(n);
     init_lists();
+    if (std::getenv("SPERR_TPU_PROFILE"))
+      std::fprintf(stderr, "[sperr_tpu] 3d init+deposit    %7.1f ms\n",
+                   std::chrono::duration<double, std::milli>(
+                       std::chrono::steady_clock::now() - t0).count());
 
     // num_bitplanes = msb(max coeff)+1, from the deposit's memoized
     // per-set maxima (no extra full scan)
