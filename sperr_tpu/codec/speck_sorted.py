@@ -10,8 +10,9 @@ coder's list-insertion order is a *computable total order* over tree nodes —
 
 where b(n) = partition pass of the parent, and the anchor is the first
 strict ancestor with a smaller birth pass (or the chain's root; roots order
-by their initial index).  Verified empirically against the simulation on
-hundreds of (pass, level) snapshots before being adopted.
+by their initial index, before any born node of the same level).  Verified
+empirically against the simulation on hundreds of (pass, level) snapshots
+before being adopted.
 
 With O in hand, every LIS bit has a sort key:
 
@@ -22,8 +23,13 @@ With O in hand, every LIS bit has a sort key:
     slot, decision/sign), with the sibling skip rule computed by prefix-or.
 
 Shared root-path prefixes make path keys comparable within an anchor group,
-so one static path key per node/pixel serves every pass.  One lexsort per
+so one static path key per node serves every pass; a child slot's key is
+the parent's key with one digit inserted arithmetically.  One lexsort per
 pass then yields the exact serial bit sequence — no recursion anywhere.
+
+All per-chunk work is proportional to the *active* part of the tree (born
+nodes and children of partitioned parents — compressed information), not
+the node count: inactive rows never materialize.
 """
 
 from __future__ import annotations
@@ -36,46 +42,24 @@ from .speck_wave import _NEVER, Tree
 
 
 class SortedTree:
-    """Static arrays for the sorted emission (cached per dims alongside the
-    Tree): parents, child slots, packed root-paths, per-pixel rows."""
+    """Static per-node arrays for the sorted emission (cached per dims
+    alongside the Tree): parent, child slot, depth, packed root-path keys."""
 
-    __slots__ = (
-        "parent", "slot", "depth", "path_hi", "path_lo",
-        "row_parent", "row_slot", "row_is_px", "row_ref",
-        "row_path_hi", "row_path_lo", "root_rank",
-    )
+    __slots__ = ("parent", "slot", "depth", "path_hi", "path_lo", "root_rank")
 
 
 _SORTED: Dict[Tuple[int, int, int], SortedTree] = {}
 
+# path digit layout: depth index d < 12 lives in path_hi at bit 5*(11-d),
+# d in [12, 24) in path_lo at bit 5*(23-d); zero-padded below a node's depth
+# so a node's key sorts before its descendants'.
 
-def _pack_paths(depth: np.ndarray, parent: np.ndarray, slot: np.ndarray, tree):
-    """Root-path keys: digits (slot+1) at fixed positions, zero-padded below
-    the node's depth so a node's key sorts before its descendants'."""
-    nn = parent.size
-    maxd = int(depth.max()) + 2
-    assert maxd <= 24, "path packing supports depth <= 24"
-    digits = np.zeros((nn, maxd), dtype=np.int8)
-    for lo_, hi_ in tree.node_depth_ranges:  # parents resolve earlier
-        par = parent[lo_:hi_]
-        ok = par >= 0
-        rows = np.arange(lo_, hi_)[ok]
-        digits[rows] = digits[par[ok]]
-        digits[rows, depth[rows] - 1] = (slot[rows] + 1).astype(np.int8)
-    hi = np.zeros(nn, dtype=np.int64)
-    lo = np.zeros(nn, dtype=np.int64)
-    for i in range(maxd):
-        col = digits[:, i].astype(np.int64)
-        if i < 12:
-            hi = (hi << 5) | col
-        else:
-            lo = (lo << 5) | col
-    hi <<= 5 * max(0, 12 - maxd)
-    if maxd > 12:
-        lo <<= 5 * max(0, 24 - maxd)
-    else:
-        lo[:] = 0
-    return hi, lo, digits, maxd
+
+def _insert_digit(hi, lo, d, digit):
+    in_hi = d < 12
+    hi = hi | np.where(in_hi, digit << (5 * (11 - np.minimum(d, 11))), 0)
+    lo = lo | np.where(in_hi, 0, digit << (5 * (23 - np.maximum(d, 12))))
+    return hi, lo
 
 
 def sorted_tree(tree: Tree) -> SortedTree:
@@ -87,9 +71,7 @@ def sorted_tree(tree: Tree) -> SortedTree:
     parent = np.full(nn, -1, dtype=np.int64)
     slot = np.zeros(nn, dtype=np.int64)
     nrows = tree.ch_ref.size
-    row_parent = np.repeat(
-        np.arange(nn, dtype=np.int64), tree.node_ch_count
-    )
+    row_parent = np.repeat(np.arange(nn, dtype=np.int64), tree.node_ch_count)
     ends = np.cumsum(tree.node_ch_count)
     row_slot = (
         np.arange(nrows, dtype=np.int64)
@@ -100,31 +82,21 @@ def sorted_tree(tree: Tree) -> SortedTree:
     slot[tree.ch_ref[nd_rows]] = row_slot[nd_rows]
 
     depth = np.zeros(nn, dtype=np.int16)
+    hi = np.zeros(nn, dtype=np.int64)
+    lo = np.zeros(nn, dtype=np.int64)
     # BFS ranges: parents always resolve in an earlier range
     for lo_, hi_ in tree.node_depth_ranges:
         par = parent[lo_:hi_]
+        ok = par >= 0
+        idx = np.arange(lo_, hi_)[ok]
+        p = par[ok]
         depth[lo_:hi_] = np.where(par < 0, 0, depth[np.maximum(par, 0)] + 1)
-    hi, lo, digits, maxd = _pack_paths(depth, parent, slot, tree)
-
-    # per-row (child slot) path keys: parent's digits + slot at parent depth
-    rp = row_parent
-    rdepth = depth[rp] + 1
-    assert int(rdepth.max(initial=0)) <= 24
-    rdig = digits[rp].copy()
-    rdig[np.arange(nrows), rdepth - 1] = (row_slot + 1).astype(np.int8)
-    rhi = np.zeros(nrows, dtype=np.int64)
-    rlo = np.zeros(nrows, dtype=np.int64)
-    for i in range(maxd):
-        col = rdig[:, i].astype(np.int64)
-        if i < 12:
-            rhi = (rhi << 5) | col
-        else:
-            rlo = (rlo << 5) | col
-    rhi <<= 5 * max(0, 12 - maxd)
-    if maxd > 12:
-        rlo <<= 5 * max(0, 24 - maxd)
-    else:
-        rlo[:] = 0
+        d = depth[idx].astype(np.int64) - 1
+        dig = (slot[idx] + 1).astype(np.int64)
+        h, l = _insert_digit(hi[p], lo[p], d, dig)
+        hi[idx] = h
+        lo[idx] = l
+    assert int(depth.max(initial=0)) + 2 <= 24, "path packing supports depth <= 24"
 
     st = SortedTree()
     st.parent = parent
@@ -132,12 +104,6 @@ def sorted_tree(tree: Tree) -> SortedTree:
     st.depth = depth
     st.path_hi = hi
     st.path_lo = lo
-    st.row_parent = row_parent
-    st.row_slot = row_slot
-    st.row_is_px = tree.ch_is_pixel
-    st.row_ref = tree.ch_ref
-    st.row_path_hi = rhi
-    st.row_path_lo = rlo
     st.root_rank = {int(r): i for i, r in enumerate(tree.root_ids)}
     _SORTED[key] = st
     return st
@@ -157,19 +123,22 @@ def lis_segments_sorted(
     lev = tree.node_level.astype(np.int64)
     parent, is_root = st.parent, st.parent < 0
 
-    b = np.where(is_root, 0, node_s[np.maximum(parent, 0)]).astype(np.int64)
     s = node_s.astype(np.int64)
+    b = np.where(is_root, 0, s[np.maximum(parent, 0)])
 
     # anchors: first strict ancestor with smaller birth (or chain root)
     anchor = np.where(is_root, np.arange(nn), parent)
     for _ in range(int(st.depth.max()) + 1):
         a_par = parent[anchor]
         move = (~is_root) & (a_par >= 0) & (b[anchor] == b)
+        if not move.any():
+            break
         anchor = np.where(move, np.maximum(a_par, 0), anchor)
 
     # O: per (level, birth) groups ascending, key (anchor level finer-first
-    # with roots before everything, O[anchor], path).  Anchors of a b-group
-    # have smaller b or are roots -> already resolved.
+    # with roots before everything, roots-before-born within a level,
+    # O[anchor], path).  Anchors of a b-group have smaller b or are roots ->
+    # already resolved.
     root_rank = np.zeros(nn, dtype=np.int64)
     for r, i in st.root_rank.items():
         root_rank[r] = i
@@ -181,10 +150,13 @@ def lis_segments_sorted(
     # regardless of its level); per-level offsets accumulate across passes.
     nlev = int(lev.max()) + 1
     offsets = np.zeros(nlev, dtype=np.int64)
-    for bp in np.unique(b[born]):
-        sel = np.flatnonzero(born & (b == bp))
-        for t in np.unique(lev[sel]):
-            grp = sel[lev[sel] == t]
+    bn_all = np.flatnonzero(born)
+    b_bn = b[bn_all]
+    for bp in np.unique(b_bn):
+        sel = bn_all[b_bn == bp]
+        lev_sel = lev[sel]
+        for t in np.unique(lev_sel):
+            grp = sel[lev_sel == t]
             ar = anchor[grp]
             a_lev = np.where(is_root[grp], ROOT_FIRST, -lev[ar])
             # among anchors of the same level, roots precede born nodes (a
@@ -202,52 +174,58 @@ def lis_segments_sorted(
             offsets[t] += grp.size
     # walk order: levels desc, O asc
     w = np.full(nn, np.iinfo(np.int64).max, dtype=np.int64)
-    bn = np.flatnonzero(born)
-    worder = np.lexsort((O[bn], -lev[bn]))
-    w[bn[worder]] = np.arange(bn.size)
+    worder = np.lexsort((O[bn_all], -lev[bn_all]))
+    w[bn_all[worder]] = np.arange(bn_all.size)
 
     # ---- per-pass assembly -------------------------------------------------
     # list entries: cohort arrays sorted by w
-    ent = bn[worder]  # nodes in walk order
+    ent = bn_all[worder]  # nodes in walk order
     ent_from = np.where(is_root[ent], 0, b[ent] + 1)
     ent_s = s[ent]
 
-    # block rows sorted by parent's partition pass for O(total) slicing
-    rp = st.row_parent
+    # children of partitioned parents only (the active rows); the block bits
+    # and pixel signs of pass p come from parents with s == p
+    act = np.flatnonzero(s < _NEVER)
+    cnt = tree.node_ch_count[act]
+    starts = tree.node_ch_start[act]
+    nra = int(cnt.sum())
+    rp = np.repeat(act, cnt)
+    ends = np.cumsum(cnt)
+    gstart = ends - cnt
+    rslot = np.arange(nra, dtype=np.int64) - np.repeat(gstart, cnt)
+    rows_tbl = np.repeat(starts, cnt) + rslot
+    ref = tree.ch_ref[rows_tbl]
+    ispx = tree.ch_is_pixel[rows_tbl]
+    px_lin = tree.px_linear
+
     rowpass = s[rp]
-    ractive = rowpass < _NEVER
-    ridx = np.flatnonzero(ractive)
-    rorder = ridx[np.argsort(rowpass[ridx], kind="stable")]
+    rorder = np.argsort(rowpass, kind="stable")
     rbounds = np.searchsorted(rowpass[rorder], np.arange(num_bp + 1))
 
     # per-row child significance value at the parent's partition pass
-    ref = st.row_ref
-    ispx = st.row_is_px
-    px_lin = tree.px_linear
     row_sig_pass = np.where(
         ispx, s_lin[px_lin[np.where(ispx, ref, 0)]],
         s[np.where(ispx, 0, ref)],
     ).astype(np.int64)
-    row_sign = np.zeros(ref.size, dtype=np.uint8)
+    row_sign = np.zeros(nra, dtype=np.uint8)
     row_sign[ispx] = signs[px_lin[ref[ispx]]]
 
     # per-row top-anchor (valid at the parent's partition pass p):
     # q = row parent; top = q if b[q] < p (or root) else anchor[q]
-    qp = rp
-    top = np.where((b[qp] < s[qp]) | is_root[qp], qp, anchor[qp])
+    top = np.where((b[rp] < s[rp]) | is_root[rp], rp, anchor[rp])
     w_top = w[top]
+
+    # row path key = parent's path with one digit at the parent's depth
+    dq = st.depth[rp].astype(np.int64)
+    dig = rslot + 1
+    row_hi, row_lo = _insert_digit(st.path_hi[rp], st.path_lo[rp], dq, dig)
 
     # sibling skip rule per row: emitted unless (no earlier sig) and last slot
     sig_now = row_sig_pass == rowpass
-    # prefix-any of sig among earlier siblings, per parent (rows are
-    # parent-major contiguous in table order)
-    cnt = tree.node_ch_count
-    starts = tree.node_ch_start
-    # sibling prefix-any of significance: exclusive cumsum within each parent
     csum = np.cumsum(sig_now.astype(np.int64))
-    base = np.repeat(csum[starts] - sig_now[starts], cnt)
+    base = np.repeat(csum[gstart] - sig_now[gstart], cnt)
     prev_any = (csum - sig_now) - base
-    last_slot = st.row_slot == np.repeat(cnt, cnt) - 1
+    last_slot = rslot == np.repeat(cnt, cnt) - 1
     emitted = (prev_any > 0) | (~last_slot)
 
     segments: List[np.ndarray] = []
@@ -267,16 +245,16 @@ def lis_segments_sorted(
         dec_rows = rows[em]
         d_bits = (row_sig_pass[dec_rows] == p).astype(np.uint8)
         d_w = w_top[dec_rows]
-        d_hi = st.row_path_hi[dec_rows]
-        d_lo = st.row_path_lo[dec_rows]
+        d_hi = row_hi[dec_rows]
+        d_lo = row_lo[dec_rows]
         d_slot = np.zeros(dec_rows.size, dtype=np.int8)
         # pixel sign bits (emitted for every significant pixel slot,
         # regardless of whether the decision itself was skipped)
         sg_rows = rows[(row_sig_pass[rows] == p) & ispx[rows]]
         g_bits = row_sign[sg_rows]
         g_w = w_top[sg_rows]
-        g_hi = st.row_path_hi[sg_rows]
-        g_lo = st.row_path_lo[sg_rows]
+        g_hi = row_hi[sg_rows]
+        g_lo = row_lo[sg_rows]
         g_slot = np.ones(sg_rows.size, dtype=np.int8)
 
         bits = np.concatenate([e_bits, d_bits, g_bits])
