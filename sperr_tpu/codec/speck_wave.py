@@ -1007,35 +1007,11 @@ def stitch_2d(
         rs = s_lin[rnz]
         rmag = mags[rnz].astype(np.uint64)
 
-    walk = _EncWalk(tree, node_s, s_lin, signs)
-    walk.add_root(0, int(tree.node_level[0]))
+    # LIS bits: the set walk (quad partitions + I-set) as a lexicographic
+    # sort (codec/speck_sorted.py) — no recursion in the 2D encoder either.
+    from .speck_sorted import lis_segments_sorted_2d
 
-    i_lev = tree.xf if tree.xf > 0 else 0
-
-    def process_i(p: int, bits: _Bits, decide: bool = True) -> None:
-        nonlocal i_lev
-        if i_lev <= 0:
-            return
-        sig = iset_s[i_lev] == p
-        if decide:
-            bits.bit(1 if sig else 0)
-        if sig:
-            code_i(p, bits)
-
-    def code_i(p: int, bits: _Bits) -> None:
-        nonlocal i_lev
-        k = i_lev
-        i_lev -= 1
-        counter = 0
-        for nid in tree.iset_groups[k]:
-            sig = node_s[nid] == p
-            bits.bit(1 if sig else 0)
-            if sig:
-                counter += 1
-                walk.code_s(nid, p, bits)
-            else:
-                walk.born[int(tree.node_level[nid])].append(nid)
-        process_i(p, bits, counter != 0)
+    lis_all = lis_segments_sorted_2d(tree, node_s, s_lin, signs, num_bp, iset_s)
 
     segments: List[np.ndarray] = []
     total = 0
@@ -1045,7 +1021,7 @@ def stitch_2d(
             lip_bits = lip_segments[p]
         else:
             lip_bits = _lip_segment(ce, cs, csign, p)
-        lis_bits = walk.lis_pass(p, i_hook=process_i)
+        lis_bits = lis_all[p]
 
         segments.append(lip_bits)
         segments.append(lis_bits)
