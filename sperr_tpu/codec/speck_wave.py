@@ -677,24 +677,29 @@ def stitch_3d(
     budget_bits: int = 0,
     mags: np.ndarray = None,
     s_lin: np.ndarray = None,
+    lis_segments=None,
 ) -> bytes:
     """Assemble the final stream from pixel schedules + set walk.
 
-    `lip_segments` / `ref_segments`: optional per-pass 0/1 arrays computed on
-    a device (ops/speck_jax.py); when None they are computed here with numpy
-    (requiring `pmsb`, and `mags` for the refinement bits).  With both
-    segment lists supplied, only `s_lin` (or `pmsb`) and `signs` are needed
-    for the pixels the set walk touches — both reconstructable from sparse
-    nonzero data."""
+    `lip_segments` / `ref_segments` / `lis_segments`: optional per-pass 0/1
+    arrays computed on a device (ops/speck_jax.py, ops/speck_lis_jax.py);
+    when None they are computed here with numpy (requiring `pmsb`, and
+    `mags` for the refinement bits).  With all three supplied the stitcher
+    is a pure per-pass concatenation — no tree data needed at all."""
     nx, ny, nz = dims
     n = nx * ny * nz
-    tree = build_tree(dims)
     budget = (budget_bits + 7) // 8 * 8 if budget_bits else None
 
-    node_s = np.where(node_max > 0, num_bp - node_max, _NEVER).astype(np.int32)
+    if lip_segments is None or ref_segments is None or lis_segments is None:
+        tree = build_tree(dims)
+        node_s = np.where(node_max > 0, num_bp - node_max, _NEVER).astype(
+            np.int32
+        )
 
     # --- static per-pixel schedule (linear index order) -------------------
-    if s_lin is None:
+    if s_lin is None and (
+        lip_segments is None or ref_segments is None or lis_segments is None
+    ):
         s_lin = np.where(pmsb > 0, num_bp - pmsb, _NEVER).astype(np.int32)
     if lip_segments is None:
         e_lin = np.full(n, _NEVER, dtype=np.int32)
@@ -709,11 +714,14 @@ def stitch_3d(
         rs = s_lin[rnz]
         rmag = mags[rnz].astype(np.uint64)
 
-    # LIS bits: the set walk as a lexicographic sort (codec/speck_sorted.py)
-    # — no recursion anywhere in the 3D encoder.
-    from .speck_sorted import lis_segments_sorted
+    if lis_segments is None:
+        # LIS bits: the set walk as a lexicographic sort
+        # (codec/speck_sorted.py) — no recursion anywhere in the 3D encoder.
+        from .speck_sorted import lis_segments_sorted
 
-    lis_all = lis_segments_sorted(tree, node_s, s_lin, signs, num_bp)
+        lis_all = lis_segments_sorted(tree, node_s, s_lin, signs, num_bp)
+    else:
+        lis_all = lis_segments
 
     segments: List[np.ndarray] = []
     total = 0

@@ -134,18 +134,22 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
 @partial(
     jax.jit,
     static_argnames=(
-        "mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3", "residual"
+        "mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3", "residual",
+        "node_cap", "lis_row_cap",
     ),
 )
 def _dense_encode_wave(
     batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
-    dims3: Tuple[int, int, int], residual: bool = True,
+    dims3: Tuple[int, int, int], residual: bool = True, node_cap: int = 1024,
+    lis_row_cap: int = 4096,
 ):
-    """Device stages + the wavefront entropy pixel work (ops/speck_jax.py):
-    per-pass packed LIP/refinement segments, per-node maxes (compacted), and
-    per-pixel schedules — everything except the host set walk.  Device->host
-    traffic for the entropy stage is then stream-sized."""
+    """Device stages + the complete wavefront entropy stage: per-pass packed
+    LIP / LIS / refinement segments (ops/speck_jax.py, ops/speck_lis_jax.py).
+    The whole SPECK bit computation runs on the device; the host only
+    concatenates byte-aligned segments and writes headers.  Device->host
+    traffic for the entropy stage is stream-sized."""
     from ..ops import speck_jax as sj
+    from ..ops import speck_lis_jax as sl
 
     out, ll = _encode_core(batch, mode, quality, cap, out_cap, residual)
     B, n = ll.shape
@@ -156,6 +160,7 @@ def _dense_encode_wave(
     except ValueError:
         pti = None
     ti = None if pti is not None else sj.tree_index(dims3)
+    li = sl.lis_index(dims3)
     # total bytes for the concatenated segments, sized by the candidate cap;
     # overflow (counted on device) falls back to host entropy
     cap_total = min(n, (2 * cap * (num_bp_cap + 4)) // 8 + 8)
@@ -183,19 +188,19 @@ def _dense_encode_wave(
         lip, lip_c, ref, ref_c = sj.pass_segments_packed_sparse(
             m_c, g_c, s_c, e_c, num_bp, num_bp_cap
         )
+        # the set walk itself, as per-pass device sorts
+        node_s = jnp.where(nm > 0, num_bp - nm, _WAVE_NEVER).astype(jnp.int32)
+        lis, lis_c, n_sig = sl.lis_segments_device(
+            node_s, s, sgn_row, num_bp, li, num_bp_cap, node_cap, lis_row_cap
+        )
         # one stream-sized transfer: concatenate all byte-aligned segments
         lip_buf, _, lip_total = sj.concat_segments(lip, lip_c, cap_total)
         ref_buf, _, ref_total = sj.concat_segments(ref, ref_c, cap_total)
-        # compact nonzero node maxes (sparse set-significance oracle)
-        (nid,) = jnp.nonzero(nm > 0, size=cap, fill_value=nm.shape[0])
-        nmax = jnp.where(
-            nid < nm.shape[0], nm[jnp.minimum(nid, nm.shape[0] - 1)], 0
-        )
-        n_nodes = jnp.sum(nm > 0).astype(jnp.int32)
+        lis_buf, _, lis_total = sj.concat_segments(lis, lis_c, cap_total)
         return (
             num_bp.astype(jnp.int32), lip_buf, lip_c, lip_total, ref_buf,
-            ref_c, ref_total, nid.astype(jnp.int32), nmax.astype(jnp.int32),
-            n_nodes, n_exp,
+            ref_c, ref_total, lis_buf, lis_c, lis_total,
+            jnp.max(lis_c).astype(jnp.int32), n_sig, n_exp,
         )
 
     signs = ll >= 0
@@ -203,7 +208,8 @@ def _dense_encode_wave(
     out["wave"] = dict(
         num_bp=res[0], lip=res[1], lip_c=res[2], lip_total=res[3],
         ref=res[4], ref_c=res[5], ref_total=res[6],
-        node_id=res[7], node_max=res[8], n_nodes=res[9], n_exposed=res[10],
+        lis=res[7], lis_c=res[8], lis_total=res[9], lis_cmax=res[10],
+        n_sig=res[11], n_exposed=res[12],
     )
     return out
 
@@ -339,6 +345,9 @@ class TpuCompressor3D:
         # host, which runs the set walk and stitches the stream.
         self.entropy = entropy
         self.num_bp_cap = 34
+        # device set-walk cap (fraction of n); overflow falls back to the
+        # host stitcher, like the other caps
+        self.node_cap_frac = 1 / 32
         # pwe_strict: compute the PWE outlier set on host against the exact
         # f64 reconstruction the decoder runs, so max|err| <= tol holds for
         # the f64 decode paths (ours and the reference's) even though the
@@ -369,6 +378,9 @@ class TpuCompressor3D:
             groups.setdefault((c[5], c[3], c[1]), []).append(i)
 
         streams: List[Optional[bytes]] = [None] * len(chunks)
+        # per-compress observability: how many chunks used the device
+        # entropy path vs the host fallback (caps overflow, dense data)
+        wave_used = [0] * len(chunks)
 
         # strict PWE: the outlier set comes from the host f64 residual pass,
         # so the device skips its f32 reconstruction/scan entirely.
@@ -391,15 +403,21 @@ class TpuCompressor3D:
             wave = None
             if self.entropy == "wave":
                 from ..ops import speck_jax as sj
+                from ..ops import speck_lis_jax as sl
 
                 # build static indexes outside any jit trace (tracer safety)
                 try:
                     sj.pyramid_index((lx, ly, lz))
                 except ValueError:
                     sj.tree_index((lx, ly, lz))
+                sl.lis_index((lx, ly, lz))
+                node_cap = max(512, int(n * self.node_cap_frac))
+                # exact bound: entries + decisions + signs <= 3 rows per
+                # child slot (+ roots) -> a pass can never overflow this
+                lis_row_cap = 24 * node_cap + 1024
                 res = _dense_encode_wave(
                     dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                    (lx, ly, lz), dev_resid,
+                    (lx, ly, lz), dev_resid, node_cap, lis_row_cap,
                 )
                 wdev = res.pop("wave")
                 # counts first, then total-trimmed fetches of the
@@ -407,20 +425,17 @@ class TpuCompressor3D:
                 # traffic is stream-sized.
                 wave = {
                     k: np.asarray(jax.device_get(wdev[k]))
-                    for k in ("num_bp", "lip_c", "ref_c", "lip_total",
-                              "ref_total", "n_nodes", "n_exposed")
+                    for k in ("num_bp", "lip_c", "ref_c", "lis_c", "lip_total",
+                              "ref_total", "lis_total", "lis_cmax", "n_sig",
+                              "n_exposed")
                 }
+                wave["caps"] = (node_cap, lis_row_cap)
                 lip_b = int(wave["lip_total"].max()) if wave["lip_total"].size else 0
                 ref_b = int(wave["ref_total"].max()) if wave["ref_total"].size else 0
-                nmax_n = int(wave["n_nodes"].max()) if wave["n_nodes"].size else 0
+                lis_b = int(wave["lis_total"].max()) if wave["lis_total"].size else 0
                 wave["lip"] = np.asarray(jax.device_get(wdev["lip"][:, :lip_b]))
                 wave["ref"] = np.asarray(jax.device_get(wdev["ref"][:, :ref_b]))
-                wave["node_id"] = np.asarray(
-                    jax.device_get(wdev["node_id"][:, :nmax_n])
-                )
-                wave["node_max"] = np.asarray(
-                    jax.device_get(wdev["node_max"][:, :nmax_n])
-                )
+                wave["lis"] = np.asarray(jax.device_get(wdev["lis"][:, :lis_b]))
             else:
                 res = _dense_encode_sparse(
                     dev, mode, float(quality), cap, out_cap, dev_resid
@@ -476,16 +491,20 @@ class TpuCompressor3D:
                 mean = float(small["mean"][k])
                 condi = _condi_header(False, 0.0, 0, mean, q)
                 cap_total = min(n, (2 * cap * (self.num_bp_cap + 4)) // 8 + 8)
+                nc, lrc = wave["caps"] if wave is not None else (0, 0)
                 use_wave = (
                     wave is not None
                     and dense is None
-                    and int(wave["n_nodes"][k]) <= cap
+                    and int(wave["n_sig"][k]) <= nc
+                    and int(wave["lis_cmax"][k]) <= lrc
                     and int(wave["n_exposed"][k]) <= cap
                     and int(wave["num_bp"][k]) <= self.num_bp_cap
                     and int(wave["lip_total"][k]) <= cap_total
                     and int(wave["ref_total"][k]) <= cap_total
+                    and int(wave["lis_total"][k]) <= cap_total
                 )
                 if use_wave:
+                    wave_used[gi] = 1
                     body = self._stitch_wave(
                         wave, k, int(nnz[k]), sparse, n, (lx, ly, lz), budget
                     )
@@ -545,6 +564,7 @@ class TpuCompressor3D:
                 for k, s in enumerate(pool.map(encode_one, range(len(idxs)))):
                     streams[idxs[k]] = s
 
+        self.last_wave_chunks = sum(wave_used)
         header = tools.generate_header(
             self.vol_dims, self.chunk_dims, [len(s) for s in streams], is_float
         )
@@ -553,24 +573,16 @@ class TpuCompressor3D:
     def _stitch_wave(
         self, wave, k: int, m: int, sparse, n: int, dims3, budget: int
     ) -> bytes:
-        """Host half of the device-entropy path: rebuild the sparse pixel /
-        node schedules and stitch the stream from the device's packed
-        per-pass segments (byte-identical to the host engines)."""
+        """Host half of the device-entropy path: pure per-pass concatenation
+        of the device's packed LIP / LIS / refinement segments plus the
+        stream header (byte-identical to the host engines) — the SPECK bits
+        were all computed on the device."""
         from ..codec import speck_wave as sw
 
         num_bp = int(wave["num_bp"][k])
         if num_bp == 0:
             return sw._pack_stream(np.empty(0, np.uint8), 0, 0)
-        ki = sparse["idx"][k][:m]
-        kv = sparse["vals"][k][:m]
-        s_lin = np.full(n, sw._NEVER, dtype=np.int32)
-        s_lin[ki] = num_bp - sw.msbp1(np.abs(kv).astype(np.uint64)).astype(np.int32)
-        signs_full = np.ones(n, dtype=bool)
-        signs_full[ki] = kv >= 0
-        tree = sw.build_tree(dims3)
-        node_max = np.zeros(tree.node_parent.size, dtype=np.int16)
-        nnn = int(wave["n_nodes"][k])
-        node_max[wave["node_id"][k][:nnn]] = wave["node_max"][k][:nnn]
+
         def unconcat(buf, bit_counts):
             bc = (bit_counts.astype(np.int64) + 7) // 8
             offs = np.cumsum(bc) - bc
@@ -583,9 +595,11 @@ class TpuCompressor3D:
 
         lip_segments = unconcat(wave["lip"][k], wave["lip_c"][k])
         ref_segments = unconcat(wave["ref"][k], wave["ref_c"][k])
+        lis_segments = unconcat(wave["lis"][k], wave["lis_c"][k])
         return sw.stitch_3d(
-            None, signs_full, node_max, dims3, num_bp,
-            lip_segments, ref_segments, budget, s_lin=s_lin,
+            None, None, None, dims3, num_bp,
+            lip_segments, ref_segments, budget,
+            lis_segments=lis_segments,
         )
 
 

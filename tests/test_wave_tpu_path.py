@@ -1,10 +1,11 @@
 """Device-entropy compression path (TpuCompressor3D(entropy="wave")).
 
-With entropy="wave" the SPECK pixel bit-work runs on the device
-(ops/speck_jax.py pass_segments_packed_sparse) and only stream-sized packed
-segments cross to the host, which runs the set walk and stitches.  The
-container must be byte-identical to the host-entropy path (same device
-quantization feeds both)."""
+With entropy="wave" the full SPECK bit computation runs on the device —
+LIP/refinement segments (ops/speck_jax.py) and the set walk as per-pass
+sorts (ops/speck_lis_jax.py); only stream-sized packed segments cross to
+the host, which concatenates and writes headers.  The container must be
+byte-identical to the host-entropy path (same device quantization feeds
+both)."""
 
 import numpy as np
 import pytest
@@ -56,6 +57,20 @@ def test_wave_entropy_decodes_within_tolerance():
     out, dims = TpuDecompressor3D().decompress(bytes(stream))
     assert dims == (32, 32, 32)
     assert np.abs(out.astype(np.float64) - vol.astype(np.float64)).max() <= tol * 1.001
+
+
+def test_wave_entropy_uses_device_walk():
+    """On sparse data the full device entropy path (including the on-device
+    set walk) must actually run — not silently fall back to host — and the
+    container must still match the host path byte for byte."""
+    vol = _vol()
+    comp_w = TpuCompressor3D((32, 32, 32), (32, 32, 32), entropy="wave")
+    wave = comp_w.compress(vol, "pwe", 2e-2)
+    assert comp_w.last_wave_chunks == 1
+    host = TpuCompressor3D((32, 32, 32), (32, 32, 32), entropy="host").compress(
+        vol, "pwe", 2e-2
+    )
+    assert bytes(wave) == bytes(host)
 
 
 def test_wave_entropy_dense_data_falls_back():
