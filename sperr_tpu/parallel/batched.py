@@ -51,13 +51,21 @@ def make_chunk_mesh(devices=None) -> Mesh:
 # Device-side dense stages (jitted per chunk shape / mode).
 # ---------------------------------------------------------------------------
 def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
-                 residual: bool = True):
+                 residual: str = "f32"):
     """Shared device stages: condition -> DWT -> q -> quantize -> sparse
     compaction [-> PWE outlier detection].  Returns (out dict, ll).
 
-    `residual=False` (strict PWE) skips the on-device f32 reconstruction and
-    outlier scan; the host computes the outlier set against the exact f64
-    reconstruction instead (see TpuCompressor3D.pwe_strict)."""
+    `residual` (PWE only):
+      "none"   — skip the on-device reconstruction/scan; the host computes
+                 the outlier set against the exact f64 reconstruction
+                 (strict mode, TpuCompressor3D.pwe_strict=True);
+      "f32"    — scan at threshold tol against the f32 reconstruction (fast
+                 mode: bound tight only up to f32 roundoff);
+      "margin" — scan at threshold tol - eta, where eta conservatively
+                 bounds the f32-vs-f64 reconstruction discrepancy; chunks
+                 whose eta exceeds tol/4 (f32 cannot certify) are flagged in
+                 `margin_bad` and the host falls back to the exact residual
+                 for those chunks only."""
     B = batch.shape[0]
     n = batch.shape[1] * batch.shape[2] * batch.shape[3]
     flat = batch.reshape(B, n)
@@ -93,13 +101,32 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
         is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
         nnz=nnz, idx=idx, vals=vals, maxmag=maxmag,
     )
-    if mode == "pwe" and residual:
+    if mode == "pwe" and residual != "none":
         signs = ll >= 0
         mags = jnp.abs(ll)
         rec = qzj.midtread_inv_quantize_batched(mags, signs, q)
         rec = cdfj.idwt3d(rec.reshape(batch.shape)).reshape(B, n)
         diff = conditioned - rec
-        omask = jnp.abs(diff) > dt.type(quality)
+        if residual == "margin":
+            # eta: conservative bound on |diff_f32 - diff_f64_decode| —
+            # K * eps32 * the largest magnitude flowing through the inverse
+            # transform (coefficient or data scale).  Detecting at tol - eta
+            # keeps unflagged points within tol for an exact f64 decoder,
+            # and flagged points' corrections retain >= tol/4 slack, so the
+            # bound survives as long as eta <= tol/4 (margin_bad otherwise).
+            eps32 = jnp.asarray(np.finfo(np.float32).eps, dtype=dt)
+            scale = jnp.maximum(
+                jnp.abs(q.astype(dt)) * maxmag.astype(dt),
+                jnp.max(jnp.abs(conditioned), axis=1),
+            )
+            eta = dt.type(256.0) * eps32 * scale
+            out["margin_bad"] = eta > dt.type(quality / 4.0)
+            thr = jnp.maximum(
+                dt.type(quality) - eta, dt.type(0.0)
+            )[:, None]
+        else:
+            thr = dt.type(quality)
+        omask = jnp.abs(diff) > thr
         n_out = jnp.sum(omask, axis=1).astype(jnp.int32)
 
         def compact_out(m, d):
@@ -117,7 +144,7 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
     jax.jit, static_argnames=("mode", "quality", "cap", "out_cap", "residual")
 )
 def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: int,
-                         residual: bool = True):
+                         residual: str = "f32"):
     """Device stages + on-device compaction of significant coefficients.
 
     Returns per chunk: indices (i32) and *signed* quantized values (i32) of
@@ -140,7 +167,7 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
 )
 def _dense_encode_wave(
     batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
-    dims3: Tuple[int, int, int], residual: bool = True, node_cap: int = 1024,
+    dims3: Tuple[int, int, int], residual: str = "f32", node_cap: int = 1024,
     lis_row_cap: int = 4096,
 ):
     """Device stages + the complete wavefront entropy stage: per-pass packed
@@ -215,7 +242,7 @@ def _dense_encode_wave(
 
 
 @partial(jax.jit, static_argnames=("mode", "quality", "residual"))
-def _dense_encode(batch, mode: str, quality: float, residual: bool = True):
+def _dense_encode(batch, mode: str, quality: float, residual: str = "f32"):
     """batch: (B, lz, ly, lx) device dtype. Returns per-chunk dense results."""
     B = batch.shape[0]
     n = batch.shape[1] * batch.shape[2] * batch.shape[3]
@@ -243,7 +270,7 @@ def _dense_encode(batch, mode: str, quality: float, residual: bool = True):
         is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
         mags=mags, signs=signs, maxmag=maxmag,
     )
-    if mode == "pwe" and residual:
+    if mode == "pwe" and residual != "none":
         rec = qzj.midtread_inv_quantize_batched(mags, signs, q)
         rec = cdfj.idwt3d(rec.reshape(batch.shape)).reshape(B, n)
         diff = conditioned - rec
@@ -348,12 +375,18 @@ class TpuCompressor3D:
         # device set-walk cap (fraction of n); overflow falls back to the
         # host stitcher, like the other caps
         self.node_cap_frac = 1 / 32
-        # pwe_strict: compute the PWE outlier set on host against the exact
-        # f64 reconstruction the decoder runs, so max|err| <= tol holds for
-        # the f64 decode paths (ours and the reference's) even though the
-        # device stages run at f32.  pwe_strict=False keeps the all-device
-        # residual scan: fastest, but the bound is only as tight as f32
-        # roundoff allows (same contract as precision=32 native fast mode).
+        # pwe_strict: how the PWE bound is certified.
+        #   True     — outlier set computed on host against the exact f64
+        #              reconstruction the decoder runs: max|err| <= tol for
+        #              every f64 decode (ours and the reference binaries').
+        #   "device" — all-device scan at threshold tol - eta, where eta
+        #              conservatively bounds the f32/f64 reconstruction
+        #              discrepancy: the f64-decode bound still holds, and
+        #              only chunks whose eta > tol/4 (f32 cannot certify)
+        #              fall back to the host residual.
+        #   False    — all-device scan at tol: fastest, bound tight only up
+        #              to f32 roundoff (precision=32 native fast-mode
+        #              contract).
         self.pwe_strict = pwe_strict
 
     def _shard(self, arr):
@@ -382,9 +415,14 @@ class TpuCompressor3D:
         # entropy path vs the host fallback (caps overflow, dense data)
         wave_used = [0] * len(chunks)
 
-        # strict PWE: the outlier set comes from the host f64 residual pass,
-        # so the device skips its f32 reconstruction/scan entirely.
-        dev_resid = not (mode == "pwe" and self.pwe_strict)
+        # PWE certification mode (see pwe_strict in __init__)
+        if mode != "pwe" or self.pwe_strict is False:
+            resid_mode = "f32"
+        elif self.pwe_strict == "device":
+            resid_mode = "margin"
+        else:
+            resid_mode = "none"
+        dev_resid = resid_mode != "none"
 
         for shape, idxs in groups.items():
             lz, ly, lx = shape
@@ -417,7 +455,7 @@ class TpuCompressor3D:
                 lis_row_cap = 24 * node_cap + 1024
                 res = _dense_encode_wave(
                     dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                    (lx, ly, lz), dev_resid, node_cap, lis_row_cap,
+                    (lx, ly, lz), resid_mode, node_cap, lis_row_cap,
                 )
                 wdev = res.pop("wave")
                 # counts first, then total-trimmed fetches of the
@@ -438,7 +476,7 @@ class TpuCompressor3D:
                 wave["lis"] = np.asarray(jax.device_get(wdev["lis"][:, :lis_b]))
             else:
                 res = _dense_encode_sparse(
-                    dev, mode, float(quality), cap, out_cap, dev_resid
+                    dev, mode, float(quality), cap, out_cap, resid_mode
                 )
             # Pull small per-chunk scalars first; decide dense fallback.
             nnz = np.asarray(jax.device_get(res["nnz"]))
@@ -451,10 +489,15 @@ class TpuCompressor3D:
                 if mode == "pwe" and dev_resid
                 else None
             )
+            margin_bad = (
+                np.asarray(jax.device_get(res["margin_bad"]))
+                if resid_mode == "margin"
+                else None
+            )
             dense = None
             if (nnz > cap).any() or (n_out is not None and (n_out > out_cap).any()):
                 dense = jax.device_get(
-                    _dense_encode(dev, mode, float(quality), dev_resid)
+                    _dense_encode(dev, mode, float(quality), resid_mode)
                 )
             else:
                 # Slice the compacted arrays to the actual occupancy on the
@@ -480,12 +523,12 @@ class TpuCompressor3D:
                 gi = idxs[k]
                 if bool(small["is_const"][k]):
                     return _condi_header(True, float(small["v0"][k]), n, 0.0, 0.0)
-                # strict PWE stores the reference's exact f64 q = 1.5*tol
-                # (SPECK_FLT.cpp:281): the host residual, the header, and the
-                # decoder then all agree on the same reconstruction scale.
+                # strict/margin PWE store the reference's exact f64
+                # q = 1.5*tol (SPECK_FLT.cpp:281): residual scan, header, and
+                # decoder all agree on the same reconstruction scale.
                 q = (
                     1.5 * float(quality)
-                    if mode == "pwe" and not dev_resid
+                    if mode == "pwe" and resid_mode in ("none", "margin")
                     else float(small["q"][k])
                 )
                 mean = float(small["mean"][k])
@@ -525,7 +568,11 @@ class TpuCompressor3D:
                     )
                 out_stream = b""
                 if mode == "pwe":
-                    if not dev_resid:
+                    host_resid = resid_mode == "none" or (
+                        resid_mode == "margin"
+                        and (dense is not None or bool(margin_bad[k]))
+                    )
+                    if host_resid:
                         # strict: exact f64 decoder-visible residual on host
                         if dense is not None:
                             mg = dense["mags"][k].astype(np.int64)

@@ -83,6 +83,38 @@ def test_strict_q_matches_reference_formula():
     assert q == 1.5 * tol
 
 
+@pytest.mark.parametrize("tol", [1e-2, 1e-4, 1e-6])
+def test_margin_mode_bound_f64_decode(tol):
+    """pwe_strict="device": the all-device scan detects at tol - eta; the f64
+    decode bound must hold at every tolerance — loose ones certified on
+    device, tight ones via the automatic host-residual fallback."""
+    from sperr_tpu.parallel.chunked3d import Sperr3DDecompressor
+
+    dims = (40, 40, 24)
+    vol = _field(*dims)
+    comp = TpuCompressor3D(dims, (24, 24, 24), pwe_strict="device")
+    s = bytes(comp.compress(vol, "pwe", tol))
+    out, _ = Sperr3DDecompressor().decompress(s)
+    err = np.abs(np.asarray(out).reshape(vol.shape) - vol).max()
+    assert err <= tol
+
+
+def test_margin_flag_scales_with_tolerance():
+    """The device flags chunks whose eta exceeds tol/4: loose tolerances
+    certify on device, tight ones demand the host fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from sperr_tpu.parallel.batched import _dense_encode_sparse
+
+    vol = _field(24, 24, 24).astype(np.float32)[None]
+    dev = jnp.asarray(vol)
+    loose = _dense_encode_sparse(dev, "pwe", 1e-2, 4096, 512, "margin")
+    tight = _dense_encode_sparse(dev, "pwe", 1e-7, 4096, 512, "margin")
+    assert not bool(np.asarray(jax.device_get(loose["margin_bad"]))[0])
+    assert bool(np.asarray(jax.device_get(tight["margin_bad"]))[0])
+
+
 def test_fast_mode_still_roundtrips():
     dims = (32, 32, 32)
     vol = _field(*dims, seed=7)
