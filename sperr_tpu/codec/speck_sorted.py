@@ -63,7 +63,8 @@ def _insert_digit(hi, lo, d, digit):
 
 
 def sorted_tree(tree: Tree) -> SortedTree:
-    key = tree.dims
+    # key by tree TYPE too: Tree1(n) and a 3D Tree(n,1,1) share .dims
+    key = (type(tree).__name__,) + tuple(tree.dims)
     st = _SORTED.get(key)
     if st is not None:
         return st
@@ -128,6 +129,10 @@ def lis_segments_sorted(
     nn = node_s.size
     lev = tree.node_level.astype(np.int64)
     parent, is_root = st.parent, st.parent < 0
+    # 1D trees carry zero-length sets: they never enter lists (they emit
+    # their one decision bit as a child row and are dropped) — except dead
+    # roots, which sit in their list for exactly pass 0.
+    alive = getattr(tree, "node_alive", None)
 
     s = node_s.astype(np.int64)
     b = np.where(is_root, 0, s[np.maximum(parent, 0)])
@@ -150,6 +155,8 @@ def lis_segments_sorted(
         root_rank[r] = i
     O = np.full(nn, -1, dtype=np.int64)
     born = b < _NEVER
+    if alive is not None:
+        born &= alive | is_root
     ROOT_FIRST = -(10**6)  # roots precede any born node in their b=0 group
     # birth passes ascending GLOBALLY (anchors have a strictly smaller birth
     # or are roots, so every anchor's O resolves before it is compared,
@@ -188,6 +195,11 @@ def lis_segments_sorted(
     ent = bn_all[worder]  # nodes in walk order
     ent_from = np.where(is_root[ent], 0, b[ent] + 1)
     ent_s = s[ent]
+    # membership end: a node leaves at its significance pass; a dead root
+    # is dropped after its first (only) visit
+    ent_to = ent_s
+    if alive is not None:
+        ent_to = np.where(alive[ent], ent_s, ent_from)
 
     # children of partitioned parents only (the active rows); the block bits
     # and pixel signs of pass p come from parents with s == p
@@ -237,7 +249,7 @@ def lis_segments_sorted(
     segments: List[np.ndarray] = []
     for p in range(num_bp):
         # list-entry decision bits in walk order
-        memb = (ent_from <= p) & (p <= ent_s)
+        memb = (ent_from <= p) & (p <= ent_to)
         mi = np.flatnonzero(memb)
         e_bits = (ent_s[mi] == p).astype(np.uint8)
         e_w = w[ent[mi]]

@@ -1242,16 +1242,18 @@ def encode_1d(
     rs = s_lin[rnz]
     rmag = mags[rnz].astype(np.uint64)
 
-    walk = _EncWalk(tree, node_s, s_lin, signs)
-    for rid in tree.root_ids:
-        walk.add_root(int(rid), int(tree.root_levels[rid]))
+    # LIS bits via the sorted emission (codec/speck_sorted.py): the 1D tree's
+    # zero-length sets are handled by the node_alive mask.
+    from .speck_sorted import lis_segments_sorted
+
+    lis_all = lis_segments_sorted(tree, node_s, s_lin, signs, num_bp)
 
     segments: List[np.ndarray] = []
     total = 0
     stop = False
     for p in range(num_bp):
         lip_bits = _lip_segment(ce, cs, csign, p)
-        lis_bits = walk.lis_pass(p)
+        lis_bits = lis_all[p]
         segments.append(lip_bits)
         segments.append(lis_bits)
         total += lip_bits.size + lis_bits.size
