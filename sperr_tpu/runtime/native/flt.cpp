@@ -5,8 +5,11 @@
 //               reference binaries (behavioral spec: SPECK_FLT.cpp,
 //               CDF97.cpp, Conditioner.cpp, Outlier_Coder.cpp).
 //   F = float:  fast mode — half the memory traffic; streams remain
-//               format-valid SPERR (q/mean still stored as f64), quality
-//               bounded by f32 roundoff (same contract as the TPU engine).
+//               format-valid SPERR (q/mean still stored as f64).  PWE is
+//               margin-certified: outliers detected at tol - eta (eta
+//               bounds the f32/f64 reconstruction discrepancy), so the
+//               bound holds for f64 decoders too; chunks whose tolerance
+//               f32 cannot certify escalate to the f64 pipeline.
 //
 // Compile with -ffp-contract=off: every floating-point op in the F=double
 // path must round exactly once for stream parity.
@@ -991,6 +994,38 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
                 : maxll <= 0xFFFFFFFFll ? 32 : 64;
     std::vector<uint8_t> body, outlier_stream;
 
+    // f32 fast mode, PWE: certify the f64-decode bound on f32 hardware by
+    // detecting outliers at tol - eta, where eta conservatively bounds the
+    // f32-vs-f64 reconstruction discrepancy (same scheme as the TPU
+    // driver's pwe_strict="device").  When eta > tol/4 the tolerance cannot
+    // be certified at this data scale: return the escalation sentinel (an
+    // empty stream) and let the entry point redo the chunk in f64.
+    double pwe_thr = quality;
+    if (std::is_same_v<F, float> && mode == 3) {
+      double dmax = 0;  // max |conditioned| (8 lanes: vectorizable)
+      {
+        double acc[8] = {0};
+        size_t i = 0;
+        for (; i + 8 <= n; i += 8)
+          for (int j = 0; j < 8; j++) {
+            double a = std::fabs(double(orig[i + j]));
+            acc[j] = a > acc[j] ? a : acc[j];
+          }
+        for (; i < n; i++) {
+          double a = std::fabs(double(orig[i]));
+          acc[0] = a > acc[0] ? a : acc[0];
+        }
+        for (int j = 0; j < 8; j++) dmax = acc[j] > dmax ? acc[j] : dmax;
+      }
+      double cmax = coeff_max < 0 ? dmax : double(coeff_max);
+      // K = 64: two orders above the measured lifting-chain discrepancy
+      // (~0.5 eps * scale) for this deterministic arithmetic
+      double eta =
+          64.0 * 1.1920928955078125e-07 * (cmax > dmax ? cmax : dmax);
+      if (eta > quality / 4.0) return {};  // escalate to the f64 pipeline
+      pwe_thr = quality - eta;
+    }
+
     auto run = [&](auto tag) {
       using U = decltype(tag);
       rvec<U> mags;
@@ -1003,12 +1038,12 @@ std::vector<uint8_t> compress_chunk(int ndim, rvec<F>& vals, size_t nx,
         OutlierList los;
         bool fused = ndim == 3 && wav.idwt3d_fused_outliers(
                                       rec.data(), nx, ny, nz, orig.data(),
-                                      quality, &los);
+                                      pwe_thr, &los);
         if (!fused) {
           wavelet_inv(ndim, rec.data(), nx, ny, nz);
           for (size_t i = 0; i < n; i++) {
             double d = double(orig[i]) - double(rec[i]);
-            if (std::fabs(d) > quality) {
+            if (std::fabs(d) > pwe_thr) {
               los.pos.push_back(i);
               los.err.push_back(d);
             }
@@ -1138,6 +1173,9 @@ int64_t st_compress_chunk2(int ndim, const void* src, int is_float, uint64_t nx,
       for (size_t i = 0; i < n; i++) vals[i] = float(p[i]);
     }
     stream = compress_chunk<float>(ndim, vals, nx, ny, nz, mode, quality);
+    if (stream.empty())  // f32 cannot certify this PWE tolerance: redo exact
+      return st_compress_chunk2(ndim, src, is_float, nx, ny, nz, mode,
+                                quality, 64, out);
   } else {
     rvec<double> vals(n);
     if (is_float) {
@@ -1225,6 +1263,9 @@ int64_t st_compress_chunk_strided(const void* src, int is_float, uint64_t vnx,
     float mean = 0;
     gather_mean(vals.data(), mean);
     stream = compress_chunk<float>(3, vals, lx, ly, lz, mode, quality, &mean);
+    if (stream.empty())  // f32 cannot certify this PWE tolerance: redo exact
+      return st_compress_chunk_strided(src, is_float, vnx, vny, x0, y0, z0,
+                                       lx, ly, lz, mode, quality, 64, out);
   } else {
     rvec<double> vals(n);
     double mean = 0;
