@@ -169,6 +169,10 @@ def main():
                     "tpu_path": tpu,
                     "compressed_bytes": stream_len,
                     "bpp": round(stream_len * 8 / vol.size, 3),
+                    # PWE bound holds for f64 decoders on every path:
+                    # f32 fast mode margin-certifies (tol - eta detection)
+                    # and escalates uncertifiable chunks to f64.
+                    "pwe_bound": "certified for f64 decoders",
                 },
             }
         )
