@@ -77,14 +77,14 @@ def run_host(vol):
     return min(enc_t), min(dec_t), len(stream), err
 
 
-def run_tpu(vol):
+def run_tpu(vol, entropy="host"):
     import jax
     import jax.numpy as jnp
 
     from sperr_tpu.parallel.batched import TpuCompressor3D, TpuDecompressor3D
 
     n = vol.shape[0]
-    comp = TpuCompressor3D((n, n, n), (256, 256, 256))
+    comp = TpuCompressor3D((n, n, n), (256, 256, 256), entropy=entropy)
     dec = TpuDecompressor3D()
 
     def decode_device():
@@ -110,8 +110,26 @@ def run_tpu(vol):
     for (z0, y0, x0, lz, ly, lx), b in blocks.items():
         orig = jnp.asarray(vol[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx])
         err = max(err, float(maxdiff(orig, b)))
-    assert err <= TOL * 1.001 + 1e-6, f"PWE bound violated (tpu): {err}"
-    return t1 - t0, t2 - t1, len(stream), err
+    assert err <= TOL, f"PWE bound violated (tpu): {err}"
+    return t1 - t0, t2 - t1, len(stream), err, comp.last_wave_chunks
+
+
+def run_device_stages():
+    """On-device stage timings (tunnel/dispatch excluded): the chip number.
+    See sperr_tpu/runtime/device_bench.py."""
+    from sperr_tpu.runtime.device_bench import pipeline_stages, wave_entropy_stage
+
+    n = int(os.environ.get("BENCH_STAGE_N", "256"))
+    out = pipeline_stages(n=n, batch=1, tol=TOL, iters=4)
+    wn = int(os.environ.get("BENCH_WAVE_N", "64"))
+    try:
+        out["wave_entropy"] = wave_entropy_stage(n=wn, batch=1, tol=TOL)
+    except Exception as e:  # pragma: no cover
+        out["wave_entropy"] = {"error": f"{type(e).__name__}: {e}"}
+    # the chip-side pipeline number: encode core + decode core, back to back
+    tot = out["encode_core_pwe_dual_s"] + out["decode_core_s"]
+    out["device_pipeline_gbps"] = round(2 * out["bytes"] / tot / 1e9, 3)
+    return out
 
 
 def main():
@@ -143,17 +161,31 @@ def main():
         try:
             tn = int(os.environ.get("BENCH_TPU_N", "256"))
             tvol = vol[:tn, :tn, :tn] if tn <= n else make_volume(tn)
-            te, td, tl, terr = run_tpu(np.ascontiguousarray(tvol))
+            entropy = os.environ.get("BENCH_TPU_ENTROPY", "wave")
+            te, td, tl, terr, wchunks = run_tpu(
+                np.ascontiguousarray(tvol), entropy=entropy
+            )
             tb = tvol.nbytes
             tpu = {
                 "n": tn,
+                "entropy": entropy,
+                "wave_chunks_on_device": wchunks,
                 "encode_gbps": round(tb / te / 1e9, 4),
                 "decode_gbps": round(tb / td / 1e9, 4),
                 "max_err": terr,
-                "note": "device path is tunnel-limited in this environment",
+                "note": "end-to-end through the device tunnel (2-8 MB/s): "
+                "wall-clock here measures the tunnel, not the chip — see "
+                "tpu_device_stages for the on-device numbers",
             }
         except Exception as e:  # pragma: no cover
             tpu = {"error": f"{type(e).__name__}: {e}"}
+
+    stages = {}
+    if os.environ.get("BENCH_DEVICE_STAGES", "1") != "0":
+        try:
+            stages = run_device_stages()
+        except Exception as e:  # pragma: no cover
+            stages = {"error": f"{type(e).__name__}: {e}"}
 
     total_gbps = host["total_gbps"]
     baseline = 0.04  # GB/s, reference single-core 512^3 encode (BASELINE.md)
@@ -165,14 +197,18 @@ def main():
                 "unit": "GB/s/chip",
                 "vs_baseline": round(total_gbps / baseline, 2),
                 "detail": {
+                    "headline_source": "host_native_cpu_engine (end-to-end)",
                     "host_native_512": host,
                     "tpu_path": tpu,
+                    "tpu_device_stages": stages,
                     "compressed_bytes": stream_len,
                     "bpp": round(stream_len * 8 / vol.size, 3),
-                    # PWE bound holds for f64 decoders on every path:
-                    # f32 fast mode margin-certifies (tol - eta detection)
-                    # and escalates uncertifiable chunks to f64.
-                    "pwe_bound": "certified for f64 decoders",
+                    # host f32 fast mode margin-certifies for f64 decoders
+                    # (tol - eta detection, per-chunk f64 escalation); the
+                    # device driver dual-certifies for both the f64 decoders
+                    # and its own f32 device decoder (parallel/batched.py).
+                    "pwe_bound": "certified (f64 decoders; device driver "
+                    "also certifies its f32 decoder)",
                 },
             }
         )

@@ -58,7 +58,15 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
     `residual` (PWE only):
       "none"   — skip the on-device reconstruction/scan; the host computes
                  the outlier set against the exact f64 reconstruction
-                 (strict mode, TpuCompressor3D.pwe_strict=True);
+                 (bound certified for f64 decoders only);
+      "dual"   — decoder-exact scan: simulate the f32 reconstruction the
+                 shipped TpuDecompressor3D computes (same ops, same
+                 composition as _dense_decode, including the +mean add) and
+                 compact points with |vol - rec_dec| > tol - kappa, where
+                 kappa is a small per-chunk guard window.  The host pairs
+                 this with its exact f64 scan and certifies every
+                 correction against BOTH decoders (strict mode,
+                 TpuCompressor3D.pwe_strict=True);
       "f32"    — scan at threshold tol against the f32 reconstruction (fast
                  mode: bound tight only up to f32 roundoff);
       "margin" — scan at threshold tol - eta, where eta conservatively
@@ -100,14 +108,39 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
     out = dict(
         is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
         nnz=nnz, idx=idx, vals=vals, maxmag=maxmag,
+        absmax=jnp.max(jnp.abs(flat), axis=1),
     )
     if mode == "pwe" and residual != "none":
         signs = ll >= 0
         mags = jnp.abs(ll)
         rec = qzj.midtread_inv_quantize_batched(mags, signs, q)
         rec = cdfj.idwt3d(rec.reshape(batch.shape)).reshape(B, n)
-        diff = conditioned - rec
-        if residual == "margin":
+        if residual == "dual":
+            # Decoder-exact residual: replicate _dense_decode's composition
+            # (rec + mean, then compare against the f32 input) so the scan
+            # sees the very error the shipped f32 decoder will produce.
+            diff = flat - (rec + mean[:, None])
+            # kappa: guard window below tol.  eta_sim bounds the residual
+            # sim-vs-decoder discrepancy: the decoder runs the SAME XLA ops
+            # as this simulation (zero divergence on a matching backend), so
+            # eta only needs to absorb the decoder's f32 outlier-correction
+            # add and a safety factor of per-op variation — all at the DATA
+            # scale (absmax), not the coefficient scale: the f32-vs-f64
+            # transform divergence is captured exactly by the two scans.
+            # Decoders with a different f32 arithmetic (another compiler/
+            # generation) are covered up to their reconstruction divergence;
+            # the f64 interchange decoder is always certified.
+            eps32 = jnp.asarray(np.finfo(np.float32).eps, dtype=dt)
+            eta = dt.type(8.0) * eps32 * out["absmax"]
+            kappa = jnp.minimum(
+                dt.type(0.25 * quality),
+                jnp.maximum(dt.type(0.05 * quality), 2.0 * eta),
+            )
+            out["eta_sim"] = eta
+            out["kappa"] = kappa
+            thr = (dt.type(quality) - kappa)[:, None]
+        elif residual == "margin":
+            diff = conditioned - rec
             # eta: conservative bound on |diff_f32 - diff_f64_decode| —
             # K * eps32 * the largest magnitude flowing through the inverse
             # transform (coefficient or data scale).  Detecting at tol - eta
@@ -125,6 +158,7 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
                 dt.type(quality) - eta, dt.type(0.0)
             )[:, None]
         else:
+            diff = conditioned - rec
             thr = dt.type(quality)
         omask = jnp.abs(diff) > thr
         n_out = jnp.sum(omask, axis=1).astype(jnp.int32)
@@ -273,8 +307,20 @@ def _dense_encode(batch, mode: str, quality: float, residual: str = "f32"):
     if mode == "pwe" and residual != "none":
         rec = qzj.midtread_inv_quantize_batched(mags, signs, q)
         rec = cdfj.idwt3d(rec.reshape(batch.shape)).reshape(B, n)
-        diff = conditioned - rec
-        out["outlier_mask"] = jnp.abs(diff) > dt.type(quality)
+        if residual == "dual":
+            # decoder-exact residual + guard window (see _encode_core)
+            diff = flat - (rec + mean[:, None])
+            eps32 = jnp.asarray(np.finfo(np.float32).eps, dtype=dt)
+            eta = dt.type(8.0) * eps32 * jnp.max(jnp.abs(flat), axis=1)
+            kappa = jnp.minimum(
+                dt.type(0.25 * quality),
+                jnp.maximum(dt.type(0.05 * quality), 2.0 * eta),
+            )
+            thr = (dt.type(quality) - kappa)[:, None]
+            out["outlier_mask"] = jnp.abs(diff) > thr
+        else:
+            diff = conditioned - rec
+            out["outlier_mask"] = jnp.abs(diff) > dt.type(quality)
         out["diff"] = diff
     return out
 
@@ -315,6 +361,84 @@ def _residual_outliers(ll, dims3, q, mean, orig, tol):
     err = (orig - mean) - rec
     pos = np.flatnonzero(np.abs(err) > tol)
     return pos, err[pos]
+
+
+def _sim_outlier_corr(e: float, tol: float, tol_dec: float) -> float:
+    """Exact scalar simulation of outlier.encode_outliers followed by
+    outlier.decode_outliers for one error value: quantize by `tol`, decode
+    with the bias corrections against the decoder-visible tolerance
+    `tol_dec` (= header q / 1.5).  Used by the dual certificate to check a
+    candidate correction against both decoders' residuals."""
+    nq = np.rint(e * (1.0 / tol))
+    if nq == 0.0:
+        return 0.0
+    mag = 1.1 if abs(nq) == 1.0 else abs(nq) - 0.25
+    sgn = 1.0 if nq >= 0.0 else -1.0
+    return float(mag * (tol_dec * sgn))
+
+
+def _certify_dual(pos64, errs64, pos32, errs32, tol: float, eta: float, q_hdr: float):
+    """Merge the exact-f64 and decoder-exact-f32 residual scans into one
+    certified outlier set.
+
+    Inputs are (positions, error values) pairs from two scans over the SAME
+    quantized coefficients, both at thresholds >= tol - kappa:
+      (pos64, errs64): vol - IDWT_f64(q_hdr * ll) - mean, exact f64 — what
+        an f64 decoder (ours, the native engine's, the reference's) sees;
+      (pos32, errs32): vol - (IDWT_f32(invq) + mean) in the shipped device
+        decoder's own f32 arithmetic (within eta, see _encode_core).
+
+    Output set S = {|err64| > tol} ∪ {|err32| > tol - eta}; each point's fed
+    error value is chosen so the simulated correction bounds BOTH residuals:
+    |err64 - corr| <= tol and |err32 - corr| + eta <= tol.  Returns
+    (positions, values, certified); certified=False when some point in S is
+    missing one residual value (the guard window was narrower than the
+    actual f32/f64 divergence) or no candidate passes — in that case the
+    f64 contract still holds (err64 is fed) but the f32 device decoder is
+    not certified for this chunk."""
+    tol_dec = q_hdr / 1.5
+    m64 = {int(p): float(e) for p, e in zip(pos64, errs64)}
+    m32 = {int(p): float(e) for p, e in zip(pos32, errs32)}
+    S = sorted(
+        {p for p, e in m64.items() if abs(e) > tol}
+        | {p for p, e in m32.items() if abs(e) > tol - eta}
+    )
+    pos, vals, ok = [], [], True
+    for p in S:
+        e64, e32 = m64.get(p), m32.get(p)
+        if e64 is None:
+            # no f64 value -> |err64| <= tol - kappa, so the f64 bound holds
+            # WITHOUT a correction; feeding the (divergent) f32 value could
+            # break it.  Drop the point and report the f32 side uncertified.
+            ok = False
+            continue
+        if e32 is None:
+            ok = False
+            e = e64  # in S via the 64-branch, so |e64| > tol
+        else:
+            # prefer the exact f64 value whenever it certifies both decoders:
+            # fed values then come from host arithmetic (sharding-invariant)
+            # in all but boundary cases
+            cands = (e64, e32)
+            for e in cands:
+                c = _sim_outlier_corr(e, tol, tol_dec)
+                if c != 0.0 and abs(e64 - c) <= tol and abs(e32 - c) + eta <= tol:
+                    break
+            else:
+                # no candidate certifies both decoders: keep the f64
+                # contract intact (feed e64 only when f64 needs the
+                # correction; otherwise drop) and flag the chunk.
+                ok = False
+                if abs(e64) <= tol:
+                    continue
+                e = e64
+        pos.append(p)
+        vals.append(e)
+    return (
+        np.asarray(pos, dtype=np.int64),
+        np.asarray(vals, dtype=np.float64),
+        ok,
+    )
 
 
 def _width_for(maxmag: int) -> int:
@@ -376,9 +500,21 @@ class TpuCompressor3D:
         # host stitcher, like the other caps
         self.node_cap_frac = 1 / 32
         # pwe_strict: how the PWE bound is certified.
-        #   True     — outlier set computed on host against the exact f64
-        #              reconstruction the decoder runs: max|err| <= tol for
-        #              every f64 decode (ours and the reference binaries').
+        #   True     — dual certification: the outlier set bounds the error
+        #              of BOTH the exact f64 reconstruction (ours, the
+        #              native engine's, and the reference binaries') and the
+        #              f32 reconstruction the shipped TpuDecompressor3D
+        #              actually computes.  The device runs a decoder-exact
+        #              f32 residual scan, the host runs the exact f64 scan,
+        #              and every correction is per-point certified against
+        #              both residuals (_certify_dual).  Chunks that cannot
+        #              be certified for f32 (guard window exceeded — only
+        #              when tol is within ~1e2 ulps of the data scale) are
+        #              counted in `last_uncertified_chunks`; their f64 bound
+        #              still holds.
+        #   "f64"    — reference semantics: outliers exactly where the f64
+        #              reconstruction misses by > tol (SPECK_FLT.cpp:461-486)
+        #              — certified for f64 decoders only.
         #   "device" — all-device scan at threshold tol - eta, where eta
         #              conservatively bounds the f32/f64 reconstruction
         #              discrepancy: the f64-decode bound still holds, and
@@ -420,9 +556,12 @@ class TpuCompressor3D:
             resid_mode = "f32"
         elif self.pwe_strict == "device":
             resid_mode = "margin"
-        else:
+        elif self.pwe_strict == "f64":
             resid_mode = "none"
+        else:  # True: dual certification (f64 exact + shipped f32 decoder)
+            resid_mode = "dual"
         dev_resid = resid_mode != "none"
+        uncertified = [0] * len(chunks)
 
         for shape, idxs in groups.items():
             lz, ly, lx = shape
@@ -480,9 +619,11 @@ class TpuCompressor3D:
                 )
             # Pull small per-chunk scalars first; decide dense fallback.
             nnz = np.asarray(jax.device_get(res["nnz"]))
+            small_keys = ["is_const", "v0", "mean", "q", "maxmag"]
+            if resid_mode == "dual":
+                small_keys += ["eta_sim", "kappa"]
             small = {
-                k: np.asarray(jax.device_get(res[k]))
-                for k in ("is_const", "v0", "mean", "q", "maxmag")
+                k: np.asarray(jax.device_get(res[k])) for k in small_keys
             }
             n_out = (
                 np.asarray(jax.device_get(res["n_out"]))
@@ -528,7 +669,7 @@ class TpuCompressor3D:
                 # decoder all agree on the same reconstruction scale.
                 q = (
                     1.5 * float(quality)
-                    if mode == "pwe" and resid_mode in ("none", "margin")
+                    if mode == "pwe" and resid_mode in ("none", "margin", "dual")
                     else float(small["q"][k])
                 )
                 mean = float(small["mean"][k])
@@ -568,21 +709,18 @@ class TpuCompressor3D:
                     )
                 out_stream = b""
                 if mode == "pwe":
-                    host_resid = resid_mode == "none" or (
-                        resid_mode == "margin"
-                        and (dense is not None or bool(margin_bad[k]))
-                    )
-                    if host_resid:
-                        # strict: exact f64 decoder-visible residual on host
+                    def _ll_row():
                         if dense is not None:
                             mg = dense["mags"][k].astype(np.int64)
-                            ll = np.where(dense["signs"][k], mg, -mg)
-                        else:
-                            ll = np.zeros(n, dtype=np.int64)
-                            m = int(nnz[k])
-                            ll[sparse["idx"][k][:m]] = sparse["vals"][k][:m]
+                            return np.where(dense["signs"][k], mg, -mg)
+                        ll = np.zeros(n, dtype=np.int64)
+                        m = int(nnz[k])
+                        ll[sparse["idx"][k][:m]] = sparse["vals"][k][:m]
+                        return ll
+
+                    def _orig_row():
                         c = chunks[gi]
-                        orig = np.ascontiguousarray(
+                        return np.ascontiguousarray(
                             vol3[
                                 c[4] : c[4] + c[5],
                                 c[2] : c[2] + c[3],
@@ -590,17 +728,51 @@ class TpuCompressor3D:
                             ],
                             dtype=np.float64,
                         ).ravel()
-                        pos, errs = _residual_outliers(
-                            ll, (lx, ly, lz), q, mean, orig, float(quality)
-                        )
-                    elif dense is not None:
-                        mask = dense["outlier_mask"][k]
-                        pos = np.flatnonzero(mask)
-                        errs = np.asarray(dense["diff"][k][pos], dtype=np.float64)
-                    else:
+
+                    def _dev_scan():
+                        if dense is not None:
+                            mask = dense["outlier_mask"][k]
+                            p = np.flatnonzero(mask)
+                            return p, np.asarray(
+                                dense["diff"][k][p], dtype=np.float64
+                            )
                         m = int(n_out[k])
-                        pos = sparse["out_idx"][k][:m]
-                        errs = np.asarray(sparse["out_vals"][k][:m], dtype=np.float64)
+                        return (
+                            sparse["out_idx"][k][:m],
+                            np.asarray(
+                                sparse["out_vals"][k][:m], dtype=np.float64
+                            ),
+                        )
+
+                    host_resid = resid_mode == "none" or (
+                        resid_mode == "margin"
+                        and (dense is not None or bool(margin_bad[k]))
+                    )
+                    if resid_mode == "dual":
+                        # union of the exact-f64 scan and the device's
+                        # decoder-exact f32 scan, per-point certified for
+                        # both decoders (see _certify_dual)
+                        eta = float(small["eta_sim"][k])
+                        kappa = float(small["kappa"][k])
+                        pos64, errs64 = _residual_outliers(
+                            _ll_row(), (lx, ly, lz), q, mean, _orig_row(),
+                            float(quality) - kappa,
+                        )
+                        pos32, errs32 = _dev_scan()
+                        pos, errs, cert_ok = _certify_dual(
+                            pos64, errs64, pos32, errs32,
+                            float(quality), eta, q,
+                        )
+                        if not (cert_ok and eta <= 0.125 * float(quality)):
+                            uncertified[gi] = 1
+                    elif host_resid:
+                        # strict: exact f64 decoder-visible residual on host
+                        pos, errs = _residual_outliers(
+                            _ll_row(), (lx, ly, lz), q, mean, _orig_row(),
+                            float(quality),
+                        )
+                    else:
+                        pos, errs = _dev_scan()
                     if pos.size:
                         out_stream = outlier_mod.encode_outliers(
                             pos, errs, n, float(quality)
@@ -612,6 +784,9 @@ class TpuCompressor3D:
                     streams[idxs[k]] = s
 
         self.last_wave_chunks = sum(wave_used)
+        # chunks whose f32-device-decode PWE bound could not be certified
+        # (dual mode only; the exact-f64 bound still holds for them)
+        self.last_uncertified_chunks = sum(uncertified)
         header = tools.generate_header(
             self.vol_dims, self.chunk_dims, [len(s) for s in streams], is_float
         )

@@ -42,27 +42,6 @@ def local_chunk_ids(num_chunks: int, pid: int, nprocs: int) -> List[int]:
     return [i for i in range(num_chunks) if i % nprocs == pid]
 
 
-def _allgather_bytes(payload: bytes, pid: int, nprocs: int) -> List[bytes]:
-    """All-gather variable-length byte strings across processes via DCN.
-
-    Pads each process's payload to the global max and rides a uint8
-    all-gather; lengths travel first.  Single-process: identity.
-    """
-    if nprocs == 1:
-        return [payload]
-    from jax.experimental import multihost_utils
-
-    lengths = multihost_utils.process_allgather(
-        np.array([len(payload)], dtype=np.int64)
-    ).reshape(-1)
-    maxlen = int(lengths.max())
-    buf = np.zeros(maxlen, dtype=np.uint8)
-    buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
-    gathered = multihost_utils.process_allgather(buf)
-    gathered = np.asarray(gathered).reshape(nprocs, maxlen)
-    return [gathered[p, : int(lengths[p])].tobytes() for p in range(nprocs)]
-
-
 def split_concat(streams_concat: bytes, lens: Sequence[int]) -> List[bytes]:
     out, off = [], 0
     for ln in lens:
@@ -81,6 +60,7 @@ def compress_distributed(
     compressor_factory=None,
     pid: Optional[int] = None,
     nprocs: Optional[int] = None,
+    transport=None,
 ) -> Optional[bytes]:
     """Compress a volume whose chunks are loaded on demand per process.
 
@@ -88,6 +68,13 @@ def compress_distributed(
     called for chunks this process owns, so each host reads just its slice
     of the input (the framework's data-loading seam).  Returns the full
     container stream on process 0, None elsewhere.
+
+    `transport`: a parallel.transport gather implementation; by default an
+    ordered TCP gather-to-0 when SPERR_TPU_GATHER_ADDR is set (the
+    reference's serial gather point, SPERR3D_OMP_C.cpp:145-161, across
+    hosts), else the jax.distributed all-gather fallback.  Each rank ships
+    one blob = its owned chunks' u64 length table ++ payload bytes, so only
+    actual bytes travel and only rank 0 receives.
     """
     import jax
 
@@ -95,6 +82,10 @@ def compress_distributed(
     nprocs = jax.process_count() if nprocs is None else nprocs
     chunks = chunk_volume(vol_dims, chunk_dims)
     mine = local_chunk_ids(len(chunks), pid, nprocs)
+    if transport is None:
+        from .transport import default_transport
+
+        transport = default_transport(nprocs)
 
     if compressor_factory is None:
         from ..codec.speck_flt import SpeckFloatCodec
@@ -109,34 +100,23 @@ def compress_distributed(
         compress_chunk = compressor_factory(mode, quality)
 
     local_streams = [compress_chunk(chunks[i]) for i in mine]
-    local_payload = b"".join(local_streams)
-    local_lens = np.zeros(len(chunks), dtype=np.int64)
-    for k, i in enumerate(mine):
-        local_lens[i] = len(local_streams[k])
+    # blob = length table for my chunks (u64 each, in my-owned order) ++
+    # payload bytes: the gather carries everything rank 0 needs, with no
+    # separate metadata collective.
+    lens_tab = np.asarray([len(s) for s in local_streams], dtype="<u8")
+    blob = lens_tab.tobytes() + b"".join(local_streams)
+    payloads = transport.gather_bytes(blob, pid, nprocs)
 
-    # Exchange lengths (sum across processes fills the global table) and
-    # payloads; reassemble in global chunk order.
-    if nprocs > 1:
-        from jax.experimental import multihost_utils
-
-        all_lens = multihost_utils.process_allgather(local_lens)
-        all_lens = np.asarray(all_lens).reshape(nprocs, len(chunks)).sum(axis=0)
-    else:
-        all_lens = local_lens
-    payloads = _allgather_bytes(local_payload, pid, nprocs)
-
-    if pid != 0:
+    if payloads is None:  # non-root
         return None
-
-    per_proc: List[List[bytes]] = []
-    for p in range(nprocs):
-        owned = local_chunk_ids(len(chunks), p, nprocs)
-        per_proc.append(split_concat(payloads[p], [int(all_lens[i]) for i in owned]))
 
     ordered: List[bytes] = [b""] * len(chunks)
     for p in range(nprocs):
-        for k, i in enumerate(local_chunk_ids(len(chunks), p, nprocs)):
-            ordered[i] = per_proc[p][k]
+        owned = local_chunk_ids(len(chunks), p, nprocs)
+        tab = np.frombuffer(payloads[p][: 8 * len(owned)], dtype="<u8")
+        parts = split_concat(payloads[p][8 * len(owned):], [int(x) for x in tab])
+        for k, i in enumerate(owned):
+            ordered[i] = parts[k]
 
     header = tools.generate_header(
         vol_dims, chunk_dims, [len(s) for s in ordered], is_float

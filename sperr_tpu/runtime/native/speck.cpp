@@ -1281,7 +1281,7 @@ struct SparseEnc1D {
   }
 
   // returns true when the pixel went significant (stays out of LIP)
-  bool process_p(uint64_t p, int64_t nz, int sig, size_t& counter,
+  bool process_p(uint64_t /*p*/, int64_t nz, int sig, size_t& counter,
                  bool output) {
     bool is_sig =
         sig == DUNNO ? (nz >= 0 && pmsb[nz] >= thr_msbp1) : (sig == SIG);
@@ -1580,9 +1580,6 @@ int64_t encode_any(int ndim, const void* mags, const uint8_t* signs, uint64_t nx
                    bool mutable_in = false) {
   const U* m = static_cast<const U*>(mags);
   size_t n = size_t(nx) * ny * nz;
-  uint64_t total_bits = 0;
-  uint8_t num_bp = 0;
-  const BitSink* sink = nullptr;
 
   auto finish = [&](const BitSink& bs, uint64_t tb, uint8_t nbp,
                     size_t budget) -> int64_t {

@@ -12,7 +12,10 @@ import jax
 # The JAX_PLATFORMS env var is not honored under the axon TPU plugin; force
 # the CPU backend through the config API so tests never touch the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# NOTE: jax_enable_x64 is deliberately NOT forced here: production TPUs have
+# no x64, and the device code paths must be int32/f32-clean.  Tests that
+# exercise f64 *host-side jax* math opt in locally via the `enable_x64`
+# fixture below.
 # Persistent compile cache: jitted transforms recompile once per shape, ever.
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -21,3 +24,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+
+@pytest.fixture
+def enable_x64():
+    """Opt-in f64 jax semantics for host-side f64 checks (never used by the
+    production device path)."""
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+    yield
+    _jax.config.update("jax_enable_x64", False)

@@ -58,7 +58,9 @@ class TestJaxEngine:
     """
 
     @pytest.fixture(autouse=True)
-    def _imports(self):
+    def _imports(self, enable_x64):
+        # the f64-vs-host comparison needs x64 jax semantics (host-side CPU
+        # check only; the production device path is f32 and tested elsewhere)
         from sperr_tpu.ops import cdf97_jax as cdfj
 
         self.cdfj = cdfj

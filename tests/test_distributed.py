@@ -76,3 +76,68 @@ def test_multiprocess_assembly_simulated():
 
     ref = Sperr3DCompressor((nx, ny, nz), chunk_dims).compress(vol, "psnr", 70.0)
     assert stream == bytes(ref)
+
+
+def test_socket_gather_transport_skewed_sizes():
+    """Ordered TCP gather-to-0 with strongly skewed payload sizes: only
+    actual bytes travel (no max-padding), order preserved by rank."""
+    import threading
+
+    from sperr_tpu.parallel.transport import SocketGatherTransport
+
+    rng = np.random.default_rng(5)
+    payloads = [
+        bytes(rng.integers(0, 256, size=sz, dtype=np.uint8))
+        for sz in (3, 700_001, 0, 64, 1_234_567)
+    ]
+    nprocs = len(payloads)
+    tr = SocketGatherTransport("127.0.0.1:47123", timeout=30.0)
+    result = {}
+
+    def run(pid):
+        result[pid] = tr.gather_bytes(payloads[pid], pid, nprocs)
+
+    threads = [threading.Thread(target=run, args=(p,)) for p in range(nprocs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert result[0] == payloads
+    for p in range(1, nprocs):
+        assert result[p] is None
+
+
+def test_compress_distributed_socket_gather_end_to_end():
+    """Full multi-rank compress over the socket transport (each rank on a
+    thread): rank 0's container must equal the single-host stream."""
+    import threading
+
+    from sperr_tpu.parallel.transport import SocketGatherTransport
+
+    nx, ny, nz = 33, 33, 33
+    vol = _vol(nx, ny, nz, seed=8)
+    chunk_dims = (16, 16, 16)
+    nprocs = 3
+
+    def loader(c):
+        x0, lx, y0, ly, z0, lz = c
+        return vol[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx]
+
+    out = {}
+
+    def run(pid):
+        tr = SocketGatherTransport("127.0.0.1:47124", timeout=60.0)
+        out[pid] = dist.compress_distributed(
+            loader, (nx, ny, nz), chunk_dims, "psnr", 70.0, is_float=True,
+            pid=pid, nprocs=nprocs, transport=tr,
+        )
+
+    threads = [threading.Thread(target=run, args=(p,)) for p in range(nprocs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+
+    ref = Sperr3DCompressor((nx, ny, nz), chunk_dims).compress(vol, "psnr", 70.0)
+    assert out[0] == bytes(ref)
+    assert out[1] is None and out[2] is None

@@ -1,13 +1,13 @@
 """Strict PWE on the TPU (f32 device) path.
 
-The device stages run at f32, so an on-device outlier scan certifies the
-error bound only against the f32 reconstruction — the f64 decoders (ours and
-the reference's) can then land outside the tolerance.  With
-``pwe_strict=True`` (default) the outlier set is computed on host against
-the exact f64 reconstruction the decoder runs (runtime/native
-st_residual_outliers; SPECK_FLT.cpp:461-486 semantics), so max|err| <= tol
-holds for real f64 decodes.  ``pwe_strict=False`` keeps the all-device scan
-(fast mode, f32-roundoff-bounded contract)."""
+With ``pwe_strict=True`` (default) the PWE bound is *dual-certified*: the
+outlier set bounds the error of both the exact f64 reconstruction (ours and
+the reference's decoders; SPECK_FLT.cpp:461-486 semantics via the native
+st_residual_outliers scan) and the f32 reconstruction the shipped
+TpuDecompressor3D computes (decoder-exact on-device scan + per-point
+certificates, parallel/batched._certify_dual).  ``pwe_strict="f64"`` keeps
+the reference's exact-f64-only contract; ``pwe_strict=False`` keeps the
+all-device scan (fast mode, f32-roundoff-bounded contract)."""
 
 import numpy as np
 import pytest
@@ -39,18 +39,61 @@ def test_strict_pwe_bound_f64_decode(entropy, tol):
     assert err <= tol
 
 
+@pytest.mark.parametrize("tol", [1e-2, 1e-4])
+def test_device_decode_strict_bound_harsh_data(tol):
+    """The dryrun regime: full-range random data at 16^3 chunks, decoded by
+    the shipped f32 device decoder — the strict bound must hold exactly
+    (dual certification)."""
+    rng = np.random.default_rng(0)
+    dims = (16, 16, 48)  # nx, ny, nz -> three 16^3 chunks
+    nx, ny, nz = dims
+    vol = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    comp = TpuCompressor3D(dims, (16, 16, 16))
+    s = bytes(comp.compress(vol, "pwe", tol))
+    assert comp.last_uncertified_chunks == 0
+    out, _ = TpuDecompressor3D().decompress(s)
+    err = np.abs(
+        np.asarray(out).astype(np.float64) - vol.astype(np.float64)
+    ).max()
+    assert err <= tol
+
+    # the same stream must also honor the bound under the exact f64 decoder
+    from sperr_tpu.parallel.chunked3d import Sperr3DDecompressor
+
+    out64, _ = Sperr3DDecompressor().decompress(s)
+    err64 = np.abs(
+        np.asarray(out64).reshape(vol.shape) - vol.astype(np.float64)
+    ).max()
+    assert err64 <= tol
+
+
 @pytest.mark.parametrize("tol", [1e-3, 1e-5])
-def test_device_decode_adds_only_f32_roundoff(tol):
-    """TpuDecompressor3D reconstructs at device precision (f32): the strict
-    bound can be exceeded only by the f32 reconstruction roundoff, which is
-    O(eps32 * scale)."""
+def test_device_decode_strict_bound_smooth(tol):
     dims = (40, 40, 24)
     vol = _field(*dims)
-    s = bytes(TpuCompressor3D(dims, (24, 24, 24)).compress(vol, "pwe", tol))
+    comp = TpuCompressor3D(dims, (24, 24, 24))
+    s = bytes(comp.compress(vol, "pwe", tol))
+    assert comp.last_uncertified_chunks == 0
     out, _ = TpuDecompressor3D().decompress(s)
     err = np.abs(np.asarray(out).reshape(vol.shape) - vol).max()
-    margin = 64 * np.finfo(np.float32).eps * np.abs(vol).max()
-    assert err <= tol + margin
+    assert err <= tol
+
+
+def test_uncertifiable_tolerance_is_flagged():
+    """A tolerance within a few ulps of the f32 data scale cannot be
+    certified for the f32 decoder; the compressor must say so (and the f64
+    bound must still hold)."""
+    from sperr_tpu.parallel.chunked3d import Sperr3DDecompressor
+
+    dims = (24, 24, 24)
+    vol = _field(*dims, seed=9)
+    tol = 1e-7  # O(eps32) of the O(1) data scale
+    comp = TpuCompressor3D(dims, dims)
+    s = bytes(comp.compress(vol, "pwe", tol))
+    assert comp.last_uncertified_chunks == 1
+    out, _ = Sperr3DDecompressor().decompress(s)
+    err = np.abs(np.asarray(out).reshape(vol.shape) - vol).max()
+    assert err <= tol
 
 
 @pytest.mark.skipif(oracle.get_lib() is None, reason="oracle unavailable")

@@ -41,15 +41,36 @@ def test_mesh_sharded_compress():
     vol = _vol(32, 32, 256)  # 8 equal chunks of 32^3 -> one per device
     comp = batched.TpuCompressor3D((32, 32, 256), (32, 32, 32), mesh=mesh)
     stream = comp.compress(vol, "pwe", 1e-3)
-    # Sharded result must equal the unsharded one byte-for-byte.
-    stream_ref = batched.TpuCompressor3D((32, 32, 256), (32, 32, 32)).compress(
-        vol, "pwe", 1e-3
-    )
-    assert stream == stream_ref
 
     dec = batched.TpuDecompressor3D(mesh=mesh)
     out, _ = dec.decompress(stream)
     assert np.abs(out.astype(np.float64) - vol.astype(np.float64)).max() <= 1e-3
+
+
+@pytest.mark.parametrize(
+    "mode,quality,kw",
+    [
+        ("pwe", 1e-3, {"pwe_strict": "f64"}),
+        ("psnr", 60.0, {}),
+    ],
+)
+def test_mesh_sharding_byte_invariant(mode, quality, kw):
+    """Sharded and unsharded runs must emit identical containers on the
+    tiers whose streams are a function of host-side arithmetic given the
+    quantized coefficients (pwe_strict="f64", psnr/rate).  The dual tier's
+    outlier set consults the device's own f32 residual, whose ulp-level
+    boundary decisions may legitimately differ between SPMD partitionings —
+    there the contract is the certified bound, not byte equality (covered
+    by test_mesh_sharded_compress)."""
+    mesh = batched.make_chunk_mesh()
+    vol = _vol(32, 32, 256)
+    stream = batched.TpuCompressor3D(
+        (32, 32, 256), (32, 32, 32), mesh=mesh, **kw
+    ).compress(vol, mode, quality)
+    stream_ref = batched.TpuCompressor3D(
+        (32, 32, 256), (32, 32, 32), **kw
+    ).compress(vol, mode, quality)
+    assert stream == stream_ref
 
 
 def test_stream_decodable_by_host_engine():
@@ -60,10 +81,9 @@ def test_stream_decodable_by_host_engine():
     )
     out, dims = Sperr3DDecompressor().decompress(bytes(stream))
     assert dims == (24, 24, 48)
-    # Host f64 decode differs from device f32 decode only at f32 roundoff;
-    # the PWE bound must still hold with a small slack for cross-precision.
+    # dual certification: the exact f64 decode honors the bound strictly
     err = np.abs(out.reshape(vol.shape) - vol.astype(np.float64)).max()
-    assert err <= 5e-4 * (1 + 1e-3) + 1e-6
+    assert err <= 5e-4
 
 
 @pytest.mark.skipif(oracle.get_lib() is None, reason="oracle unavailable")
@@ -76,7 +96,7 @@ def test_stream_decodable_by_reference():
     ref_out, ref_dims = oracle.decomp_3d(bytes(stream))
     assert ref_dims == (24, 24, 48)
     err = np.abs(ref_out.reshape(vol.shape) - vol.astype(np.float64)).max()
-    assert err <= 5e-4 * (1 + 1e-3) + 1e-6
+    assert err <= 5e-4
 
     # And it must agree with our host decoder bit-for-bit.
     host_out, _ = Sperr3DDecompressor().decompress(bytes(stream))
