@@ -251,6 +251,47 @@ def dwt3d(x):
 
 
 @jax.jit
+def idwt2d_multi_res(x):
+    """Inverse 2D transform capturing each coarse resolution (device form of
+    cdf97_np.idwt2d_multi_res; CDF97.cpp:114-138).  Returns
+    (full, tuple(coarse...)) with hierarchy ordered coarsest-first, matching
+    utils.dims.coarsened_resolutions."""
+    ny, nx = x.shape[-2], x.shape[-1]
+    levels = num_of_xforms(min(nx, ny))
+    hier = []
+    for lev in range(levels, 0, -1):
+        lx, _ = calc_approx_detail_len(nx, lev)
+        ly, _ = calc_approx_detail_len(ny, lev)
+        hier.append(_sl(_sl(x, -2, 0, ly), -1, 0, lx))
+        lxd, _ = calc_approx_detail_len(nx, lev - 1)
+        lyd, _ = calc_approx_detail_len(ny, lev - 1)
+        x = _idwt2d_level(x, lxd, lyd)
+    return x, tuple(hier)
+
+
+@jax.jit
+def idwt3d_multi_res(x):
+    """Inverse 3D dyadic transform capturing each coarse resolution (device
+    form of cdf97_np.idwt3d_multi_res; CDF97.cpp:140-168).  Non-dyadic dims
+    invert as wavelet-packet with an empty hierarchy, like the reference."""
+    nz, ny, nx = x.shape[-3], x.shape[-2], x.shape[-1]
+    dyadic = can_use_dyadic((nx, ny, nz))
+    if dyadic is None:
+        return idwt3d(x), ()
+    hier = []
+    for lev in range(dyadic, 0, -1):
+        lx, _ = calc_approx_detail_len(nx, lev)
+        ly, _ = calc_approx_detail_len(ny, lev)
+        lz, _ = calc_approx_detail_len(nz, lev)
+        hier.append(_sl(_sl(_sl(x, -3, 0, lz), -2, 0, ly), -1, 0, lx))
+        lxd, _ = calc_approx_detail_len(nx, lev - 1)
+        lyd, _ = calc_approx_detail_len(ny, lev - 1)
+        lzd, _ = calc_approx_detail_len(nz, lev - 1)
+        x = _idwt3d_level(x, lxd, lyd, lzd)
+    return x, tuple(hier)
+
+
+@jax.jit
 def idwt3d(x):
     nz, ny, nx = x.shape[-3], x.shape[-2], x.shape[-1]
     dims = (nx, ny, nz)

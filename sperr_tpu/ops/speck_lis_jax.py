@@ -204,8 +204,10 @@ def lis_segments_device(
         return O_buf, offs + counts
 
     O_buf = jnp.concatenate([li.O0, jnp.zeros(1, jnp.int32)])
+    # dynamic trip count: only the passes that exist assign insertion ranks
     O_buf, _ = jax.lax.fori_loop(
-        0, num_bp_cap, bp_iter, (O_buf, li.off0), unroll=False
+        0, jnp.minimum(num_bp, num_bp_cap).astype(jnp.int32), bp_iter,
+        (O_buf, li.off0), unroll=False,
     )
 
     # ---- w: global walk order over list entries (levels desc, O asc) ------
@@ -257,26 +259,47 @@ def lis_segments_device(
 
     cap_bits = ((row_bit_cap + 7) // 8) * 8
 
+    # The emission keys are pass-INDEPENDENT: per pass only the valid mask
+    # and bit values change.  One global stable lexsort, then every pass is
+    # a masked compaction (cumsum + scatter) in that fixed order — identical
+    # output to a per-pass sort with invalid keys pushed to the end, at
+    # O(T) per pass instead of O(T log T).
+    g_order = jnp.lexsort((ks, k3, k2, k1, k0, kw_all))
+    ent_from_s = jnp.concatenate([ent_from, rowpassf + 1, rowpassf + 1])[g_order]
+    # per-item emission pass and bit, pre-gathered into sorted order
+    emit_p = jnp.concatenate(
+        [jnp.full(E, -1, jnp.int32), rowpassf, rowpassf]
+    )[g_order]
+    ent_s_s = jnp.concatenate([ent_s, jnp.zeros(2 * R, jnp.int32)])[g_order]
+    ok_s = jnp.concatenate([ent_ok, emittedf, (row_sf < _NEVER) & ispxf])[g_order]
+    kind_s = jnp.concatenate(
+        [jnp.zeros(E, jnp.int32), jnp.ones(R, jnp.int32),
+         jnp.full(R, 2, jnp.int32)]
+    )[g_order]
+    dbits_s = jnp.concatenate(
+        [jnp.zeros(E, bool), sig_nowf, jnp.zeros(R, bool)]
+    )[g_order]
+    gbits_s = jnp.concatenate(
+        [jnp.zeros(E, bool), jnp.zeros(R, bool), row_signf]
+    )[g_order]
+    gm_extra = jnp.concatenate(
+        [jnp.zeros(E, bool), jnp.ones(R, bool), (row_sf == rowpassf)]
+    )[g_order]
+
     def pass_step(carry, p):
         active = p < num_bp
-        em = (ent_from <= p) & (p <= ent_s) & ent_ok & active
-        ebits = ent_s == p
-        dm = (rowpassf == p) & emittedf & active
-        dbits = sig_nowf
-        # signs only for pixels significant at their exposure pass; pixels
-        # exposed earlier emit their sign in the LIP segment instead
-        gm = (rowpassf == p) & (row_sf == p) & ispxf & active
-        gbits = row_signf
-        valid = jnp.concatenate([em, dm, gm])
-        bits = jnp.concatenate([ebits, dbits, gbits])
-        kw_m = jnp.where(valid, kw_all, _BIG)
-        order = jnp.lexsort((ks, k3, k2, k1, k0, kw_m))
-        b_s = bits[order]
-        v_s = valid[order]
-        dst = jnp.cumsum(v_s.astype(jnp.int32)) - 1
+        is_ent = kind_s == 0
+        em = is_ent & (ent_from_s <= p) & (p <= ent_s_s) & ok_s & active
+        dm = (kind_s == 1) & (emit_p == p) & ok_s & active
+        gm = (kind_s == 2) & (emit_p == p) & gm_extra & ok_s & active
+        valid = em | dm | gm
+        bits = jnp.where(
+            is_ent, ent_s_s == p, jnp.where(kind_s == 1, dbits_s, gbits_s)
+        )
+        dst = jnp.cumsum(valid.astype(jnp.int32)) - 1
         out01 = jnp.zeros(cap_bits, dtype=jnp.uint8)
-        out01 = out01.at[jnp.where(v_s, dst, cap_bits)].set(
-            b_s.astype(jnp.uint8), mode="drop"
+        out01 = out01.at[jnp.where(valid, dst, cap_bits)].set(
+            bits.astype(jnp.uint8), mode="drop"
         )
         w8 = out01.reshape(-1, 8).astype(jnp.uint32)
         powers = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint32)

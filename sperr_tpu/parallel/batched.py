@@ -196,13 +196,13 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
     jax.jit,
     static_argnames=(
         "mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3", "residual",
-        "node_cap", "lis_row_cap",
+        "node_cap", "lis_row_cap", "wave_cap",
     ),
 )
 def _dense_encode_wave(
     batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
     dims3: Tuple[int, int, int], residual: str = "f32", node_cap: int = 1024,
-    lis_row_cap: int = 4096,
+    lis_row_cap: int = 4096, wave_cap: int = 0,
 ):
     """Device stages + the complete wavefront entropy stage: per-pass packed
     LIP / LIS / refinement segments (ops/speck_jax.py, ops/speck_lis_jax.py).
@@ -214,6 +214,11 @@ def _dense_encode_wave(
 
     out, ll = _encode_core(batch, mode, quality, cap, out_cap, residual)
     B, n = ll.shape
+    # wave_cap: capacity of the LIP/refinement pixel-candidate compaction —
+    # defaults to n (exact bound: never overflows).  Production tolerances
+    # expose most pixels, so the compaction is a transfer/packing aid, not a
+    # work bound; pass a smaller cap only to trade fallbacks for memory.
+    wave_cap = n if wave_cap <= 0 else min(wave_cap, n)
     # pyramid-form schedule (regular max-pools) for dyadic dims; the
     # child-table segment reductions otherwise
     try:
@@ -224,7 +229,7 @@ def _dense_encode_wave(
     li = sl.lis_index(dims3)
     # total bytes for the concatenated segments, sized by the candidate cap;
     # overflow (counted on device) falls back to host entropy
-    cap_total = min(n, (2 * cap * (num_bp_cap + 4)) // 8 + 8)
+    cap_total = min(n, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
 
     def one(row, sgn_row):
         mags = jnp.abs(row).astype(jnp.uint32)
@@ -239,7 +244,7 @@ def _dense_encode_wave(
         # per-pass work shrinks from O(n) to O(significant neighborhood)
         exposed = e < num_bp
         n_exp = jnp.sum(exposed).astype(jnp.int32)
-        (ci,) = jnp.nonzero(exposed, size=cap, fill_value=n)
+        (ci,) = jnp.nonzero(exposed, size=wave_cap, fill_value=n)
         ok = ci < n
         cis = jnp.minimum(ci, n - 1)
         s_c = jnp.where(ok, s[cis], _WAVE_NEVER)
@@ -331,6 +336,19 @@ def _dense_decode(mags, signs, q, mean, shape3):
     coeffs = qzj.midtread_inv_quantize_batched(mags, signs, q)
     rec = cdfj.idwt3d(coeffs.reshape((B,) + shape3))
     return rec + mean[:, None, None, None].astype(rec.dtype)
+
+
+@partial(jax.jit, static_argnames=("shape3",))
+def _dense_decode_multires(mags, signs, q, mean, shape3):
+    """Decode + multi-resolution hierarchy on device (SPERR3D_OMP_D.cpp:
+    117-126 / CDF97.cpp:140-168).  Hierarchy levels are mean-conditioned
+    like the full reconstruction (SPECK_FLT.cpp:592-603) but carry no
+    outlier corrections (reference semantics)."""
+    B = mags.shape[0]
+    coeffs = qzj.midtread_inv_quantize_batched(mags, signs, q)
+    rec, hier = cdfj.idwt3d_multi_res(coeffs.reshape((B,) + shape3))
+    m = mean[:, None, None, None].astype(rec.dtype)
+    return rec + m, tuple(h + m for h in hier)
 
 
 # ---------------------------------------------------------------------------
@@ -490,7 +508,7 @@ class TpuCompressor3D:
         self.num_threads = num_threads
         # Per-chunk capacity (fraction of n) for the on-device significant-
         # coefficient compaction; overflow falls back to a dense fetch.
-        self.sparse_cap_frac = 0.25
+        self.sparse_cap_frac = 0.5
         # entropy="wave": the SPECK pixel bit-work also runs on device
         # (ops/speck_jax.py) and only stream-sized segments cross to the
         # host, which runs the set walk and stitches the stream.
@@ -498,7 +516,9 @@ class TpuCompressor3D:
         self.num_bp_cap = 34
         # device set-walk cap (fraction of n); overflow falls back to the
         # host stitcher, like the other caps
-        self.node_cap_frac = 1 / 32
+        self.node_cap_frac = 1.0
+        # LIP/refinement candidate cap as a fraction of n (1.0 = exact)
+        self.wave_cand_frac = 1.0
         # pwe_strict: how the PWE bound is certified.
         #   True     — dual certification: the outlier set bounds the error
         #              of BOTH the exact f64 reconstruction (ours, the
@@ -587,14 +607,26 @@ class TpuCompressor3D:
                     sj.pyramid_index((lx, ly, lz))
                 except ValueError:
                     sj.tree_index((lx, ly, lz))
-                sl.lis_index((lx, ly, lz))
-                node_cap = max(512, int(n * self.node_cap_frac))
+                li = sl.lis_index((lx, ly, lz))
+                # node_cap defaults to the EXACT node count (never overflows;
+                # production tolerances make nearly every set significant);
+                # node_cap_frac < 1 trades fallbacks for device memory.
+                node_cap = (
+                    li.nn
+                    if self.node_cap_frac >= 1.0
+                    else max(512, min(li.nn, int(li.nn * self.node_cap_frac)))
+                )
                 # exact bound: entries + decisions + signs <= 3 rows per
                 # child slot (+ roots) -> a pass can never overflow this
                 lis_row_cap = 24 * node_cap + 1024
+                wave_cap = (
+                    n
+                    if self.wave_cand_frac >= 1.0
+                    else max(1024, min(n, int(n * self.wave_cand_frac)))
+                )
                 res = _dense_encode_wave(
                     dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                    (lx, ly, lz), resid_mode, node_cap, lis_row_cap,
+                    (lx, ly, lz), resid_mode, node_cap, lis_row_cap, wave_cap,
                 )
                 wdev = res.pop("wave")
                 # counts first, then total-trimmed fetches of the
@@ -606,7 +638,7 @@ class TpuCompressor3D:
                               "ref_total", "lis_total", "lis_cmax", "n_sig",
                               "n_exposed")
                 }
-                wave["caps"] = (node_cap, lis_row_cap)
+                wave["caps"] = (node_cap, lis_row_cap, wave_cap)
                 lip_b = int(wave["lip_total"].max()) if wave["lip_total"].size else 0
                 ref_b = int(wave["ref_total"].max()) if wave["ref_total"].size else 0
                 lis_b = int(wave["lis_total"].max()) if wave["lis_total"].size else 0
@@ -674,14 +706,13 @@ class TpuCompressor3D:
                 )
                 mean = float(small["mean"][k])
                 condi = _condi_header(False, 0.0, 0, mean, q)
-                cap_total = min(n, (2 * cap * (self.num_bp_cap + 4)) // 8 + 8)
-                nc, lrc = wave["caps"] if wave is not None else (0, 0)
+                nc, lrc, wc = wave["caps"] if wave is not None else (0, 0, 0)
+                cap_total = min(n, (2 * wc * (self.num_bp_cap + 4)) // 8 + 8)
                 use_wave = (
                     wave is not None
-                    and dense is None
                     and int(wave["n_sig"][k]) <= nc
                     and int(wave["lis_cmax"][k]) <= lrc
-                    and int(wave["n_exposed"][k]) <= cap
+                    and int(wave["n_exposed"][k]) <= wc
                     and int(wave["num_bp"][k]) <= self.num_bp_cap
                     and int(wave["lip_total"][k]) <= cap_total
                     and int(wave["ref_total"][k]) <= cap_total
@@ -689,9 +720,7 @@ class TpuCompressor3D:
                 )
                 if use_wave:
                     wave_used[gi] = 1
-                    body = self._stitch_wave(
-                        wave, k, int(nnz[k]), sparse, n, (lx, ly, lz), budget
-                    )
+                    body = self._stitch_wave(wave, k, (lx, ly, lz), budget)
                 else:
                     width = _width_for(int(small["maxmag"][k]))
                     if dense is not None:
@@ -792,9 +821,7 @@ class TpuCompressor3D:
         )
         return header + b"".join(streams)
 
-    def _stitch_wave(
-        self, wave, k: int, m: int, sparse, n: int, dims3, budget: int
-    ) -> bytes:
+    def _stitch_wave(self, wave, k: int, dims3, budget: int) -> bytes:
         """Host half of the device-entropy path: pure per-pass concatenation
         of the device's packed LIP / LIS / refinement segments plus the
         stream header (byte-identical to the host engines) — the SPECK bits
@@ -834,9 +861,10 @@ class TpuDecompressor3D:
         self.dtype = dtype
         self.engine = engine or default_engine()
         self.num_threads = num_threads
+        self.hierarchy: List[np.ndarray] = []
 
     def decompress(
-        self, stream: bytes, to_host: bool = True
+        self, stream: bytes, to_host: bool = True, multi_res: bool = False
     ) -> Tuple[object, Tuple[int, int, int]]:
         """Decode a container stream.
 
@@ -845,11 +873,33 @@ class TpuDecompressor3D:
         {(z0,y0,x0,lz,ly,lx) -> jax.Array} of chunk blocks — for TPU-native
         consumers the decompressed field feeds device computation directly
         and never pays the device->host transfer.
+
+        multi_res=True additionally assembles the coarse-resolution
+        hierarchy (device-side partial IDWT, SPERR3D_OMP_D.cpp:117-126)
+        into `self.hierarchy`, ordered coarsest-first to match
+        utils.dims.coarsened_resolutions_chunked.  Requires to_host=True.
         """
+        if multi_res and not to_host:
+            raise ValueError("multi_res decode requires to_host=True")
+        from ..utils.dims import coarsened_resolutions, coarsened_resolutions_chunked
+
         h = tools.parse_header(stream)
         nx, ny, nz = h.vol_dims
         chunks = chunk_volume(h.vol_dims, h.chunk_dims)
         vol = np.empty((nz, ny, nx), dtype=np.dtype(self.dtype)) if to_host else {}
+
+        hierarchy: List[np.ndarray] = []
+        hier_chunks: List = []
+        if multi_res:
+            vol_res = coarsened_resolutions_chunked(h.vol_dims, h.chunk_dims)
+            chunk_res = coarsened_resolutions(h.chunk_dims)
+            hierarchy = [
+                np.empty((r[2], r[1], r[0]), dtype=np.dtype(self.dtype))
+                for r in vol_res
+            ]
+            hier_chunks = [
+                chunk_volume(vol_res[i], chunk_res[i]) for i in range(len(vol_res))
+            ]
 
         groups: Dict[Tuple[int, int, int], List[int]] = {}
         for i, c in enumerate(chunks):
@@ -906,14 +956,27 @@ class TpuDecompressor3D:
             dev_mags = self._shard(jnp.asarray(mags))
             dev_signs = self._shard(jnp.asarray(signs))
             dt = np.dtype(self.dtype)
-            rec = _dense_decode(
-                dev_mags, dev_signs,
-                jnp.asarray(qs, dtype=dt), jnp.asarray(means, dtype=dt),
-                (lz, ly, lx),
-            )
+            hier_dev = None
+            if multi_res:
+                rec, hier_dev = _dense_decode_multires(
+                    dev_mags, dev_signs,
+                    jnp.asarray(qs, dtype=dt), jnp.asarray(means, dtype=dt),
+                    (lz, ly, lx),
+                )
+            else:
+                rec = _dense_decode(
+                    dev_mags, dev_signs,
+                    jnp.asarray(qs, dtype=dt), jnp.asarray(means, dtype=dt),
+                    (lz, ly, lx),
+                )
 
             if to_host:
                 rech = np.array(jax.device_get(rec))
+                hier_np = (
+                    [np.asarray(jax.device_get(hl)) for hl in hier_dev]
+                    if hier_dev is not None
+                    else None
+                )
                 for k, gi in enumerate(idxs):
                     c = chunks[gi]
                     zz, yy, xx = (
@@ -923,6 +986,14 @@ class TpuDecompressor3D:
                     )
                     if consts[k] is not None:
                         vol[zz, yy, xx] = consts[k]
+                        if hier_np is not None:
+                            for lev in range(len(hier_np)):
+                                hc = hier_chunks[lev][gi]
+                                hierarchy[lev][
+                                    hc[4] : hc[4] + hc[5],
+                                    hc[2] : hc[2] + hc[3],
+                                    hc[0] : hc[0] + hc[1],
+                                ] = consts[k]
                         continue
                     block = rech[k]
                     if outliers[k] is not None:
@@ -931,6 +1002,14 @@ class TpuDecompressor3D:
                         flat[pos] += corr.astype(flat.dtype)
                         block = flat.reshape(block.shape)
                     vol[zz, yy, xx] = block
+                    if hier_np is not None:
+                        for lev in range(len(hier_np)):
+                            hc = hier_chunks[lev][gi]
+                            hierarchy[lev][
+                                hc[4] : hc[4] + hc[5],
+                                hc[2] : hc[2] + hc[3],
+                                hc[0] : hc[0] + hc[1],
+                            ] = hier_np[lev][k]
             else:
                 for k, gi in enumerate(idxs):
                     c = chunks[gi]
@@ -947,6 +1026,7 @@ class TpuDecompressor3D:
                         )
                         block = flat.reshape(block.shape)
                     vol[key] = block
+        self.hierarchy = hierarchy
         return vol, h.vol_dims
 
     def _shard(self, arr):

@@ -50,3 +50,55 @@ def test_multires_hierarchy_shapes():
     mse = float(np.mean((out - vol.astype(np.float64)) ** 2))
     rngv = float(vol.max() - vol.min())
     assert 10 * np.log10(rngv * rngv / mse) > 74.0
+
+
+def test_multires_device_decoder_matches_host():
+    """Multi-resolution decode on the DEVICE path (TpuDecompressor3D +
+    cdf97_jax.idwt3d_multi_res): hierarchy shapes match the coarsened
+    resolutions and the values agree with the host hierarchy to f32
+    roundoff (SPERR3D_OMP_D.cpp:117-126 / CDF97.cpp:140-168)."""
+    from sperr_tpu.parallel.batched import TpuDecompressor3D
+
+    nx = ny = nz = 64
+    rng = np.random.default_rng(12)
+    z, y, x = np.mgrid[0:nz, 0:ny, 0:nx]
+    vol = (np.sin(x * 0.2) * np.cos(y * 0.2) * np.sin(z * 0.2)
+           + 0.01 * rng.normal(size=(nz, ny, nx))).astype(np.float32)
+    stream = Sperr3DCompressor((nx, ny, nz), (32, 32, 32)).compress(vol, "psnr", 75.0)
+
+    dec_host = Sperr3DDecompressor()
+    out_host, _ = dec_host.decompress(bytes(stream), multi_res=True)
+
+    dec_dev = TpuDecompressor3D()
+    out_dev, dims = dec_dev.decompress(bytes(stream), multi_res=True)
+    assert dims == (nx, ny, nz)
+
+    res = coarsened_resolutions_chunked((nx, ny, nz), (32, 32, 32))
+    assert len(dec_dev.hierarchy) == len(res) == len(dec_host.hierarchy)
+    scale = np.abs(vol).max()
+    for dev_arr, host_arr, r in zip(dec_dev.hierarchy, dec_host.hierarchy, res):
+        assert dev_arr.shape == (r[2], r[1], r[0])
+        assert np.abs(dev_arr.astype(np.float64) - host_arr).max() <= (
+            1e-4 * scale
+        )
+    # full-res reconstructions agree to f32 roundoff as well
+    assert np.abs(out_dev.astype(np.float64) - out_host).max() <= 1e-4 * scale
+
+
+def test_multires_device_decoder_constant_chunk():
+    """Constant chunks fill every hierarchy level with the constant."""
+    from sperr_tpu.parallel.batched import TpuCompressor3D, TpuDecompressor3D
+
+    vol = np.full((32, 32, 64), 1.25, dtype=np.float32)
+    vol[:, :, 32:] += np.sin(
+        np.arange(32, dtype=np.float32) * 0.3
+    )[None, None, :]
+    stream = TpuCompressor3D((64, 32, 32), (32, 32, 32)).compress(
+        vol, "psnr", 70.0
+    )
+    dec = TpuDecompressor3D()
+    out, _ = dec.decompress(bytes(stream), multi_res=True)
+    assert len(dec.hierarchy) > 0
+    for arr in dec.hierarchy:
+        half = arr.shape[2] // 2
+        np.testing.assert_allclose(arr[:, :, :half], 1.25, rtol=0, atol=1e-6)

@@ -99,3 +99,23 @@ def test_wave_entropy_constant_chunk():
         vol, "pwe", 1e-3
     )
     assert bytes(wave) == bytes(host)
+
+
+def test_wave_device_path_at_production_dims():
+    """A full 128^3 chunk runs the ENTIRE entropy stage on device (no cap
+    fallback) and the container is byte-identical to the host engine.
+    The caps default to exact bounds (all nodes / all pixels), so this holds
+    for dense noisy data, the production regime (reference chunks are 256^3,
+    utilities/sperr3d.cpp:174)."""
+    n = 128
+    rng = np.random.default_rng(1)
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    vol = (
+        np.sin(x * 0.05) * np.cos(y * 0.07) * np.sin(z * 0.06)
+        + 0.01 * rng.normal(size=(n, n, n))
+    ).astype(np.float32)
+    comp = TpuCompressor3D((n, n, n), (n, n, n), entropy="wave")
+    s = comp.compress(vol, "pwe", 1e-2)
+    assert comp.last_wave_chunks == 1  # the device path actually ran
+    comp_h = TpuCompressor3D((n, n, n), (n, n, n), entropy="host")
+    assert bytes(s) == bytes(comp_h.compress(vol, "pwe", 1e-2))
