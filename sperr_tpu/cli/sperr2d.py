@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--pwe", type=float, default=0.0)
     q.add_argument("--psnr", type=float, default=0.0)
     q.add_argument("--bpp", type=float, default=0.0)
+    p.add_argument(
+        "--exec", dest="exec_", default="host", choices=("host", "tpu"),
+        help="execution engine: exact host pipeline (default) or the "
+        "device-batched f32 pipeline (parallel/batched2d.py)",
+    )
     return p
 
 
@@ -47,7 +52,6 @@ def run(argv=None) -> int:
         data = read_floats(args.filename, args.ftype)
         if data.size != nx * ny:
             die("Input file size wrong!")
-        codec = SpeckFloatCodec(2, (nx, ny, 1))
         if args.pwe:
             mode, quality = "pwe", args.pwe
         elif args.psnr:
@@ -56,7 +60,15 @@ def run(argv=None) -> int:
             mode, quality = "rate", args.bpp
         else:
             die("one of --pwe/--psnr/--bpp is required")
-        chunk = codec.compress(data.astype(np.float64), mode, quality)
+        codec = SpeckFloatCodec(2, (nx, ny, 1))
+        if args.exec_ == "tpu":
+            from ..parallel.batched2d import TpuCompressor2D
+
+            chunk = TpuCompressor2D((nx, ny)).compress(
+                data.reshape(ny, nx), mode, quality
+            )
+        else:
+            chunk = codec.compress(data.astype(np.float64), mode, quality)
         stream = tools.generate_2d_header((nx, ny), args.ftype == 32) + chunk
         if args.bitstream:
             with open(args.bitstream, "wb") as f:

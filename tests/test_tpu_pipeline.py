@@ -115,3 +115,40 @@ def test_constant_chunks():
 
     h = tools.parse_header(stream)
     assert h.chunk_offsets[1] == 17
+
+
+@pytest.mark.parametrize("bpp", [0.5, 2.0, 4.0])
+def test_rate_mode_device_quality_matches_host(bpp):
+    """Device rate mode targets q = max|coeff| / (2^20 - 1) instead of the
+    host engine's 2^32 - 1 (quantize_jax.RATE_MAX_MAG_DEVICE: magnitudes
+    must stay exactly representable in f32).  The rate-distortion cost of
+    the narrower ladder must be negligible at production rates: PSNR within
+    0.1 dB of the host engine at the same bpp (reference formula
+    SPECK_FLT.cpp:283-301)."""
+    from sperr_tpu.parallel.chunked3d import Sperr3DCompressor
+
+    vol = np.fromfile(
+        "/root/reference/test_data/vorticity.128_128_41", dtype=np.float32
+    ).reshape(41, 128, 128)
+
+    def psnr(orig, rec):
+        mse = np.mean((rec.astype(np.float64) - orig.astype(np.float64)) ** 2)
+        rng = float(orig.max() - orig.min())
+        return 10 * np.log10(rng * rng / mse)
+
+    hs = bytes(
+        Sperr3DCompressor((128, 128, 41), (128, 128, 41)).compress(
+            vol, "rate", bpp
+        )
+    )
+    ho, _ = Sperr3DDecompressor().decompress(hs)
+    ts = bytes(
+        batched.TpuCompressor3D((128, 128, 41), (128, 128, 41)).compress(
+            vol, "rate", bpp
+        )
+    )
+    to, _ = batched.TpuDecompressor3D().decompress(ts)
+    assert len(ts) == len(hs)  # the bit budget is exact on both engines
+    p_host = psnr(vol, ho.reshape(vol.shape))
+    p_dev = psnr(vol, np.asarray(to).reshape(vol.shape))
+    assert abs(p_host - p_dev) <= 0.1, (p_host, p_dev)
