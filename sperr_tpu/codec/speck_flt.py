@@ -144,7 +144,10 @@ class SpeckFloatCodec:
             return cond.inverse_condition(None, condi), []
 
         q = cond.retrieve_q(condi)
-        assert q > 0.0
+        if not (q > 0.0 and np.isfinite(q)):
+            from ..stream.tools import StreamError
+
+            raise StreamError(f"invalid conditioner q={q}")
         pos = cond.CONDI_HEADER_SIZE
         num_bp = sp.speck_int_get_num_bitplanes(stream[pos : pos + 1])
         width = sp.uint_width_for_num_bitplanes(num_bp)

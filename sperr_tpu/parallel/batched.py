@@ -33,6 +33,7 @@ from ..codec import speck_int_np as sp
 from ..ops import cdf97_jax as cdfj
 from ..ops import condition as cond_host
 from ..ops import quantize_jax as qzj
+from ..errors import first_chunk_failure
 from ..runtime.engine import default_engine
 from ..stream import tools
 from ..utils.dims import chunk_volume
@@ -929,6 +930,8 @@ class TpuDecompressor3D:
                     return
                 qs[k] = cond_host.retrieve_q(condi)
                 (means[k],) = struct.unpack_from("<d", condi, 1)
+                if not (qs[k] > 0.0 and np.isfinite(qs[k]) and np.isfinite(means[k])):
+                    raise tools.StreamError(f"invalid conditioner q={qs[k]}")
                 pos = 17
                 num_bp = cs[pos]
                 width = sp.uint_width_for_num_bitplanes(num_bp)
@@ -947,8 +950,14 @@ class TpuDecompressor3D:
                             cs[pos : pos + o_len], n, qs[k] / 1.5
                         )
 
+            def decode_i(k):
+                try:
+                    decode_one(k)
+                except Exception as e:  # noqa: BLE001 - reduced below
+                    return (idxs[k], e)
+
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                list(pool.map(decode_one, range(B)))
+                first_chunk_failure(pool.map(decode_i, range(B)))
 
             # Narrow the host->device transfer when magnitudes allow it.
             if mags.size and mags.max() < 32768:

@@ -447,6 +447,8 @@ class TpuDecompressor2D:
                 return
             qs[k] = cond_host.retrieve_q(condi)
             (means[k],) = struct.unpack_from("<d", condi, 1)
+            if not (qs[k] > 0.0 and np.isfinite(qs[k]) and np.isfinite(means[k])):
+                raise tools.StreamError(f"invalid conditioner q={qs[k]}")
             pos = 17
             num_bp = cs[pos]
             width = sp.uint_width_for_num_bitplanes(num_bp)

@@ -24,6 +24,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..codec.speck_flt import SpeckFloatCodec
+from ..errors import first_chunk_failure
 from ..stream import tools
 from ..utils.dims import chunk_volume, coarsened_resolutions, coarsened_resolutions_chunked
 
@@ -98,11 +99,19 @@ class Sperr3DCompressor:
                 codec = SpeckFloatCodec(3, (c[1], c[3], c[5]), engine=self.engine)
                 return codec.compress(_gather_chunk(vol3, c), mode, quality)
 
+        def run_i(i):
+            try:
+                return run(chunks[i])
+            except Exception as e:  # noqa: BLE001 - reduced below
+                return (i, e)
+
         if len(chunks) == 1:
-            streams = [run(chunks[0])]
+            results = [run_i(0)]
         else:
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                streams = list(pool.map(run, chunks))
+                results = list(pool.map(run_i, range(len(chunks))))
+        first_chunk_failure(r for r in results if isinstance(r, tuple))
+        streams = results
 
         header = tools.generate_header(
             self.vol_dims, self.chunk_dims, [len(s) for s in streams], is_float
@@ -181,11 +190,18 @@ class Sperr3DDecompressor:
                 for lev in range(len(hier)):
                     _scatter_chunk(hierarchy[lev], hier[lev], hier_chunks[lev][i])
 
+        def run_i(i):
+            try:
+                run(i)
+            except Exception as e:  # noqa: BLE001 - reduced below
+                return (i, e)
+
         if len(chunks) == 1:
-            run(0)
+            errs = [run_i(0)]
         else:
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                list(pool.map(run, range(len(chunks))))
+                errs = list(pool.map(run_i, range(len(chunks))))
+        first_chunk_failure(errs)
 
         self.hierarchy = hierarchy
         return vol, h.vol_dims

@@ -1094,10 +1094,20 @@ int decompress_chunk(int ndim, const uint8_t* stream, size_t len, size_t nx,
   std::memcpy(&q, stream + 9, 8);
   size_t pos = 17;
   if (len < pos + 9) return -2;
+  // invalid conditioner: the quantization step must be a positive finite
+  // real (the reference's q > 0 invariant, SPECK_FLT.cpp:55, promoted from
+  // a debug assert to a hard stream error)
+  if (!(q > 0.0) || !std::isfinite(q) || !std::isfinite(mean)) return -3;
 
   int nbp = stream[pos];
   uint64_t nbits;
   std::memcpy(&nbits, stream + pos + 1, 8);
+  // impossible SPECK headers: > 64 bitplanes cannot arise from any uint
+  // width; a bit count beyond ~(num_bp+2) bits/sample is not a valid
+  // stream of these dims (progressive TRUNCATION makes streams shorter,
+  // never longer)
+  if (nbp > 64) return -4;
+  if (nbits > (uint64_t(nbp) + 2) * n + 4096) return -5;
   size_t full = 9 + (nbits + 7) / 8;
   size_t speck_len = std::min(full, len - pos);
   int width = nbp <= 8 ? 8 : nbp <= 16 ? 16 : nbp <= 32 ? 32 : 64;

@@ -102,3 +102,32 @@ def test_multires_device_decoder_constant_chunk():
     for arr in dec.hierarchy:
         half = arr.shape[2] // 2
         np.testing.assert_allclose(arr[:, :, :half], 1.25, rtol=0, atol=1e-6)
+
+
+def test_first_failing_chunk_semantics():
+    """Per-chunk failures surface as ChunkError carrying the FIRST failing
+    chunk's container index (SPERR3D_OMP_C.cpp:132-135 RTNType reduction)."""
+    from sperr_tpu.errors import ChunkError
+
+    nx = ny = 32
+    nz = 96  # 3 chunks of 32^3
+    rng = np.random.default_rng(5)
+    vol = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    stream = bytearray(
+        Sperr3DCompressor((nx, ny, nz), (32, 32, 32)).compress(vol, "psnr", 60.0)
+    )
+    h = tools.parse_header(bytes(stream))
+    # corrupt chunks 1 and 2 (truncate their SPECK headers to garbage)
+    for ci in (1, 2):
+        off = h.chunk_offsets[ci * 2]
+        stream[off : off + 17] = b"\x00" * 17  # invalid conditioner+speck head
+        stream[off + 17] = 255  # num_bitplanes impossible for the dims
+    with pytest.raises(ChunkError) as ei:
+        Sperr3DDecompressor().decompress(bytes(stream))
+    assert ei.value.chunk_index == 1  # smallest failing index wins
+
+    from sperr_tpu.parallel.batched import TpuDecompressor3D
+
+    with pytest.raises(ChunkError) as ei2:
+        TpuDecompressor3D().decompress(bytes(stream))
+    assert ei2.value.chunk_index == 1
