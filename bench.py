@@ -132,14 +132,28 @@ def run_device_stages():
     return out
 
 
+def _cache_dir():
+    # keyed by the host's CPU flags: this VM migrates between machines, and
+    # a shared persistent cache can serve AOT executables built for another
+    # machine type (XLA:CPU loader SIGSEGV); see tests/conftest.py
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [ln for ln in f if ln.startswith("flags")][0]
+    except Exception:
+        flags = "unknown"
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return os.path.expanduser(f"~/.cache/sperr_tpu/jax_{tag}")
+
+
 def main():
-    os.makedirs(os.path.expanduser("~/.cache/sperr_tpu/jax"), exist_ok=True)
+    cache = _cache_dir()
+    os.makedirs(cache, exist_ok=True)
     try:
         import jax
 
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/sperr_tpu/jax")
-        )
+        jax.config.update("jax_compilation_cache_dir", cache)
     except Exception:
         pass
 

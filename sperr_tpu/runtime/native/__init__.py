@@ -31,17 +31,21 @@ def _build_lib() -> None:
     # for byte-parity of streams with the exact host engine / reference.
     # -fno-math-errno lets rint/fabs loops vectorize (neither sets errno);
     # value semantics are unchanged, so stream parity is preserved.
+    # build to a per-pid temp and rename: concurrent builders (e.g. pytest
+    # workers on a fresh checkout) never corrupt the shared output
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-DNDEBUG", "-ffp-contract=off",
         "-fno-math-errno",
-        "-shared", "-fPIC", "-march=native", _SRC, "-o", _LIB,
+        "-shared", "-fPIC", "-march=native", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=600)
     except subprocess.CalledProcessError:
         # Portable fallback without -march=native.
-        cmd.remove("-march=native")
+        cmd = [c for c in cmd if c != "-march=native"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+    os.replace(tmp, _LIB)
 
 
 def _load():
@@ -153,16 +157,18 @@ def capi_lib_path() -> str:
         if not os.path.exists(_CAPI_LIB) or any(
             os.path.getmtime(_CAPI_LIB) < os.path.getmtime(s) for s in deps
         ):
+            tmp = f"{_CAPI_LIB}.{os.getpid()}.tmp"
             cmd = [
                 "g++", "-O3", "-std=c++17", "-DNDEBUG", "-ffp-contract=off",
                 "-fno-math-errno", "-pthread",
-                "-shared", "-fPIC", "-march=native", _CAPI_SRC, "-o", _CAPI_LIB,
+                "-shared", "-fPIC", "-march=native", _CAPI_SRC, "-o", tmp,
             ]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=600)
             except subprocess.CalledProcessError:
-                cmd.remove("-march=native")
+                cmd = [c for c in cmd if c != "-march=native"]
                 subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+            os.replace(tmp, _CAPI_LIB)
     return _CAPI_LIB
 
 

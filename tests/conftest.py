@@ -16,9 +16,26 @@ jax.config.update("jax_platforms", "cpu")
 # no x64, and the device code paths must be int32/f32-clean.  Tests that
 # exercise f64 *host-side jax* math opt in locally via the `enable_x64`
 # fixture below.
-# Persistent compile cache: jitted transforms recompile once per shape, ever.
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Persistent compile cache: jitted transforms recompile once per shape —
+# per PHYSICAL HOST TYPE.  This VM migrates between machines with different
+# CPU features; a shared cache dir serves AOT executables compiled for the
+# wrong machine, which the XLA:CPU loader can SIGSEGV on (observed: crash in
+# compilation_cache.get_executable_and_time mid-suite).  Key the dir by the
+# host's CPU flags so each machine type gets its own cache.
+import hashlib
+
+def _cpu_cache_dir():
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [ln for ln in f if ln.startswith("flags")][0]
+    except Exception:
+        flags = "unknown"
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return f"/tmp/jax_cache_{tag}"
+
+_cache = _cpu_cache_dir()
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import sys
