@@ -126,8 +126,9 @@ def run_device_stages():
         out["wave_entropy"] = wave_entropy_stage(n=wn, batch=1, tol=TOL)
     except Exception as e:  # pragma: no cover
         out["wave_entropy"] = {"error": f"{type(e).__name__}: {e}"}
-    # the chip-side pipeline number: encode core + decode core, back to back
-    tot = out["encode_core_pwe_dual_s"] + out["decode_core_s"]
+    # the chip-side pipeline number: dense-transfer encode core + decode
+    # core, back to back
+    tot = out["encode_core_dense_s"] + out["decode_core_s"]
     out["device_pipeline_gbps"] = round(2 * out["bytes"] / tot / 1e9, 3)
     return out
 

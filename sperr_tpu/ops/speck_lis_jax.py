@@ -184,23 +184,43 @@ def lis_segments_device(
     a_lev = -li.level[anf]
     nlev = li.nlev
 
+    # Compact the BORN rows once: only they receive insertion ranks, and
+    # they number at most min(all child slots, the node count) — at the
+    # default exact cap (node_cap = node count) this shrinks the per-pass
+    # rank sort from the C*MC child-slot grid to <= nn rows (8x less sort
+    # work per pass).  If a reduced node_cap ever drops born rows, n_sig is
+    # raised past the cap so the driver falls back to the host stitcher
+    # instead of mis-ranking.
+    CB = min(R, nn)
+    n_born = jnp.sum(bornf).astype(jnp.int32)
+    (bsel,) = jnp.nonzero(bornf, size=CB, fill_value=R)
+    bok = bsel < R
+    bs = jnp.minimum(bsel, R - 1)
+    c_bid = jnp.where(bok, bidf[bs], nn)
+    c_bn = jnp.where(bok, bnf[bs], _BIG)
+    c_an = jnp.where(bok, anf[bs], nn)
+    c_lev = levf[bs]
+    c_alev = a_lev[bs]
+    c_pw = pwf[bs]
+
     def bp_iter(bp, carry):
         O_buf, offs = carry
-        m = bornf & (bnf == bp)
-        a_ord = O_buf[anf]
-        lev_m = jnp.where(m, levf, _BIG)
+        m = bok & (c_bn == bp)
+        a_ord = O_buf[c_an]
+        lev_m = jnp.where(m, c_lev, _BIG)
         order = jnp.lexsort(
-            (pwf[:, 3], pwf[:, 2], pwf[:, 1], pwf[:, 0], a_ord, a_lev, lev_m)
+            (c_pw[:, 3], c_pw[:, 2], c_pw[:, 1], c_pw[:, 0], a_ord, c_alev,
+             lev_m)
         )
-        rankpos = jnp.zeros(R, jnp.int32).at[order].set(
-            jnp.arange(R, dtype=jnp.int32)
+        rankpos = jnp.zeros(CB, jnp.int32).at[order].set(
+            jnp.arange(CB, dtype=jnp.int32)
         )
         counts = jnp.bincount(
-            jnp.where(m, levf, nlev), length=nlev + 1
+            jnp.where(m, c_lev, nlev), length=nlev + 1
         ).astype(jnp.int32)[:nlev]
         lstarts = jnp.cumsum(counts) - counts
-        o_val = offs[levf] + (rankpos - lstarts[levf])
-        O_buf = O_buf.at[jnp.where(m, bidf, nn)].set(o_val, mode="drop")
+        o_val = offs[c_lev] + (rankpos - lstarts[c_lev])
+        O_buf = O_buf.at[jnp.where(m, c_bid, nn)].set(o_val, mode="drop")
         return O_buf, offs + counts
 
     O_buf = jnp.concatenate([li.O0, jnp.zeros(1, jnp.int32)])
@@ -209,6 +229,7 @@ def lis_segments_device(
         0, jnp.minimum(num_bp, num_bp_cap).astype(jnp.int32), bp_iter,
         (O_buf, li.off0), unroll=False,
     )
+    n_sig = jnp.maximum(n_sig, jnp.where(n_born > CB, _BIG, 0))
 
     # ---- w: global walk order over list entries (levels desc, O asc) ------
     nroots = li.nroots

@@ -322,6 +322,8 @@ def _dense_encode(batch, mode: str, quality: float, residual: str = "f32"):
                 dt.type(0.25 * quality),
                 jnp.maximum(dt.type(0.05 * quality), 2.0 * eta),
             )
+            out["eta_sim"] = eta
+            out["kappa"] = kappa
             thr = (dt.type(quality) - kappa)[:, None]
             out["outlier_mask"] = jnp.abs(diff) > thr
         else:
@@ -497,8 +499,10 @@ class TpuCompressor3D:
         num_threads: Optional[int] = None,
         entropy: str = "host",
         pwe_strict: bool = True,
+        transfer: str = "sparse",
     ):
         assert entropy in ("host", "wave")
+        assert transfer in ("sparse", "dense")
         self.vol_dims = tuple(int(d) for d in vol_dims)
         self.chunk_dims = tuple(
             min(max(1, int(chunk_dims[i])), self.vol_dims[i]) for i in range(3)
@@ -520,6 +524,17 @@ class TpuCompressor3D:
         self.node_cap_frac = 1.0
         # LIP/refinement candidate cap as a fraction of n (1.0 = exact)
         self.wave_cand_frac = 1.0
+        # transfer: how quantized coefficients reach the host entropy stage.
+        #   "sparse" — on-device compaction of nonzero coefficients and
+        #              outliers: device->host traffic ~ information content.
+        #              Right for slow links (this environment's tunnel);
+        #              costs a large-array scatter on device (~100ms per
+        #              256^3 chunk — 20x the dense math).
+        #   "dense"  — ship the dense quantized arrays; the host compacts at
+        #              memcpy speed.  Right for PCIe-class links: the device
+        #              encode core drops to the pure math cost (~6ms per
+        #              256^3 chunk).  entropy="host" only.
+        self.transfer = transfer
         # pwe_strict: how the PWE bound is certified.
         #   True     — dual certification: the outlier set bounds the error
         #              of BOTH the exact f64 reconstruction (ours, the
@@ -598,6 +613,7 @@ class TpuCompressor3D:
             dev = self._shard(jnp.asarray(batch))
             cap = max(1024, int(n * self.sparse_cap_frac))
             out_cap = max(256, n // 64)
+            force_dense = self.transfer == "dense" and self.entropy != "wave"
             wave = None
             if self.entropy == "wave":
                 from ..ops import speck_jax as sj
@@ -646,12 +662,18 @@ class TpuCompressor3D:
                 wave["lip"] = np.asarray(jax.device_get(wdev["lip"][:, :lip_b]))
                 wave["ref"] = np.asarray(jax.device_get(wdev["ref"][:, :ref_b]))
                 wave["lis"] = np.asarray(jax.device_get(wdev["lis"][:, :lis_b]))
+            elif force_dense:
+                res = _dense_encode(dev, mode, float(quality), resid_mode)
             else:
                 res = _dense_encode_sparse(
                     dev, mode, float(quality), cap, out_cap, resid_mode
                 )
             # Pull small per-chunk scalars first; decide dense fallback.
-            nnz = np.asarray(jax.device_get(res["nnz"]))
+            nnz = (
+                None
+                if force_dense
+                else np.asarray(jax.device_get(res["nnz"]))
+            )
             small_keys = ["is_const", "v0", "mean", "q", "maxmag"]
             if resid_mode == "dual":
                 small_keys += ["eta_sim", "kappa"]
@@ -660,16 +682,18 @@ class TpuCompressor3D:
             }
             n_out = (
                 np.asarray(jax.device_get(res["n_out"]))
-                if mode == "pwe" and dev_resid
+                if mode == "pwe" and dev_resid and not force_dense
                 else None
             )
             margin_bad = (
                 np.asarray(jax.device_get(res["margin_bad"]))
-                if resid_mode == "margin"
+                if resid_mode == "margin" and not force_dense
                 else None
             )
             dense = None
-            if (nnz > cap).any() or (n_out is not None and (n_out > out_cap).any()):
+            if force_dense:
+                dense = jax.device_get(res)
+            elif (nnz > cap).any() or (n_out is not None and (n_out > out_cap).any()):
                 dense = jax.device_get(
                     _dense_encode(dev, mode, float(quality), resid_mode)
                 )

@@ -24,11 +24,20 @@ import numpy as np
 
 
 def _dep_scalar(y):
-    """A scalar data-dependent on (all leaves of) y."""
+    """A scalar data-dependent on EVERY element of every leaf of y.
+
+    Must be a position-weighted full reduction: consuming only y[0] lets
+    XLA's simplifier rewrite the stage itself (slice(sort) -> reduce-min,
+    slice-mover through elementwise chains), and a plain sum can be
+    simplified through permutations — both silently turn the measured
+    stage into a sliver of itself (observed: 16.7M-element sorts "timing"
+    at 0 ms)."""
     leaves = jax.tree_util.tree_leaves(y)
     acc = None
     for leaf in leaves:
-        v = jnp.ravel(leaf)[0].astype(jnp.float32)
+        flat = jnp.ravel(leaf)
+        w = (jnp.arange(flat.shape[0], dtype=jnp.int32) & 7).astype(jnp.float32)
+        v = jnp.sum(flat.astype(jnp.float32) * w)
         acc = v if acc is None else acc + v
     return acc
 
@@ -36,33 +45,49 @@ def _dep_scalar(y):
 def _loop_fn(fn: Callable, iters: int):
     @jax.jit
     def run(x):
-        def body(_, x):
+        def body(_, carry):
+            x, acc = carry
             y = fn(x)
             s = _dep_scalar(y).astype(x.dtype)
-            # fold the dependency back in at ~1e-38 scale: workload-neutral,
-            # but the loop body can't be hoisted as loop-invariant
-            return x + s * x.dtype.type(1e-38)
+            # fold the dependency back in at a workload-neutral scale
+            # (above the TPU's denormal flush) so the loop body can't be
+            # hoisted as loop-invariant
+            return x + s * x.dtype.type(1e-30), acc + s.astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, iters, body, x)
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (x, jnp.float32(0.0))
+        )
+        # scalar output: fetching it is the ONLY reliable synchronization —
+        # on the axon remote backend block_until_ready() returns while the
+        # computation is still in flight (measured: 0.2 ms "wait" on a
+        # multi-second program)
+        return acc
 
     return run
 
 
-def time_stage(fn: Callable, x, iters: int = 8, reps: int = 3) -> float:
-    """Seconds per application of `fn` on device, dispatch excluded."""
+def time_stage(fn: Callable, x, iters: int = 8, reps: int = 3,
+               max_iters: int = 1024) -> float:
+    """Seconds per application of `fn` on device, dispatch excluded.
+
+    Synchronizes by fetching the loop's scalar accumulator (see _loop_fn).
+    Adaptive: the per-iteration cost is the marginal (t_K - t_1)/(K - 1);
+    on a tunnel with multi-ms dispatch jitter that difference is noise for
+    sub-ms stages, so K grows until the K-iteration run is decisively
+    longer than the 1-iteration run (or max_iters is reached)."""
     x = jax.device_put(x)
-    run_k = _loop_fn(fn, iters)
     run_1 = _loop_fn(fn, 1)
-    # compile + warm both programs
-    run_k(x).block_until_ready()
-    run_1(x).block_until_ready()
-    tk = min(
-        _timed(lambda: run_k(x).block_until_ready()) for _ in range(reps)
-    )
-    t1 = min(
-        _timed(lambda: run_1(x).block_until_ready()) for _ in range(reps)
-    )
-    return max((tk - t1) / (iters - 1), 1e-9)
+    float(run_1(x))  # compile + warm
+    t1 = min(_timed(lambda: float(run_1(x))) for _ in range(reps))
+    k = max(2, iters)
+    while True:
+        run_k = _loop_fn(fn, k)
+        float(run_k(x))
+        tk = min(_timed(lambda: float(run_k(x))) for _ in range(reps))
+        # signal must dominate the constant's jitter (~25% of t1 + 2ms)
+        if tk - t1 > max(0.25 * t1, 2e-3) or k >= max_iters:
+            return max((tk - t1) / (k - 1), 1e-9)
+        k *= 4
 
 
 def _timed(thunk) -> float:
@@ -98,7 +123,17 @@ def pipeline_stages(n: int = 256, batch: int = 1, tol: float = 1e-2,
         flat = y.reshape(batch, -1)
         return qzj.midtread_quantize_batched(flat, q)
 
-    def enc_core(y):
+    def enc_dense(y):
+        # the transfer="dense" encode: condition -> DWT -> quantize ->
+        # decoder-exact dual residual — pure math, no device compaction
+        from ..parallel.batched import _dense_encode
+
+        return _dense_encode(y, "pwe", float(tol), "dual")
+
+    def enc_sparse(y):
+        # the transfer="sparse" encode: + on-device nonzero/outlier
+        # compaction (a large-array scatter — tunnel-sized transfers at a
+        # heavy device cost; see docs/PALLAS.md roofline notes)
         out, _ = _encode_core(y, "pwe", float(tol), cap, out_cap, "dual")
         return out
 
@@ -114,7 +149,8 @@ def pipeline_stages(n: int = 256, batch: int = 1, tol: float = 1e-2,
         "dwt3d": lambda y: cdfj.dwt3d(y),
         "idwt3d": lambda y: cdfj.idwt3d(y),
         "quantize": quant,
-        "encode_core_pwe_dual": enc_core,
+        "encode_core_dense": enc_dense,
+        "encode_core_sparse": enc_sparse,
         "decode_core": dec_core,
     }
     out: Dict[str, float] = {"n": n, "batch": batch, "bytes": nbytes}
@@ -122,7 +158,7 @@ def pipeline_stages(n: int = 256, batch: int = 1, tol: float = 1e-2,
         secs = time_stage(fn, x, iters=iters)
         out[name + "_s"] = round(secs, 5)
         out[name + "_gbps"] = round(nbytes / secs / 1e9, 3)
-    out["device_encode_gbps"] = out["encode_core_pwe_dual_gbps"]
+    out["device_encode_gbps"] = out["encode_core_dense_gbps"]
     out["device_decode_gbps"] = out["decode_core_gbps"]
     return out
 
@@ -144,13 +180,13 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     cap = max(1024, nelems // 4)
     out_cap = max(256, nelems // 64)
     num_bp_cap = 34
-    node_cap = max(512, nelems // 32)
-    lis_row_cap = 24 * node_cap + 1024
     try:
         sj.pyramid_index((n, n, n))
     except ValueError:
         sj.tree_index((n, n, n))
-    sl.lis_index((n, n, n))
+    li = sl.lis_index((n, n, n))
+    node_cap = li.nn  # production default: exact
+    lis_row_cap = 24 * node_cap + 1024
 
     def sparse(y):
         return _dense_encode_sparse(y, "pwe", float(tol), cap, out_cap, "dual")

@@ -152,3 +152,19 @@ def test_rate_mode_device_quality_matches_host(bpp):
     p_host = psnr(vol, ho.reshape(vol.shape))
     p_dev = psnr(vol, np.asarray(to).reshape(vol.shape))
     assert abs(p_host - p_dev) <= 0.1, (p_host, p_dev)
+
+
+@pytest.mark.parametrize("mode,quality", [("pwe", 1e-3), ("psnr", 60.0)])
+def test_dense_transfer_mode_identical_streams(mode, quality):
+    """transfer="dense" (ship dense quantized arrays, host compacts — the
+    PCIe-class configuration; on-device compaction costs a large-array
+    scatter ~20x the dense math, runtime/device_bench measurements) must
+    produce byte-identical containers to the sparse-transfer mode."""
+    vol = _vol(32, 32, 64)
+    s_sparse = batched.TpuCompressor3D((32, 32, 64), (32, 32, 32)).compress(
+        vol, mode, quality
+    )
+    s_dense = batched.TpuCompressor3D(
+        (32, 32, 64), (32, 32, 32), transfer="dense"
+    ).compress(vol, mode, quality)
+    assert bytes(s_sparse) == bytes(s_dense)
