@@ -58,6 +58,23 @@ def midtread_quantize_batched(coeffs, q) -> Tuple[jax.Array, jax.Array, jax.Arra
     return mags, signs, jnp.max(mags, axis=1)
 
 
+def midtread_quantize_batched_best(coeffs, q):
+    """Backend-best quantizer: on TPU the Mosaic kernel
+    (ops/pallas_kernels.quantize_pallas) runs the fused
+    rint + |.| + sign + per-chunk max at ~5x the XLA form's throughput
+    (measured 100us vs 556us per 4M f32 on v5e, bit-identical outputs —
+    docs/PALLAS.md); elsewhere the XLA form.  Trace-time dispatch: the
+    backend is known when the enclosing jit traces."""
+    if jax.default_backend() == "tpu" and coeffs.dtype == jnp.float32:
+        try:
+            from .pallas_kernels import quantize_pallas
+
+            return quantize_pallas(coeffs, q)
+        except Exception:  # pragma: no cover - lowering regression fallback
+            pass
+    return midtread_quantize_batched(coeffs, q)
+
+
 def midtread_inv_quantize_batched(mags, signs, q):
     sgn = jnp.where(signs, 1.0, -1.0).astype(q.dtype)
     return (q[:, None] * mags.astype(q.dtype)) * sgn

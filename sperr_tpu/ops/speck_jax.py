@@ -228,6 +228,120 @@ def pass_segments_packed_sparse(
     return lip, lip_c, ref, ref_c
 
 
+def events_to_segments(p_key, sec_key, bits, num_bp_cap: int, cap_total: int):
+    """Sort emission events by (pass, secondary order) and pack them into a
+    byte-aligned concatenation of per-pass segments with ONE scatter.
+
+    p_key: i32 pass per event (>= num_bp_cap marks invalid); sec_key: i32
+    within-pass order; bits: bool values.  Returns (buf u8[cap_total],
+    counts i32[num_bp_cap], total_bytes i32).  This is the shared tail of
+    the event-form emitters (TPU scatters are ~0.6 GB/s, so the per-pass
+    masked-compaction loops were replaced by one sort + one scatter over
+    the actual emitted bits; see docs/PALLAS.md)."""
+    EV = p_key.shape[0]
+    eorder = jnp.lexsort((sec_key, p_key))
+    p_sorted = p_key[eorder]
+    bit_sorted = bits[eorder]
+    counts = jnp.bincount(
+        jnp.minimum(p_key, num_bp_cap), length=num_bp_cap + 1
+    ).astype(jnp.int32)[:num_bp_cap]
+    starts = jnp.cumsum(counts) - counts
+    bc = (counts + 7) // 8
+    boff = jnp.cumsum(bc) - bc
+    total_bytes = jnp.sum(bc)
+    cap_total_bits = cap_total * 8
+    rank = jnp.arange(EV, dtype=jnp.int32)
+    pcl = jnp.clip(p_sorted, 0, num_bp_cap - 1)
+    pos = boff[pcl] * 8 + (rank - starts[pcl])
+    valid_out = (p_sorted < num_bp_cap) & (pos < cap_total_bits)
+    out01 = jnp.zeros(cap_total_bits, dtype=jnp.uint8)
+    out01 = out01.at[jnp.where(valid_out, pos, cap_total_bits)].set(
+        bit_sorted.astype(jnp.uint8), mode="drop"
+    )
+    return _packbits_device(out01), counts, total_bytes
+
+
+def _expand_intervals(lo, hi, ev_cap: int):
+    """Interval expansion: item k contributes events for p in [lo_k, hi_k]
+    (empty when lo_k > hi_k).  Returns (src item per event, p per event,
+    ev_ok mask, ev_total).  Scatter-starts + running-max idiom: one small
+    scatter + one associative scan instead of per-pass masks."""
+    T = lo.shape[0]
+    ln = jnp.maximum(hi - lo + 1, 0)
+    off = jnp.cumsum(ln) - ln
+    ev_total = jnp.sum(ln)
+    src0 = jnp.full(ev_cap, -1, jnp.int32).at[
+        jnp.where(ln > 0, off, ev_cap)
+    ].set(jnp.arange(T, dtype=jnp.int32), mode="drop")
+    src = jax.lax.associative_scan(jnp.maximum, src0)
+    srcc = jnp.maximum(src, 0)
+    j = jnp.arange(ev_cap, dtype=jnp.int32)
+    ev_ok = (j < ev_total) & (src >= 0)
+    p_ev = lo[srcc] + (j - off[srcc])
+    return srcc, p_ev, ev_ok, ev_total
+
+
+def pass_segments_events(
+    mag_c: jnp.ndarray,
+    sign_c: jnp.ndarray,
+    s_c: jnp.ndarray,
+    e_c: jnp.ndarray,
+    num_bp: jnp.ndarray,
+    num_bp_cap: int,
+    ev_cap: int,
+    cap_total: int,
+):
+    """Event-form LIP + refinement emission (replaces the per-pass scan of
+    pass_segments_packed_sparse; bit-identical output).
+
+    LIP: pixel i emits a membership bit (value s==p) at every pass
+    p in (e, s], plus its sign right after the decision when it turns
+    significant; order within a pass is ascending pixel, decision before
+    sign.  Refinement: magnitude bit num_bp-1-p at every pass p > s.
+    Returns (lip_buf, lip_counts, lip_total, ref_buf, ref_counts,
+    ref_total, overflow) — buffers are byte-aligned per-pass
+    concatenations; `overflow` flags a truncated event expansion (the
+    driver must fall back to host entropy)."""
+    C = mag_c.shape[0]
+    m32 = mag_c.astype(jnp.uint32)
+    idx = jnp.arange(C, dtype=jnp.int32)
+
+    # --- LIP: interval (e, min(s, num_bp-1)] of decisions + optional sign.
+    # The sign rides as one extra slot at the end of the interval when the
+    # pixel turns significant inside the pass range.
+    lo = e_c + 1
+    hi_dec = jnp.minimum(s_c, num_bp - 1)
+    has_sign = (s_c <= num_bp - 1) & (lo <= hi_dec + 0)
+    hi = hi_dec + has_sign.astype(jnp.int32)  # one extra event slot
+    src, p_raw, ev_ok, ev_total = _expand_intervals(lo, hi, ev_cap)
+    is_sign = ev_ok & has_sign[src] & (p_raw == hi[src])
+    p_ev = jnp.where(is_sign, p_raw - 1, p_raw)  # sign shares the dec pass
+    bit_ev = jnp.where(is_sign, sign_c[src], s_c[src] == p_ev)
+    p_key = jnp.where(ev_ok, p_ev, num_bp_cap)
+    sec = idx[src] * 2 + is_sign.astype(jnp.int32)
+    lip_buf, lip_c, lip_total = events_to_segments(
+        p_key, sec, bit_ev, num_bp_cap, cap_total
+    )
+    lip_over = ev_total > ev_cap
+
+    # --- refinement: interval [s+1, num_bp-1], magnitude bits.
+    rlo = jnp.minimum(s_c + 1, _NEVER)
+    rhi = jnp.broadcast_to(num_bp - 1, rlo.shape)
+    rsrc, rp, rok, rtotal = _expand_intervals(rlo, rhi, ev_cap)
+    shift = jnp.clip(num_bp - 1 - rp, 0, 31).astype(jnp.uint32)
+    rbit = ((m32[rsrc] >> shift) & jnp.uint32(1)).astype(bool)
+    rp_key = jnp.where(rok, rp, num_bp_cap)
+    ref_buf, ref_c, ref_total = events_to_segments(
+        rp_key, idx[rsrc], rbit, num_bp_cap, cap_total
+    )
+    ref_over = rtotal > ev_cap
+
+    overflow = lip_over | ref_over | (lip_total > cap_total) | (
+        ref_total > cap_total
+    )
+    return lip_buf, lip_c, lip_total, ref_buf, ref_c, ref_total, overflow
+
+
 def concat_segments(rows: jnp.ndarray, bit_counts: jnp.ndarray, cap_total: int):
     """Concatenate per-pass packed segments into one dense byte buffer.
 

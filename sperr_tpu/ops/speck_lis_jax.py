@@ -124,14 +124,19 @@ def lis_segments_device(
     li: LisIndex,
     num_bp_cap: int,
     node_cap: int,
-    row_bit_cap: int,
+    ev_cap: int,
+    cap_total: int,
 ):
-    """Per-pass LIS bit segments on the device.
+    """All LIS bit segments on the device, event-form.
 
-    Returns (rows u8[num_bp_cap, row_bit_cap//8], counts i32[num_bp_cap],
-    n_sig i32).  The driver must fall back to the host stitcher when
-    n_sig > node_cap or any count > row_bit_cap (bits would be dropped).
-    Segments are bit-identical to codec.speck_sorted.lis_segments_sorted."""
+    Returns (buf u8[cap_total], counts i32[num_bp_cap], total_bytes i32,
+    n_sig i32): `buf` is the byte-aligned concatenation of the per-pass
+    segments (pass p occupies bytes [sum of earlier (counts+7)//8,
+    +(counts[p]+7)//8)), bit-identical to
+    codec.speck_sorted.lis_segments_sorted.  `ev_cap` bounds the total
+    emitted-bit events (~ the LIS share of the stream); on overflow of the
+    event or byte caps n_sig is raised past any node_cap so the driver
+    falls back to the host stitcher."""
     nn = li.nn
     MC = li.max_ch
     C = node_cap
@@ -278,59 +283,96 @@ def lis_segments_device(
         [jnp.zeros(E, jnp.int32), jnp.zeros(R, jnp.int32), jnp.ones(R, jnp.int32)]
     )
 
-    cap_bits = ((row_bit_cap + 7) // 8) * 8
-
-    # The emission keys are pass-INDEPENDENT: per pass only the valid mask
-    # and bit values change.  One global stable lexsort, then every pass is
-    # a masked compaction (cumsum + scatter) in that fixed order — identical
-    # output to a per-pass sort with invalid keys pushed to the end, at
-    # O(T) per pass instead of O(T log T).
+    # ------------------------------------------------------------------
+    # Event expansion: emit every LIS bit as one EVENT instead of running a
+    # masked O(T) compaction + scatter for each of num_bp_cap passes (TPU
+    # scatters run at ~0.6 GB/s — the old loop was pass-count * T scatter
+    # work).  Each item's emissions form a pass INTERVAL:
+    #   entries:   one membership bit per pass in [from, s] (value s == p);
+    #   decisions: a single bit at the children's birth pass;
+    #   signs:     a single bit at the pixel's exposure==significance pass.
+    # The pipeline is: one 6-key item sort (pass-independent emission keys),
+    # interval expansion via the scatter-starts + running-max idiom, a
+    # 2-key event sort by (pass, item rank), and ONE scatter of the event
+    # bits into the byte-aligned concatenated segment buffer.  Total work
+    # ~ sort(T) + sort(#bits) instead of num_bp_cap * scatter(T).
+    # ------------------------------------------------------------------
     g_order = jnp.lexsort((ks, k3, k2, k1, k0, kw_all))
-    ent_from_s = jnp.concatenate([ent_from, rowpassf + 1, rowpassf + 1])[g_order]
-    # per-item emission pass and bit, pre-gathered into sorted order
+    is_ent = jnp.concatenate(
+        [jnp.ones(E, bool), jnp.zeros(2 * R, bool)]
+    )[g_order]
+    is_dec = jnp.concatenate(
+        [jnp.zeros(E, bool), jnp.ones(R, bool), jnp.zeros(R, bool)]
+    )[g_order]
     emit_p = jnp.concatenate(
-        [jnp.full(E, -1, jnp.int32), rowpassf, rowpassf]
+        [jnp.zeros(E, jnp.int32), rowpassf, rowpassf]
+    )[g_order]
+    ent_from_s = jnp.concatenate(
+        [ent_from, jnp.zeros(2 * R, jnp.int32)]
     )[g_order]
     ent_s_s = jnp.concatenate([ent_s, jnp.zeros(2 * R, jnp.int32)])[g_order]
-    ok_s = jnp.concatenate([ent_ok, emittedf, (row_sf < _NEVER) & ispxf])[g_order]
-    kind_s = jnp.concatenate(
-        [jnp.zeros(E, jnp.int32), jnp.ones(R, jnp.int32),
-         jnp.full(R, 2, jnp.int32)]
+    ok_s = jnp.concatenate(
+        [ent_ok, emittedf, ispxf & (row_sf == rowpassf)]
     )[g_order]
-    dbits_s = jnp.concatenate(
-        [jnp.zeros(E, bool), sig_nowf, jnp.zeros(R, bool)]
-    )[g_order]
-    gbits_s = jnp.concatenate(
-        [jnp.zeros(E, bool), jnp.zeros(R, bool), row_signf]
-    )[g_order]
-    gm_extra = jnp.concatenate(
-        [jnp.zeros(E, bool), jnp.ones(R, bool), (row_sf == rowpassf)]
+    bit1_s = jnp.concatenate(
+        [jnp.zeros(E, bool), sig_nowf, row_signf]
     )[g_order]
 
-    def pass_step(carry, p):
-        active = p < num_bp
-        is_ent = kind_s == 0
-        em = is_ent & (ent_from_s <= p) & (p <= ent_s_s) & ok_s & active
-        dm = (kind_s == 1) & (emit_p == p) & ok_s & active
-        gm = (kind_s == 2) & (emit_p == p) & gm_extra & ok_s & active
-        valid = em | dm | gm
-        bits = jnp.where(
-            is_ent, ent_s_s == p, jnp.where(kind_s == 1, dbits_s, gbits_s)
-        )
-        dst = jnp.cumsum(valid.astype(jnp.int32)) - 1
-        out01 = jnp.zeros(cap_bits, dtype=jnp.uint8)
-        out01 = out01.at[jnp.where(valid, dst, cap_bits)].set(
-            bits.astype(jnp.uint8), mode="drop"
-        )
-        w8 = out01.reshape(-1, 8).astype(jnp.uint32)
-        powers = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint32)
-        packed = (w8 @ powers).astype(jnp.uint8)
-        return carry, (packed, jnp.sum(valid).astype(jnp.int32))
+    # per-item emission interval [lo, hi] clipped to the live passes
+    lo = jnp.where(is_ent, ent_from_s, emit_p)
+    hi = jnp.minimum(jnp.where(is_ent, ent_s_s, emit_p), num_bp - 1)
+    ln = jnp.where(ok_s & (lo <= hi), hi - lo + 1, 0)
 
-    _, (rows, counts) = jax.lax.scan(
-        pass_step, 0, jnp.arange(num_bp_cap, dtype=jnp.int32)
+    EV = ev_cap
+    off = jnp.cumsum(ln) - ln
+    ev_total = jnp.sum(ln)
+    # scatter each item's g-rank at its first event slot; the running max
+    # recovers the source item for every event (off is nondecreasing in
+    # g-rank, so scattered values increase along the event axis)
+    src0 = jnp.full(EV, -1, jnp.int32).at[
+        jnp.where(ln > 0, off, EV)
+    ].set(jnp.arange(T, dtype=jnp.int32), mode="drop")
+    src = jax.lax.associative_scan(jnp.maximum, src0)
+    srcc = jnp.maximum(src, 0)
+    j = jnp.arange(EV, dtype=jnp.int32)
+    ev_ok = (j < ev_total) & (src >= 0)
+    p_ev = lo[srcc] + (j - off[srcc])
+    bit_ev = jnp.where(is_ent[srcc], ent_s_s[srcc] == p_ev, bit1_s[srcc])
+    p_key = jnp.where(ev_ok, p_ev, _BIG)
+
+    # order within a pass = item order (one event per item per pass), so a
+    # 2-key sort by (pass, source rank) reproduces the per-pass sequences
+    eorder = jnp.lexsort((srcc, p_key))
+    p_sorted = p_key[eorder]
+    bit_sorted = bit_ev[eorder]
+
+    counts = jnp.bincount(
+        jnp.where(ev_ok, p_ev, num_bp_cap), length=num_bp_cap + 1
+    ).astype(jnp.int32)[:num_bp_cap]
+    starts = jnp.cumsum(counts) - counts
+    bc = (counts + 7) // 8
+    boff = jnp.cumsum(bc) - bc
+    total_bytes = jnp.sum(bc)
+
+    cap_total_bits = cap_total * 8
+    rank = jnp.arange(EV, dtype=jnp.int32)
+    pcl = jnp.clip(p_sorted, 0, num_bp_cap - 1)
+    pos = boff[pcl] * 8 + (rank - starts[pcl])
+    valid_out = (p_sorted < num_bp_cap) & (pos < cap_total_bits)
+    out01 = jnp.zeros(cap_total_bits, dtype=jnp.uint8)
+    out01 = out01.at[jnp.where(valid_out, pos, cap_total_bits)].set(
+        bit_sorted.astype(jnp.uint8), mode="drop"
     )
-    return rows, counts, n_sig
+    w8 = out01.reshape(-1, 8).astype(jnp.uint32)
+    powers = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint32)
+    buf = (w8 @ powers).astype(jnp.uint8)
+
+    # overflow (event cap or byte cap) -> force the host fallback
+    n_sig = jnp.maximum(
+        n_sig,
+        jnp.where((ev_total > EV) | (total_bytes > cap_total), _BIG, 0),
+    )
+    return buf, counts, total_bytes, n_sig
 
 
 __all__ = ["LisIndex", "lis_index", "lis_segments_device"]

@@ -252,22 +252,24 @@ def _dense_encode_wave(
         e_c = jnp.where(ok, e[cis], _WAVE_NEVER)
         m_c = jnp.where(ok, mags[cis], 0)
         g_c = jnp.where(ok, sgn_row[cis], False)
-        lip, lip_c, ref, ref_c = sj.pass_segments_packed_sparse(
-            m_c, g_c, s_c, e_c, num_bp, num_bp_cap
+        # event-form LIP/refinement emission (one sort + one scatter over
+        # the emitted bits instead of a per-pass compaction loop)
+        (
+            lip_buf, lip_c, lip_total, ref_buf, ref_c, ref_total, pr_over
+        ) = sj.pass_segments_events(
+            m_c, g_c, s_c, e_c, num_bp, num_bp_cap, lis_row_cap, cap_total
         )
-        # the set walk itself, as per-pass device sorts
+        lip_total = jnp.where(pr_over, jnp.int32(2**30), lip_total)
+        # the set walk itself: event-form device emission
         node_s = jnp.where(nm > 0, num_bp - nm, _WAVE_NEVER).astype(jnp.int32)
-        lis, lis_c, n_sig = sl.lis_segments_device(
-            node_s, s, sgn_row, num_bp, li, num_bp_cap, node_cap, lis_row_cap
+        lis_buf, lis_c, lis_total, n_sig = sl.lis_segments_device(
+            node_s, s, sgn_row, num_bp, li, num_bp_cap, node_cap,
+            lis_row_cap, cap_total,
         )
-        # one stream-sized transfer: concatenate all byte-aligned segments
-        lip_buf, _, lip_total = sj.concat_segments(lip, lip_c, cap_total)
-        ref_buf, _, ref_total = sj.concat_segments(ref, ref_c, cap_total)
-        lis_buf, _, lis_total = sj.concat_segments(lis, lis_c, cap_total)
         return (
             num_bp.astype(jnp.int32), lip_buf, lip_c, lip_total, ref_buf,
             ref_c, ref_total, lis_buf, lis_c, lis_total,
-            jnp.max(lis_c).astype(jnp.int32), n_sig, n_exp,
+            jnp.int32(0), n_sig, n_exp,
         )
 
     signs = ll >= 0
@@ -304,7 +306,7 @@ def _dense_encode(batch, mode: str, quality: float, residual: str = "f32"):
     else:  # rate: magnitudes must stay exactly representable at device precision
         q = jnp.max(jnp.abs(coeffs), axis=1) / dt.type(qzj.RATE_MAX_MAG_DEVICE)
 
-    mags, signs, maxmag = qzj.midtread_quantize_batched(coeffs, q)
+    mags, signs, maxmag = qzj.midtread_quantize_batched_best(coeffs, q)
 
     out = dict(
         is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
@@ -633,9 +635,11 @@ class TpuCompressor3D:
                     if self.node_cap_frac >= 1.0
                     else max(512, min(li.nn, int(li.nn * self.node_cap_frac)))
                 )
-                # exact bound: entries + decisions + signs <= 3 rows per
-                # child slot (+ roots) -> a pass can never overflow this
-                lis_row_cap = 24 * node_cap + 1024
+                # event cap = total LIS bits: decisions <= 8*nodes ~ 1.1n,
+                # signs <= n, memberships ~ a fraction of n, so 3n covers
+                # the dense regime (measured ~1.25 bits/pixel at tol 1e-2
+                # on noisy data); overflow falls back to the host stitcher
+                lis_row_cap = max(4096, 3 * n)
                 wave_cap = (
                     n
                     if self.wave_cand_frac >= 1.0
@@ -736,7 +740,6 @@ class TpuCompressor3D:
                 use_wave = (
                     wave is not None
                     and int(wave["n_sig"][k]) <= nc
-                    and int(wave["lis_cmax"][k]) <= lrc
                     and int(wave["n_exposed"][k]) <= wc
                     and int(wave["num_bp"][k]) <= self.num_bp_cap
                     and int(wave["lip_total"][k]) <= cap_total

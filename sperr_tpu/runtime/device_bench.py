@@ -48,11 +48,16 @@ def _loop_fn(fn: Callable, iters: int):
         def body(_, carry):
             x, acc = carry
             y = fn(x)
-            s = _dep_scalar(y).astype(x.dtype)
-            # fold the dependency back in at a workload-neutral scale
-            # (above the TPU's denormal flush) so the loop body can't be
-            # hoisted as loop-invariant
-            return x + s * x.dtype.type(1e-30), acc + s.astype(jnp.float32)
+            s = _dep_scalar(y)
+            # fold the dependency back in so the loop body can't be hoisted
+            # as loop-invariant: floats get a tiny (above-denormal-flush)
+            # additive term; integers get a 0/1 perturbation — a cast of
+            # 1e-30 to an int dtype is exactly 0, which WOULD hoist
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                pert = (s * jnp.float32(1e-30)).astype(x.dtype)
+            else:
+                pert = (jnp.abs(s).astype(jnp.int32) & 1).astype(x.dtype)
+            return x + pert, acc + s.astype(jnp.float32)
 
         _, acc = jax.lax.fori_loop(
             0, iters, body, (x, jnp.float32(0.0))
@@ -186,7 +191,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
         sj.tree_index((n, n, n))
     li = sl.lis_index((n, n, n))
     node_cap = li.nn  # production default: exact
-    lis_row_cap = 24 * node_cap + 1024
+    lis_row_cap = max(4096, 3 * nelems)  # event cap (see parallel/batched.py)
 
     def sparse(y):
         return _dense_encode_sparse(y, "pwe", float(tol), cap, out_cap, "dual")

@@ -31,16 +31,23 @@ def _run(dims, mags, signs):
 
     li = sl.lis_index(dims)
     node_cap = int((node_s < sw._NEVER).sum()) + 8
-    row_cap = max((max(seg.size for seg in want) + 7) // 8 * 8, 64)
-    rows, counts, n_sig = sl.lis_segments_device(
+    total_bits = sum(seg.size for seg in want)
+    ev_cap = total_bits + 64
+    cap_total = sum((seg.size + 7) // 8 for seg in want) + 16
+    buf, counts, total_bytes, n_sig = sl.lis_segments_device(
         jnp.asarray(node_s), jnp.asarray(s_lin), jnp.asarray(signs),
-        jnp.int32(num_bp), li, 20, node_cap, row_cap,
+        jnp.int32(num_bp), li, 20, node_cap, ev_cap, cap_total,
     )
-    rows = np.asarray(rows)
+    buf = np.asarray(buf)
     counts = np.asarray(counts)
     assert int(n_sig) == int((node_s < sw._NEVER).sum())
+    bc = (counts.astype(np.int64) + 7) // 8
+    offs = np.cumsum(bc) - bc
+    assert int(total_bytes) == int(bc[:num_bp].sum())
     for p in range(num_bp):
-        got = np.unpackbits(rows[p], bitorder="little")[: counts[p]]
+        got = np.unpackbits(
+            buf[offs[p] : offs[p] + bc[p]], bitorder="little"
+        )[: counts[p]]
         np.testing.assert_array_equal(got, want[p])
 
 
