@@ -71,8 +71,8 @@ def _loop_fn(fn: Callable, iters: int):
     return run
 
 
-def time_stage(fn: Callable, x, iters: int = 8, reps: int = 3,
-               max_iters: int = 1024) -> float:
+def time_stage(fn: Callable, x, iters: int = 8, reps: int = 2,
+               max_iters: int = 128) -> float:
     """Seconds per application of `fn` on device, dispatch excluded.
 
     Synchronizes by fetching the loop's scalar accumulator (see _loop_fn).
@@ -89,7 +89,11 @@ def time_stage(fn: Callable, x, iters: int = 8, reps: int = 3,
         run_k = _loop_fn(fn, k)
         float(run_k(x))
         tk = min(_timed(lambda: float(run_k(x))) for _ in range(reps))
-        # signal must dominate the constant's jitter (~25% of t1 + 2ms)
+        # signal must dominate the constant's jitter (~25% of t1 + 2ms).
+        # Every k is a fresh compile (static fori_loop length), and through
+        # the tunnel each compile costs tens of seconds — the ladder must
+        # stay short; at max_iters the result is an upper bound on a stage
+        # that is already negligibly small.
         if tk - t1 > max(0.25 * t1, 2e-3) or k >= max_iters:
             return max((tk - t1) / (k - 1), 1e-9)
         k *= 4
