@@ -233,18 +233,26 @@ def events_to_segments(p_key, sec_key, bits, num_bp_cap: int, cap_total: int):
     byte-aligned concatenation of per-pass segments with ONE scatter.
 
     p_key: i32 pass per event (>= num_bp_cap marks invalid); sec_key: i32
-    within-pass order; bits: bool values.  Returns (buf u8[cap_total],
-    counts i32[num_bp_cap], total_bytes i32).  This is the shared tail of
-    the event-form emitters (TPU scatters are ~0.6 GB/s, so the per-pass
-    masked-compaction loops were replaced by one sort + one scatter over
-    the actual emitted bits; see docs/PALLAS.md)."""
+    within-pass order, or None when the events are ALREADY in within-pass
+    order (a stable one-key sort preserves it — one less operand); bits:
+    bool values.  Returns (buf u8[cap_total], counts i32[num_bp_cap],
+    total_bytes i32).  This is the shared tail of the event-form emitters
+    (TPU scatters are ~0.6 GB/s, so the per-pass masked-compaction loops
+    were replaced by one sort + one scatter over the actual emitted bits;
+    see docs/PALLAS.md)."""
     EV = p_key.shape[0]
     # sort carries the payloads along (post-hoc gathers at EV scale run at
     # ~0.5 GB/s on TPU); counts come from searchsorted boundaries on the
     # sorted passes (bincount's 35-bin scatter-add serializes on conflicts)
-    p_sorted, _, bit_sorted = jax.lax.sort(
-        (p_key, sec_key, bits.astype(jnp.int32)), num_keys=2, is_stable=False
-    )
+    if sec_key is None:
+        p_sorted, bit_sorted = jax.lax.sort(
+            (p_key, bits.astype(jnp.int32)), num_keys=1, is_stable=True
+        )
+    else:
+        p_sorted, _, bit_sorted = jax.lax.sort(
+            (p_key, sec_key, bits.astype(jnp.int32)), num_keys=2,
+            is_stable=False,
+        )
     bit_sorted = bit_sorted.astype(jnp.uint8)
     bounds = jnp.searchsorted(
         p_sorted, jnp.arange(num_bp_cap + 1, dtype=p_sorted.dtype)
@@ -266,24 +274,35 @@ def events_to_segments(p_key, sec_key, bits, num_bp_cap: int, cap_total: int):
     return _packbits_device(out01), counts, total_bytes
 
 
-def _expand_intervals(lo, hi, ev_cap: int):
-    """Interval expansion: item k contributes events for p in [lo_k, hi_k]
-    (empty when lo_k > hi_k).  Returns (src item per event, p per event,
-    ev_ok mask, ev_total).  Scatter-starts + running-max idiom: one small
-    scatter + one associative scan instead of per-pass masks."""
-    T = lo.shape[0]
-    ln = jnp.maximum(hi - lo + 1, 0)
+def _expand_fill(ln, words, ev_cap: int):
+    """Interval expansion by forward-fill: item k (in order) contributes
+    ln_k consecutive events; each event receives the item's payload
+    `words` (a list of i32[T]) plus its offset within the item's block.
+
+    Returns (filled list of i32[ev_cap], rel i32[ev_cap] = event index
+    within its item's block, ev_ok mask, ev_total).  One row-scatter of the
+    stacked payloads at the block starts + one associative forward-fill
+    scan — no event-scale gathers anywhere (TPU gathers run at ~0.5 GB/s,
+    the single most expensive XLA primitive in this stage; see
+    docs/PALLAS.md)."""
+    T = ln.shape[0]
     off = jnp.cumsum(ln) - ln
     ev_total = jnp.sum(ln)
-    src0 = jnp.full(ev_cap, -1, jnp.int32).at[
-        jnp.where(ln > 0, off, ev_cap)
-    ].set(jnp.arange(T, dtype=jnp.int32), mode="drop")
-    src = jax.lax.associative_scan(jnp.maximum, src0)
-    srcc = jnp.maximum(src, 0)
+    pos = jnp.where(ln > 0, off, ev_cap)
+    stack = jnp.stack(
+        [jnp.ones(T, jnp.int32), off] + list(words), axis=1
+    )  # [T, 2 + k]
+    buf = jnp.zeros((ev_cap, stack.shape[1]), jnp.int32)
+    buf = buf.at[pos, :].set(stack, mode="drop")
+
+    def comb(a, b):
+        return jnp.where(b[..., :1] > 0, b, a)
+
+    filled = jax.lax.associative_scan(comb, buf, axis=0)
     j = jnp.arange(ev_cap, dtype=jnp.int32)
-    ev_ok = (j < ev_total) & (src >= 0)
-    p_ev = lo[srcc] + (j - off[srcc])
-    return srcc, p_ev, ev_ok, ev_total
+    ev_ok = j < ev_total
+    rel = j - filled[:, 1]
+    return [filled[:, 2 + i] for i in range(len(words))], rel, ev_ok, ev_total
 
 
 def pass_segments_events(
@@ -306,38 +325,57 @@ def pass_segments_events(
     Returns (lip_buf, lip_counts, lip_total, ref_buf, ref_counts,
     ref_total, overflow) — buffers are byte-aligned per-pass
     concatenations; `overflow` flags a truncated event expansion (the
-    driver must fall back to host entropy)."""
+    driver must fall back to host entropy).
+
+    Events are generated in item order (ascending pixel, decision before
+    sign), so the within-pass order is the event index itself and the
+    pass sort is a STABLE one-key sort; item payloads reach the events via
+    forward-fill scans (_expand_fill), never event-scale gathers."""
     C = mag_c.shape[0]
-    m32 = mag_c.astype(jnp.uint32)
-    idx = jnp.arange(C, dtype=jnp.int32)
+    m32 = mag_c.astype(jnp.int32)
 
     # --- LIP: interval (e, min(s, num_bp-1)] of decisions + optional sign.
     # The sign rides as one extra slot at the end of the interval when the
-    # pixel turns significant inside the pass range.
-    lo = e_c + 1
+    # pixel turns significant inside the pass range.  Fields are packed
+    # into one word: lo(6b) | hi(6b) | has_sign | sign.
+    lo = jnp.minimum(e_c + 1, 63)
     hi_dec = jnp.minimum(s_c, num_bp - 1)
-    has_sign = (s_c <= num_bp - 1) & (lo <= hi_dec + 0)
+    has_sign = (s_c <= num_bp - 1) & (lo <= hi_dec)
     hi = hi_dec + has_sign.astype(jnp.int32)  # one extra event slot
-    src, p_raw, ev_ok, ev_total = _expand_intervals(lo, hi, ev_cap)
-    is_sign = ev_ok & has_sign[src] & (p_raw == hi[src])
+    ln = jnp.where(lo <= hi, hi - lo + 1, 0)
+    w = (
+        lo
+        | (jnp.clip(hi, 0, 63) << 6)
+        | (has_sign.astype(jnp.int32) << 12)
+        | (sign_c.astype(jnp.int32) << 13)
+    )
+    (wf,), rel, ev_ok, ev_total = _expand_fill(ln, [w], ev_cap)
+    lo_e = wf & 63
+    hi_e = (wf >> 6) & 63
+    hs_e = (wf >> 12) & 1
+    sg_e = (wf >> 13) & 1
+    p_raw = lo_e + rel
+    is_sign = (hs_e == 1) & (p_raw == hi_e)
     p_ev = jnp.where(is_sign, p_raw - 1, p_raw)  # sign shares the dec pass
-    bit_ev = jnp.where(is_sign, sign_c[src], s_c[src] == p_ev)
+    # decision value (s == p) <=> the event right before the sign slot
+    bit_ev = jnp.where(is_sign, sg_e == 1, (hs_e == 1) & (p_raw == hi_e - 1))
     p_key = jnp.where(ev_ok, p_ev, num_bp_cap)
-    sec = idx[src] * 2 + is_sign.astype(jnp.int32)
     lip_buf, lip_c, lip_total = events_to_segments(
-        p_key, sec, bit_ev, num_bp_cap, cap_total
+        p_key, None, bit_ev, num_bp_cap, cap_total
     )
     lip_over = ev_total > ev_cap
 
     # --- refinement: interval [s+1, num_bp-1], magnitude bits.
-    rlo = jnp.minimum(s_c + 1, _NEVER)
+    rlo = jnp.minimum(s_c + 1, 63)
     rhi = jnp.broadcast_to(num_bp - 1, rlo.shape)
-    rsrc, rp, rok, rtotal = _expand_intervals(rlo, rhi, ev_cap)
+    rln = jnp.where(rlo <= rhi, rhi - rlo + 1, 0)
+    (rlo_f, m_f), rrel, rok, rtotal = _expand_fill(rln, [rlo, m32], ev_cap)
+    rp = rlo_f + rrel
     shift = jnp.clip(num_bp - 1 - rp, 0, 31).astype(jnp.uint32)
-    rbit = ((m32[rsrc] >> shift) & jnp.uint32(1)).astype(bool)
+    rbit = ((m_f.astype(jnp.uint32) >> shift) & jnp.uint32(1)).astype(bool)
     rp_key = jnp.where(rok, rp, num_bp_cap)
     ref_buf, ref_c, ref_total = events_to_segments(
-        rp_key, idx[rsrc], rbit, num_bp_cap, cap_total
+        rp_key, None, rbit, num_bp_cap, cap_total
     )
     ref_over = rtotal > ev_cap
 

@@ -40,7 +40,7 @@ class LisIndex:
     __slots__ = (
         "nn", "n", "nrows", "max_ch", "depth_max", "nlev", "nroots",
         "parent", "level", "depth", "pw",            # per node
-        "ch_start", "ch_count", "ch_ref", "ch_is_px", "px_linear",
+        "ch_start", "ch_count", "ctab", "px_linear",
         "root_ids", "root_levels", "O0", "off0", "root_from",
     )
 
@@ -69,8 +69,18 @@ class LisIndex:
         self.pw = jnp.asarray(pw)
         self.ch_start = jnp.asarray(tree.node_ch_start.astype(np.int32))
         self.ch_count = jnp.asarray(tree.node_ch_count.astype(np.int32))
-        self.ch_ref = jnp.asarray(tree.ch_ref.astype(np.int32))
-        self.ch_is_px = jnp.asarray(tree.ch_is_pixel)
+        # packed child table: one gather resolves (is_pixel, value index):
+        # pixel rows store the linear pixel id, node rows store n + node id;
+        # bit 0 is the pixel flag.  The combined (s ‖ node_s) value table in
+        # lis_segments_device is indexed by the stored id directly.
+        refs = tree.ch_ref
+        ispx = tree.ch_is_pixel
+        resolved = np.where(
+            ispx, tree.px_linear[np.where(ispx, refs, 0)], tree.n + refs
+        ).astype(np.int64)
+        self.ctab = jnp.asarray(
+            ((resolved << 1) | ispx.astype(np.int64)).astype(np.int32)
+        )
         self.px_linear = jnp.asarray(tree.px_linear.astype(np.int32))
         # roots: pre-assigned per-level insertion ranks (they sit in their
         # lists from pass 0, in root_ids order) — O and the per-level append
@@ -136,7 +146,15 @@ def lis_segments_device(
     codec.speck_sorted.lis_segments_sorted.  `ev_cap` bounds the total
     emitted-bit events (~ the LIS share of the stream); on overflow of the
     event or byte caps n_sig is raised past any node_cap so the driver
-    falls back to the host stitcher."""
+    falls back to the host stitcher.
+
+    Cost shape (all device): two child-table gathers at R = sig-parents x
+    max-children, depth_max+1 rank-refinement sorts over <= node-count
+    rows, ONE payload-carrying item sort over born-entries + child rows,
+    a forward-fill interval expansion (no event-scale gathers), and one
+    stable pass sort + one scatter over the emitted bits."""
+    from .speck_jax import _expand_fill, events_to_segments
+
     nn = li.nn
     MC = li.max_ch
     C = node_cap
@@ -151,16 +169,20 @@ def lis_segments_device(
     slot = jnp.arange(MC, dtype=jnp.int32)
     rvalid = slot[None, :] < cnt[:, None]            # [C, MC]
     ridx = jnp.minimum(start[:, None] + slot[None, :], li.nrows - 1)
-    ref = jnp.where(rvalid, li.ch_ref[ridx], 0)
-    ispx = li.ch_is_px[ridx] & rvalid
-    isnd = (~li.ch_is_px[ridx]) & rvalid
+    crow = li.ctab[ridx]                             # ONE child-table gather
+    ispx = ((crow & 1) == 1) & rvalid
+    isnd = ((crow & 1) == 0) & rvalid
+    vidx = crow >> 1                    # pixel linear id, or n + node id
     rowpass = jnp.where(svalid, node_s[q], _NEVER)   # [C] = children's birth
 
-    px = li.px_linear[jnp.where(ispx, ref, 0)]
-    row_s = jnp.where(
-        ispx, s_lin[px], jnp.where(isnd, node_s[jnp.where(isnd, ref, 0)], _NEVER)
+    # combined value table: one gather yields the child's significance pass
+    # (s for pixels, node_s for sets) and the pixel sign in bit 15
+    sval = jnp.concatenate(
+        [s_lin | (signs.astype(jnp.int32) << 15), node_s]
     )
-    row_sign = signs[px] & ispx
+    v = sval[jnp.where(rvalid, vidx, 0)]
+    row_s = jnp.where(rvalid, v & _NEVER, _NEVER)
+    row_sign = ((v >> 15) & 1) == 1
 
     sig_now = (row_s == rowpass[:, None]) & rvalid
     prev_any = jnp.cumsum(sig_now, axis=1) - sig_now
@@ -178,23 +200,16 @@ def lis_segments_device(
 
     # ---- O: per-level insertion order of born nodes (roots pre-assigned) --
     R = C * MC
-    bidf = jnp.where(isnd, ref, nn).reshape(R)        # born ids (nn = invalid)
+    bidf = jnp.where(isnd, vidx - li.n, nn).reshape(R)  # born ids (nn = inv)
     bnf = jnp.broadcast_to(rowpass[:, None], (C, MC)).reshape(R)
     anf = jnp.broadcast_to(anchor[:, None], (C, MC)).reshape(R)
     bornf = isnd.reshape(R)
-    bidc = jnp.minimum(bidf, nn - 1)
-    levf = li.level[bidc]
-    pwf = li.pw[bidc]                                 # [R, 4]
-
-    a_lev = -li.level[anf]
     nlev = li.nlev
 
-    # Compact the BORN rows once: only they receive insertion ranks, and
-    # they number at most min(all child slots, the node count) — at the
-    # default exact cap (node_cap = node count) this shrinks the per-pass
-    # rank sort from the C*MC child-slot grid to <= nn rows (8x less sort
-    # work per pass).  If a reduced node_cap ever drops born rows, n_sig is
-    # raised past the cap so the driver falls back to the host stitcher
+    # Compact the BORN rows once: only they receive insertion ranks (and
+    # serve as list entries), and they number at most min(all child slots,
+    # the node count).  If a reduced node_cap ever drops born rows, n_sig
+    # is raised past the cap so the driver falls back to the host stitcher
     # instead of mis-ranking.
     CB = min(R, nn)
     n_born = jnp.sum(bornf).astype(jnp.int32)
@@ -204,45 +219,56 @@ def lis_segments_device(
     c_bid = jnp.where(bok, bidf[bs], nn)
     c_bn = jnp.where(bok, bnf[bs], _BIG)
     c_an = jnp.where(bok, anf[bs], nn)
-    c_lev = levf[bs]
-    c_alev = a_lev[bs]
-    c_pw = pwf[bs]
+    bidc = jnp.minimum(c_bid, nn - 1)
+    c_lev = li.level[bidc]
+    c_pw = li.pw[bidc]                               # [CB, 4]
+    c_alev5 = 31 - li.level[jnp.minimum(c_an, nn - 1)]
 
-    def bp_iter(bp, carry):
-        O_buf, offs = carry
-        m = bok & (c_bn == bp)
+    # Rank refinement: O(x) within level = rank by (level, birth pass,
+    # anchor level finer-first, O(anchor), path).  Anchor chains strictly
+    # ascend the tree, so depth_max+1 refinement sweeps converge every
+    # rank — independent of the bitplane count (the old loop ran one sort
+    # per PASS).  Level, birth and anchor-level pack into one key word;
+    # paths use two words when the tree is shallow enough (always, for
+    # production chunk dims).
+    k_lba = jnp.where(
+        bok,
+        (c_lev << 11) | (jnp.clip(c_bn, 0, 63) << 5) | c_alev5,
+        _BIG,
+    )
+    counts_lev = jnp.bincount(
+        jnp.where(bok, c_lev, nlev), length=nlev + 1
+    ).astype(jnp.int32)[:nlev]
+    lstarts = jnp.cumsum(counts_lev) - counts_lev
+    iota_cb = jnp.arange(CB, dtype=jnp.int32)
+    shallow = li.depth_max <= 10
+
+    def refine(_, O_buf):
         a_ord = O_buf[c_an]
-        lev_m = jnp.where(m, c_lev, _BIG)
-        order = jnp.lexsort(
-            (c_pw[:, 3], c_pw[:, 2], c_pw[:, 1], c_pw[:, 0], a_ord, c_alev,
-             lev_m)
+        ops = (
+            (k_lba, a_ord, c_pw[:, 0], c_pw[:, 1], iota_cb)
+            if shallow
+            else (k_lba, a_ord, c_pw[:, 0], c_pw[:, 1], c_pw[:, 2],
+                  c_pw[:, 3], iota_cb)
         )
-        rankpos = jnp.zeros(CB, jnp.int32).at[order].set(
-            jnp.arange(CB, dtype=jnp.int32)
-        )
-        counts = jnp.bincount(
-            jnp.where(m, c_lev, nlev), length=nlev + 1
-        ).astype(jnp.int32)[:nlev]
-        lstarts = jnp.cumsum(counts) - counts
-        o_val = offs[c_lev] + (rankpos - lstarts[c_lev])
-        O_buf = O_buf.at[jnp.where(m, c_bid, nn)].set(o_val, mode="drop")
-        return O_buf, offs + counts
+        out = jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=False)
+        order = out[-1]
+        rankpos = jnp.zeros(CB, jnp.int32).at[order].set(iota_cb)
+        o_val = li.off0[c_lev] + (rankpos - lstarts[c_lev])
+        return O_buf.at[jnp.where(bok, c_bid, nn)].set(o_val, mode="drop")
 
     O_buf = jnp.concatenate([li.O0, jnp.zeros(1, jnp.int32)])
-    # dynamic trip count: only the passes that exist assign insertion ranks
-    O_buf, _ = jax.lax.fori_loop(
-        0, jnp.minimum(num_bp, num_bp_cap).astype(jnp.int32), bp_iter,
-        (O_buf, li.off0), unroll=False,
-    )
+    O_buf = jax.lax.fori_loop(0, li.depth_max + 1, refine, O_buf)
     n_sig = jnp.maximum(n_sig, jnp.where(n_born > CB, _BIG, 0))
 
     # ---- w: global walk order over list entries (levels desc, O asc) ------
     nroots = li.nroots
-    E = R + nroots
-    ent_id = jnp.concatenate([bidf, li.root_ids])
-    ent_ok = jnp.concatenate([bornf, jnp.ones(nroots, bool)])
-    ent_lev = jnp.concatenate([levf, li.root_levels])
-    ent_O = O_buf[jnp.minimum(ent_id, nn - 1)]
+    E = CB + nroots
+    ent_id = jnp.concatenate([c_bid, li.root_ids])
+    ent_ok = jnp.concatenate([bok, jnp.ones(nroots, bool)])
+    ent_idc = jnp.minimum(ent_id, nn - 1)
+    ent_lev = jnp.concatenate([c_lev, li.root_levels])
+    ent_O = O_buf[ent_idc]
     worder = jnp.lexsort(
         (ent_O, -ent_lev, ~ent_ok)
     )  # valid first, levels desc, O asc
@@ -254,10 +280,9 @@ def lis_segments_device(
         .set(w_of_ent, mode="drop")
     )
 
-    ent_from = jnp.concatenate([bnf + 1, li.root_from])
-    ent_s = node_s[jnp.minimum(ent_id, nn - 1)]
-    ent_w = w_of_ent
-    ent_pw = li.pw[jnp.minimum(ent_id, nn - 1)]
+    ent_from = jnp.concatenate([c_bn + 1, li.root_from])
+    ent_s = node_s[ent_idc]
+    ent_pw = li.pw[ent_idc]
 
     # ---- per-row static keys ----------------------------------------------
     w_top = jnp.broadcast_to(w_buf[anchor][:, None], (C, MC)).reshape(R)
@@ -266,111 +291,93 @@ def lis_segments_device(
         jnp.broadcast_to(slot[None, :], (C, MC)).reshape(R),
     )
     rowpassf = jnp.broadcast_to(rowpass[:, None], (C, MC)).reshape(R)
-    row_sf = row_s.reshape(R)
     sig_nowf = sig_now.reshape(R)
     emittedf = emitted.reshape(R)
     ispxf = ispx.reshape(R)
-    row_signf = row_sign.reshape(R)
-
-    # concatenated per-pass item arrays: entries ++ decisions ++ signs
-    T = E + 2 * R
-    kw_all = jnp.concatenate([ent_w, w_top, w_top])
-    k0 = jnp.concatenate([ent_pw[:, 0], rp0, rp0])
-    k1 = jnp.concatenate([ent_pw[:, 1], rp1, rp1])
-    k2 = jnp.concatenate([ent_pw[:, 2], rp2, rp2])
-    k3 = jnp.concatenate([ent_pw[:, 3], rp3, rp3])
-    ks = jnp.concatenate(
-        [jnp.zeros(E, jnp.int32), jnp.zeros(R, jnp.int32), jnp.ones(R, jnp.int32)]
-    )
+    row_signf = (row_sign & ispx).reshape(R)
 
     # ------------------------------------------------------------------
-    # Event expansion: emit every LIS bit as one EVENT instead of running a
-    # masked O(T) compaction + scatter for each of num_bp_cap passes (TPU
-    # scatters run at ~0.6 GB/s — the old loop was pass-count * T scatter
-    # work).  Each item's emissions form a pass INTERVAL:
-    #   entries:   one membership bit per pass in [from, s] (value s == p);
-    #   decisions: a single bit at the children's birth pass;
-    #   signs:     a single bit at the pixel's exposure==significance pass.
-    # The pipeline is: one 6-key item sort (pass-independent emission keys),
-    # interval expansion via the scatter-starts + running-max idiom, a
-    # 2-key event sort by (pass, item rank), and ONE scatter of the event
-    # bits into the byte-aligned concatenated segment buffer.  Total work
-    # ~ sort(T) + sort(#bits) instead of num_bp_cap * scatter(T).
+    # Unified emission items: list ENTRIES (one membership bit per pass in
+    # [from, s], value s == p) ++ child ROWS (a decision bit at the
+    # parent's partition pass when not skipped, plus the pixel sign right
+    # after it when the pixel turns significant — the sign rides its own
+    # row exactly like the LIP sign rides its interval).  One payload-
+    # carrying sort puts items in walk order; forward-fill expansion and a
+    # stable pass sort then reproduce the per-pass sequences.  This
+    # replaces the old entries ++ decisions ++ signs triple (2x the rows)
+    # plus 8 post-sort gathers at ~0.5 GB/s each.
+    #
+    # Payload bits: 0 is_ent | 1-6 lo | 7-12 s | 13 sign | 14 sig_now |
+    # 15 has_sign | 16 dec_emitted | 17 ok.
     # ------------------------------------------------------------------
-    g_order = jnp.lexsort((ks, k3, k2, k1, k0, kw_all))
-    is_ent = jnp.concatenate(
-        [jnp.ones(E, bool), jnp.zeros(2 * R, bool)]
-    )[g_order]
-    is_dec = jnp.concatenate(
-        [jnp.zeros(E, bool), jnp.ones(R, bool), jnp.zeros(R, bool)]
-    )[g_order]
-    emit_p = jnp.concatenate(
-        [jnp.zeros(E, jnp.int32), rowpassf, rowpassf]
-    )[g_order]
-    ent_from_s = jnp.concatenate(
-        [ent_from, jnp.zeros(2 * R, jnp.int32)]
-    )[g_order]
-    ent_s_s = jnp.concatenate([ent_s, jnp.zeros(2 * R, jnp.int32)])[g_order]
-    ok_s = jnp.concatenate(
-        [ent_ok, emittedf, ispxf & (row_sf == rowpassf)]
-    )[g_order]
-    bit1_s = jnp.concatenate(
-        [jnp.zeros(E, bool), sig_nowf, row_signf]
-    )[g_order]
+    T = E + R
+    kw_all = jnp.concatenate([w_of_ent, w_top])
+    k0 = jnp.concatenate([ent_pw[:, 0], rp0])
+    k1 = jnp.concatenate([ent_pw[:, 1], rp1])
 
-    # per-item emission interval [lo, hi] clipped to the live passes
-    lo = jnp.where(is_ent, ent_from_s, emit_p)
-    hi = jnp.minimum(jnp.where(is_ent, ent_s_s, emit_p), num_bp - 1)
-    ln = jnp.where(ok_s & (lo <= hi), hi - lo + 1, 0)
-
-    EV = ev_cap
-    off = jnp.cumsum(ln) - ln
-    ev_total = jnp.sum(ln)
-    # scatter each item's g-rank at its first event slot; the running max
-    # recovers the source item for every event (off is nondecreasing in
-    # g-rank, so scattered values increase along the event axis)
-    src0 = jnp.full(EV, -1, jnp.int32).at[
-        jnp.where(ln > 0, off, EV)
-    ].set(jnp.arange(T, dtype=jnp.int32), mode="drop")
-    src = jax.lax.associative_scan(jnp.maximum, src0)
-    srcc = jnp.maximum(src, 0)
-    j = jnp.arange(EV, dtype=jnp.int32)
-    ev_ok = (j < ev_total) & (src >= 0)
-    p_ev = lo[srcc] + (j - off[srcc])
-    bit_ev = jnp.where(is_ent[srcc], ent_s_s[srcc] == p_ev, bit1_s[srcc])
-    p_key = jnp.where(ev_ok, p_ev, _BIG)
-
-    # order within a pass = item order (one event per item per pass), so a
-    # 2-key sort by (pass, source rank) reproduces the per-pass sequences
-    eorder = jnp.lexsort((srcc, p_key))
-    p_sorted = p_key[eorder]
-    bit_sorted = bit_ev[eorder]
-
-    counts = jnp.bincount(
-        jnp.where(ev_ok, p_ev, num_bp_cap), length=num_bp_cap + 1
-    ).astype(jnp.int32)[:num_bp_cap]
-    starts = jnp.cumsum(counts) - counts
-    bc = (counts + 7) // 8
-    boff = jnp.cumsum(bc) - bc
-    total_bytes = jnp.sum(bc)
-
-    cap_total_bits = cap_total * 8
-    rank = jnp.arange(EV, dtype=jnp.int32)
-    pcl = jnp.clip(p_sorted, 0, num_bp_cap - 1)
-    pos = boff[pcl] * 8 + (rank - starts[pcl])
-    valid_out = (p_sorted < num_bp_cap) & (pos < cap_total_bits)
-    out01 = jnp.zeros(cap_total_bits, dtype=jnp.uint8)
-    out01 = out01.at[jnp.where(valid_out, pos, cap_total_bits)].set(
-        bit_sorted.astype(jnp.uint8), mode="drop"
+    ent_lo = jnp.clip(ent_from, 0, 63)
+    ent_s6 = jnp.clip(ent_s, 0, 63)
+    pay_ent = (
+        1
+        | (ent_lo << 1)
+        | (ent_s6 << 7)
+        | (ent_ok.astype(jnp.int32) << 17)
     )
-    w8 = out01.reshape(-1, 8).astype(jnp.uint32)
-    powers = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint32)
-    buf = (w8 @ powers).astype(jnp.uint8)
+    row_hs = ispxf & sig_nowf
+    pay_row = (
+        (jnp.clip(rowpassf, 0, 63) << 1)
+        | (row_signf.astype(jnp.int32) << 13)
+        | (sig_nowf.astype(jnp.int32) << 14)
+        | (row_hs.astype(jnp.int32) << 15)
+        | (emittedf.astype(jnp.int32) << 16)
+    )
+    pay = jnp.concatenate([pay_ent, pay_row])
+
+    if shallow:
+        ops = (kw_all, k0, k1, pay)
+    else:
+        k2 = jnp.concatenate([ent_pw[:, 2], rp2])
+        k3 = jnp.concatenate([ent_pw[:, 3], rp3])
+        ops = (kw_all, k0, k1, k2, k3, pay)
+    out = jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=False)
+    pay_s = out[-1]
+
+    is_ent_s = (pay_s & 1) == 1
+    lo_s = (pay_s >> 1) & 63
+    s6_s = (pay_s >> 7) & 63
+    hs_s = (pay_s >> 15) & 1
+    dec_s = (pay_s >> 16) & 1
+    ok_s = (pay_s >> 17) & 1
+    ent_hi = jnp.minimum(s6_s, num_bp - 1)
+    ln = jnp.where(
+        is_ent_s,
+        jnp.where((ok_s == 1) & (lo_s <= ent_hi), ent_hi - lo_s + 1, 0),
+        dec_s + hs_s,
+    )
+
+    (payf,), rel, ev_ok, ev_total = _expand_fill(ln, [pay_s], ev_cap)
+    is_ent_f = (payf & 1) == 1
+    lo_f = (payf >> 1) & 63
+    s6_f = (payf >> 7) & 63
+    sign_f = (payf >> 13) & 1
+    signow_f = (payf >> 14) & 1
+    dec_f = (payf >> 16) & 1
+    p_ev = jnp.where(is_ent_f, lo_f + rel, lo_f)
+    is_sign_ev = (~is_ent_f) & (rel == dec_f)  # sign follows its decision
+    bit_ev = jnp.where(
+        is_ent_f,
+        s6_f == p_ev,
+        jnp.where(is_sign_ev, sign_f == 1, signow_f == 1),
+    )
+    p_key = jnp.where(ev_ok, p_ev, num_bp_cap)
+    buf, counts, total_bytes = events_to_segments(
+        p_key, None, bit_ev, num_bp_cap, cap_total
+    )
 
     # overflow (event cap or byte cap) -> force the host fallback
     n_sig = jnp.maximum(
         n_sig,
-        jnp.where((ev_total > EV) | (total_bytes > cap_total), _BIG, 0),
+        jnp.where((ev_total > ev_cap) | (total_bytes > cap_total), _BIG, 0),
     )
     return buf, counts, total_bytes, n_sig
 
