@@ -126,6 +126,18 @@ def run_device_stages():
         out["wave_entropy"] = wave_entropy_stage(n=wn, batch=1, tol=TOL)
     except Exception as e:  # pragma: no cover
         out["wave_entropy"] = {"error": f"{type(e).__name__}: {e}"}
+    if os.environ.get("BENCH_WAVE_BREAKDOWN", "0") != "0":
+        # substage deltas: ~10 extra compiles through the tunnel, opt-in
+        from sperr_tpu.runtime.device_bench import wave_entropy_breakdown
+
+        try:
+            out["wave_entropy_breakdown"] = wave_entropy_breakdown(
+                n=wn, tol=TOL
+            )
+        except Exception as e:  # pragma: no cover
+            out["wave_entropy_breakdown"] = {
+                "error": f"{type(e).__name__}: {e}"
+            }
     # the chip-side pipeline number: dense-transfer encode core + decode
     # core, back to back
     tot = out["encode_core_dense_s"] + out["decode_core_s"]
@@ -146,6 +158,27 @@ def _cache_dir():
         flags = "unknown"
     tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
     return os.path.expanduser(f"~/.cache/sperr_tpu/jax_{tag}")
+
+
+def _tpu_reachable(timeout_s: float) -> bool:
+    """Probe device backend init in a subprocess with a hard timeout.
+
+    On this environment the TPU is reached through a tunnel; when the
+    tunnel is down, jax.devices() HANGS (observed >8 min) rather than
+    raising — an in-process attempt would wedge the whole benchmark.  A
+    killable child process is the only safe probe."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
 
 
 def main():
@@ -171,8 +204,17 @@ def main():
         "host_cores": os.cpu_count(),
     }
 
+    want_e2e = os.environ.get("BENCH_TPU", "1") != "0"
+    want_stages = os.environ.get("BENCH_DEVICE_STAGES", "1") != "0"
+    tpu_up = (want_e2e or want_stages) and _tpu_reachable(
+        float(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", "180"))
+    )
+    down = {"error": "device backend unreachable (init probe timed out)"}
+
     tpu = {}
-    if os.environ.get("BENCH_TPU", "1") != "0":
+    if want_e2e and not tpu_up:
+        tpu = down
+    if tpu_up and want_e2e:
         try:
             tn = int(os.environ.get("BENCH_TPU_N", "256"))
             tvol = vol[:tn, :tn, :tn] if tn <= n else make_volume(tn)
@@ -196,7 +238,9 @@ def main():
             tpu = {"error": f"{type(e).__name__}: {e}"}
 
     stages = {}
-    if os.environ.get("BENCH_DEVICE_STAGES", "1") != "0":
+    if want_stages and not tpu_up:
+        stages = down
+    if tpu_up and want_stages:
         try:
             stages = run_device_stages()
         except Exception as e:  # pragma: no cover

@@ -229,66 +229,135 @@ def pass_segments_packed_sparse(
 
 
 def events_to_segments(p_key, sec_key, bits, num_bp_cap: int, cap_total: int):
-    """Sort emission events by (pass, secondary order) and pack them into a
-    byte-aligned concatenation of per-pass segments with ONE scatter.
+    """Sort emission events by (pass, secondary order) into a byte-aligned
+    concatenation of per-pass segments — scatter-free.
 
     p_key: i32 pass per event (>= num_bp_cap marks invalid); sec_key: i32
     within-pass order, or None when the events are ALREADY in within-pass
-    order (a stable one-key sort preserves it — one less operand); bits:
-    bool values.  Returns (buf u8[cap_total], counts i32[num_bp_cap],
-    total_bytes i32).  This is the shared tail of the event-form emitters
-    (TPU scatters are ~0.6 GB/s, so the per-pass masked-compaction loops
-    were replaced by one sort + one scatter over the actual emitted bits;
-    see docs/PALLAS.md)."""
+    order; bits: bool values.  Returns (buf u8[cap_total],
+    counts i32[num_bp_cap], total_bytes i32).
+
+    The byte alignment comes from PAD EVENTS, not a scatter: 7 zero-bit
+    pad candidates per pass are appended with keys that sort immediately
+    after that pass's real events, and exactly (-counts[p]) mod 8 of them
+    keep a valid key (the rest sort past the end with the invalid reals).
+    The sorted bit vector is then the final segment concatenation by
+    construction — position IS the sort rank — eliminating the EV-scale
+    scatter (~0.6 GB/s, the costliest XLA primitive here; docs/PALLAS.md).
+    When (pass, pad flag, rank, bit) packs into 31 bits the sort runs as a
+    single fused-key operand; otherwise a stable 1/2-key sort carries the
+    bit payload.  Per-pass counts come from fused compare+reduce over the
+    unsorted keys (bincount's 35-bin scatter-add serializes on conflicts;
+    searchsorted on the sorted keys would add a num_bp_cap-wide gather)."""
     EV = p_key.shape[0]
-    # sort carries the payloads along (post-hoc gathers at EV scale run at
-    # ~0.5 GB/s on TPU); counts come from searchsorted boundaries on the
-    # sorted passes (bincount's 35-bin scatter-add serializes on conflicts)
-    if sec_key is None:
-        p_sorted, bit_sorted = jax.lax.sort(
-            (p_key, bits.astype(jnp.int32)), num_keys=1, is_stable=True
-        )
-    else:
-        p_sorted, _, bit_sorted = jax.lax.sort(
-            (p_key, sec_key, bits.astype(jnp.int32)), num_keys=2,
-            is_stable=False,
-        )
-    bit_sorted = bit_sorted.astype(jnp.uint8)
-    bounds = jnp.searchsorted(
-        p_sorted, jnp.arange(num_bp_cap + 1, dtype=p_sorted.dtype)
-    ).astype(jnp.int32)
-    counts = bounds[1:] - bounds[:-1]
-    starts = jnp.cumsum(counts) - counts
+    P = num_bp_cap
+    NPAD = 7 * P
+    pvals = jnp.arange(P, dtype=jnp.int32)
+    counts = jnp.sum(
+        p_key[None, :] == pvals[:, None], axis=1, dtype=jnp.int32
+    )
     bc = (counts + 7) // 8
     boff = jnp.cumsum(bc) - bc
     total_bytes = jnp.sum(bc)
-    cap_total_bits = cap_total * 8
-    rank = jnp.arange(EV, dtype=jnp.int32)
-    pcl = jnp.clip(p_sorted, 0, num_bp_cap - 1)
-    pos = boff[pcl] * 8 + (rank - starts[pcl])
-    valid_out = (p_sorted < num_bp_cap) & (pos < cap_total_bits)
-    out01 = jnp.zeros(cap_total_bits, dtype=jnp.uint8)
-    out01 = out01.at[jnp.where(valid_out, pos, cap_total_bits)].set(
-        bit_sorted, mode="drop"
+    needed = bc * 8 - counts  # pads per pass, in [0, 7]
+
+    # combined key: reals at 2p, kept pads at 2p+1, everything else last
+    big = jnp.int32(2 * P + 2)
+    key_real = jnp.where(p_key < P, p_key * 2, big)
+    pad_p = jnp.repeat(pvals, 7)
+    pad_slot = jnp.tile(jnp.arange(7, dtype=jnp.int32), P)
+    key_pad = jnp.where(pad_slot < needed[pad_p], pad_p * 2 + 1, big)
+    key_all = jnp.concatenate([key_real, key_pad])
+    bit_all = jnp.concatenate(
+        [bits.astype(jnp.int32), jnp.zeros(NPAD, jnp.int32)]
     )
+
+    TT = EV + NPAD
+    jbits = max(1, (TT - 1).bit_length())
+    if sec_key is None and (2 * P + 2).bit_length() + jbits + 1 <= 31:
+        # one fused operand: (key, rank, bit) — rank keeps reals in their
+        # original within-pass order and orders pads after them
+        fused = (
+            (key_all << (jbits + 1))
+            | (jnp.arange(TT, dtype=jnp.int32) << 1)
+            | bit_all
+        )
+        (srt,) = jax.lax.sort((fused,), num_keys=1, is_stable=False)
+        bit_sorted = (srt & 1).astype(jnp.uint8)
+    elif sec_key is None:
+        key_sorted, bit_sorted = jax.lax.sort(
+            (key_all, bit_all), num_keys=1, is_stable=True
+        )
+        bit_sorted = bit_sorted.astype(jnp.uint8)
+    else:
+        sec_all = jnp.concatenate(
+            [sec_key, jnp.full(NPAD, 0x7FFFFFFF, jnp.int32)]
+        )
+        _, _, bit_sorted = jax.lax.sort(
+            (key_all, sec_all, bit_all), num_keys=2, is_stable=True
+        )
+        bit_sorted = bit_sorted.astype(jnp.uint8)
+
+    cap_total_bits = cap_total * 8
+    if cap_total_bits > TT:
+        bit_sorted = jnp.concatenate(
+            [bit_sorted, jnp.zeros(cap_total_bits - TT, jnp.uint8)]
+        )
+    else:
+        bit_sorted = bit_sorted[:cap_total_bits]
+    # zero the junk past the stream (invalid reals / surplus pads)
+    iota = jnp.arange(cap_total_bits, dtype=jnp.int32)
+    out01 = jnp.where(iota < total_bytes * 8, bit_sorted, 0).astype(jnp.uint8)
     return _packbits_device(out01), counts, total_bytes
 
 
-def _expand_fill(ln, words, ev_cap: int):
+def _expand_fill(ln, words, ev_cap: int, widths=None):
     """Interval expansion by forward-fill: item k (in order) contributes
     ln_k consecutive events; each event receives the item's payload
     `words` (a list of i32[T]) plus its offset within the item's block.
 
     Returns (filled list of i32[ev_cap], rel i32[ev_cap] = event index
-    within its item's block, ev_ok mask, ev_total).  One row-scatter of the
-    stacked payloads at the block starts + one associative forward-fill
-    scan — no event-scale gathers anywhere (TPU gathers run at ~0.5 GB/s,
-    the single most expensive XLA primitive in this stage; see
-    docs/PALLAS.md)."""
+    within its item's block, ev_ok mask, ev_total).  No event-scale
+    gathers anywhere (TPU gathers run at ~0.5 GB/s, the single most
+    expensive XLA primitive in this stage; see docs/PALLAS.md).
+
+    With `widths` (bit-width per payload word; every value MUST fit its
+    declared width), the fill runs as cummax chains: each fill word packs
+    (block start << pb | payload chunk) — block starts strictly increase
+    over emitting items, so a running max both selects the latest start at
+    or before j and carries the payload chunk with it.  ceil(total_width /
+    pb) cummax passes replace the generic associative scan, which XLA
+    expands into a log(ev_cap)-depth slice/concat network (~20 full-array
+    passes); cummax lowers to the same single-pass scan as cumsum
+    (~20 GB/s measured).  Without `widths` (or when ev_cap leaves no
+    payload bits) the associative-scan form runs instead."""
     T = ln.shape[0]
     off = jnp.cumsum(ln) - ln
     ev_total = jnp.sum(ln)
     pos = jnp.where(ln > 0, off, ev_cap)
+    j = jnp.arange(ev_cap, dtype=jnp.int32)
+    ev_ok = j < ev_total
+
+    pb = 30 - max(1, (ev_cap - 1).bit_length()) if widths is not None else 0
+    if pb >= 1:
+        # chop payload words into pb-bit chunks; each chunk rides its own
+        # cummax fill behind the (monotone) block-start field
+        chunk_src = []  # (word index, low bit, take)
+        for wi, wd in enumerate(widths):
+            for lo in range(0, int(wd), pb):
+                chunk_src.append((wi, lo, min(pb, int(wd) - lo)))
+        fills = []
+        for wi, lo, take in chunk_src:
+            chunk = (words[wi] >> lo) & ((1 << take) - 1)
+            v = (off << pb) | chunk
+            buf = jnp.full(ev_cap, -1, jnp.int32).at[pos].set(v, mode="drop")
+            fills.append(jax.lax.cummax(buf, axis=0))
+        rel = j - (fills[0] >> pb)
+        filled = [jnp.zeros(ev_cap, jnp.int32) for _ in words]
+        for (wi, lo, take), f in zip(chunk_src, fills):
+            filled[wi] = filled[wi] | ((f & ((1 << take) - 1)) << lo)
+        return filled, rel, ev_ok, ev_total
+
     stack = jnp.stack(
         [jnp.ones(T, jnp.int32), off] + list(words), axis=1
     )  # [T, 2 + k]
@@ -299,8 +368,6 @@ def _expand_fill(ln, words, ev_cap: int):
         return jnp.where(b[..., :1] > 0, b, a)
 
     filled = jax.lax.associative_scan(comb, buf, axis=0)
-    j = jnp.arange(ev_cap, dtype=jnp.int32)
-    ev_ok = j < ev_total
     rel = j - filled[:, 1]
     return [filled[:, 2 + i] for i in range(len(words))], rel, ev_ok, ev_total
 
@@ -349,7 +416,7 @@ def pass_segments_events(
         | (has_sign.astype(jnp.int32) << 12)
         | (sign_c.astype(jnp.int32) << 13)
     )
-    (wf,), rel, ev_ok, ev_total = _expand_fill(ln, [w], ev_cap)
+    (wf,), rel, ev_ok, ev_total = _expand_fill(ln, [w], ev_cap, widths=[14])
     lo_e = wf & 63
     hi_e = (wf >> 6) & 63
     hs_e = (wf >> 12) & 1
@@ -369,7 +436,9 @@ def pass_segments_events(
     rlo = jnp.minimum(s_c + 1, 63)
     rhi = jnp.broadcast_to(num_bp - 1, rlo.shape)
     rln = jnp.where(rlo <= rhi, rhi - rlo + 1, 0)
-    (rlo_f, m_f), rrel, rok, rtotal = _expand_fill(rln, [rlo, m32], ev_cap)
+    (rlo_f, m_f), rrel, rok, rtotal = _expand_fill(
+        rln, [rlo, m32], ev_cap, widths=[6, 31]
+    )
     rp = rlo_f + rrel
     shift = jnp.clip(num_bp - 1 - rp, 0, 31).astype(jnp.uint32)
     rbit = ((m_f.astype(jnp.uint32) >> shift) & jnp.uint32(1)).astype(bool)

@@ -355,7 +355,9 @@ def lis_segments_device(
         dec_s + hs_s,
     )
 
-    (payf,), rel, ev_ok, ev_total = _expand_fill(ln, [pay_s], ev_cap)
+    (payf,), rel, ev_ok, ev_total = _expand_fill(
+        ln, [pay_s], ev_cap, widths=[18]
+    )
     is_ent_f = (payf & 1) == 1
     lo_f = (payf >> 1) & 63
     s6_f = (payf >> 7) & 63

@@ -172,6 +172,146 @@ def pipeline_stages(n: int = 256, batch: int = 1, tol: float = 1e-2,
     return out
 
 
+def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
+                           iters: int = 4) -> Dict[str, float]:
+    """Per-substage device seconds for the wave-entropy encode at one n^3
+    chunk: cumulative chains c0..c8 are timed (every chain re-applies all
+    earlier substages to the perturbed input so nothing is hoistable), and
+    the reported per-substage cost is the delta between adjacent chains.
+
+    Substages mirror _dense_encode_wave's one(): quantize -> pixel schedule
+    -> exposed-pixel compaction -> LIP event expansion -> LIP pass
+    sort+pack -> refinement events -> the LIS walk (whole)."""
+    from ..ops import cdf97_jax as cdfj
+    from ..ops import quantize_jax as qzj
+    from ..ops import speck_jax as sj
+    from ..ops import speck_lis_jax as sl
+
+    rng = np.random.default_rng(5)
+    vol = rng.normal(size=(n, n, n)).astype(np.float32) * 0.05
+    x = jnp.asarray(vol)
+    nelems = n * n * n
+    num_bp_cap = 34
+    try:
+        pti = sj.pyramid_index((n, n, n))
+        ti = None
+    except ValueError:
+        pti = None
+        ti = sj.tree_index((n, n, n))
+    li = sl.lis_index((n, n, n))
+    node_cap = li.nn
+    ev_cap = max(4096, 3 * nelems)
+    wave_cap = nelems
+    cap_total = min(nelems, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
+    _W_NEVER = 0x7FFF
+    q = jnp.float32(1.5 * tol)
+
+    def to_ll(y):
+        cond = y - jnp.mean(y)
+        coeffs = cdfj.dwt3d(cond).reshape(nelems)
+        return jnp.rint(coeffs * (1.0 / q)).astype(jnp.int32)
+
+    def to_sched(y):
+        ll = to_ll(y)
+        mags = jnp.abs(ll).astype(jnp.uint32)
+        pm = sj.msbp1_device(mags)
+        num_bp = jnp.max(pm)
+        if pti is not None:
+            s, e, nm = sj.pixel_schedule_pyramid(mags, pti, num_bp)
+        else:
+            s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
+        return ll, mags, s, e, nm, num_bp
+
+    def to_compact(y):
+        ll, mags, s, e, nm, num_bp = to_sched(y)
+        sgn = ll >= 0
+        exposed = e < num_bp
+        (ci,) = jnp.nonzero(exposed, size=wave_cap, fill_value=nelems)
+        ok = ci < nelems
+        cis = jnp.minimum(ci, nelems - 1)
+        s_c = jnp.where(ok, s[cis], _W_NEVER)
+        e_c = jnp.where(ok, e[cis], _W_NEVER)
+        m_c = jnp.where(ok, mags[cis].astype(jnp.int32), 0)
+        g_c = jnp.where(ok, sgn[cis], False)
+        return ll, s, e, nm, num_bp, sgn, s_c, e_c, m_c, g_c
+
+    def to_lip_expand(y):
+        r = to_compact(y)
+        _, _, _, _, num_bp, _, s_c, e_c, m_c, g_c = r
+        lo = jnp.minimum(e_c + 1, 63)
+        hi_dec = jnp.minimum(s_c, num_bp - 1)
+        has_sign = (s_c <= num_bp - 1) & (lo <= hi_dec)
+        hi = hi_dec + has_sign.astype(jnp.int32)
+        ln = jnp.where(lo <= hi, hi - lo + 1, 0)
+        w = (lo | (jnp.clip(hi, 0, 63) << 6)
+             | (has_sign.astype(jnp.int32) << 12)
+             | (g_c.astype(jnp.int32) << 13))
+        (wf,), rel, ev_ok, ev_total = sj._expand_fill(
+            ln, [w], ev_cap, widths=[14]
+        )
+        return r, wf, rel, ev_ok, ev_total
+
+    def to_lip_pack(y):
+        r, wf, rel, ev_ok, ev_total = to_lip_expand(y)
+        num_bp = r[4]
+        lo_e = wf & 63
+        hi_e = (wf >> 6) & 63
+        hs_e = (wf >> 12) & 1
+        sg_e = (wf >> 13) & 1
+        p_raw = lo_e + rel
+        is_sign = (hs_e == 1) & (p_raw == hi_e)
+        p_ev = jnp.where(is_sign, p_raw - 1, p_raw)
+        bit_ev = jnp.where(is_sign, sg_e == 1,
+                           (hs_e == 1) & (p_raw == hi_e - 1))
+        p_key = jnp.where(ev_ok, p_ev, num_bp_cap)
+        lip = sj.events_to_segments(p_key, None, bit_ev, num_bp_cap, cap_total)
+        return r, lip
+
+    def to_ref(y):
+        r, lip = to_lip_pack(y)
+        _, _, _, _, num_bp, _, s_c, e_c, m_c, g_c = r
+        rlo = jnp.minimum(s_c + 1, 63)
+        rhi = jnp.broadcast_to(num_bp - 1, rlo.shape)
+        rln = jnp.where(rlo <= rhi, rhi - rlo + 1, 0)
+        (rlo_f, m_f), rrel, rok, rtotal = sj._expand_fill(
+            rln, [rlo, m_c], ev_cap, widths=[6, 31]
+        )
+        rp = rlo_f + rrel
+        shift = jnp.clip(num_bp - 1 - rp, 0, 31).astype(jnp.uint32)
+        rbit = ((m_f.astype(jnp.uint32) >> shift) & jnp.uint32(1)).astype(bool)
+        rp_key = jnp.where(rok, rp, num_bp_cap)
+        ref = sj.events_to_segments(rp_key, None, rbit, num_bp_cap, cap_total)
+        return r, lip, ref
+
+    def to_full(y):
+        r, lip, ref = to_ref(y)
+        ll, s, e, nm, num_bp, sgn = r[:6]
+        node_s = jnp.where(nm > 0, num_bp - nm, _W_NEVER).astype(jnp.int32)
+        lis = sl.lis_segments_device(
+            node_s, s, sgn, num_bp, li, num_bp_cap, node_cap, ev_cap,
+            cap_total,
+        )
+        return r, lip, ref, lis
+
+    chains = {
+        "quantize": to_ll,
+        "schedule": to_sched,
+        "exposed_compact": to_compact,
+        "lip_expand": to_lip_expand,
+        "lip_pack": to_lip_pack,
+        "ref_events": to_ref,
+        "lis_walk": to_full,
+    }
+    out: Dict[str, float] = {"n": n}
+    prev = 0.0
+    for name, fn in chains.items():
+        secs = time_stage(fn, x, iters=iters)
+        out[name + "_cum_s"] = round(secs, 5)
+        out[name + "_s"] = round(secs - prev, 5)
+        prev = secs
+    return out
+
+
 def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
                        iters: int = 4) -> Dict[str, float]:
     """Device seconds for the wave-entropy encode (full SPECK bit work on
