@@ -41,7 +41,7 @@ class LisIndex:
         "nn", "n", "nrows", "max_ch", "depth_max", "nlev", "nroots",
         "parent", "level", "depth", "pw",            # per node
         "ch_start", "ch_count", "ctab", "px_linear",
-        "root_ids", "root_levels", "O0", "off0", "root_from",
+        "root_ids", "root_levels", "O0", "off0", "root_from", "shallow",
     )
 
     def __init__(self, dims):
@@ -98,6 +98,54 @@ class LisIndex:
         self.O0 = jnp.asarray(O0)
         self.off0 = jnp.asarray(off0)
         self.root_from = jnp.zeros(rids.size, dtype=np.int32)
+        self.shallow = self.depth_max <= 10
+
+    # -- walk interface (mirrored by speck_virtual.VirtualLisIndex) ---------
+    def children(self, q, svalid, slot):
+        """Resolve all child slots of compacted parents q via the child
+        table: (cnt [C], rvalid, ispx, isnd [C,MC], vidx [C,MC]); vidx is
+        the combined value index (pixel linear id, or n + node id)."""
+        cnt = jnp.where(svalid, self.ch_count[q], 0)
+        rvalid = slot[None, :] < cnt[:, None]
+        ridx = jnp.minimum(
+            self.ch_start[q][:, None] + slot[None, :], self.nrows - 1
+        )
+        crow = self.ctab[ridx]
+        ispx = ((crow & 1) == 1) & rvalid
+        isnd = ((crow & 1) == 0) & rvalid
+        vidx = crow >> 1
+        return cnt, rvalid, ispx, isnd, vidx
+
+    def anchors(self, q, bq, svalid, node_s):
+        """Chain anchors: walk parents while their partition pass == bq."""
+        anchor = q
+        for _ in range(self.depth_max + 1):
+            pa = self.parent[anchor]
+            move = (pa >= 0) & (node_s[jnp.maximum(pa, 0)] == bq) & svalid
+            anchor = jnp.where(move, jnp.maximum(pa, 0), anchor)
+        return anchor
+
+    def levels_of(self, ids):
+        return self.level[ids]
+
+    def paths_of(self, ids):
+        pw = self.pw[ids]
+        nw = 2 if self.shallow else 4
+        return [pw[..., k] for k in range(nw)]
+
+    def child_paths(self, q, rslot):
+        """Child-slot path words: the parent's path with digit (slot+1) at
+        the parent's depth."""
+        dq = self.depth[q]
+        word = dq // 6
+        shift = 5 * (5 - dq % 6)
+        dig = (rslot + 1) << shift
+        pw = self.pw[q]
+        nw = 2 if self.shallow else 4
+        return [pw[..., k] + jnp.where(word == k, dig, 0) for k in range(nw)]
+
+    def O0_full(self):
+        return jnp.concatenate([self.O0, jnp.zeros(1, jnp.int32)])
 
 
 _LIS_INDEXES = {}
@@ -110,20 +158,6 @@ def lis_index(dims) -> LisIndex:
         li = LisIndex(key)
         _LIS_INDEXES[key] = li
     return li
-
-
-def _row_path(li: LisIndex, q, rslot):
-    """Child-slot path words: the parent's path with digit (slot+1) at the
-    parent's depth."""
-    dq = li.depth[q]
-    word = dq // 6
-    shift = 5 * (5 - dq % 6)
-    dig = (rslot + 1) << shift
-    pw = li.pw[q]  # [..., 4]
-    out = []
-    for k in range(4):
-        out.append(pw[..., k] + jnp.where(word == k, dig, 0))
-    return out
 
 
 def lis_segments_device(
@@ -152,7 +186,9 @@ def lis_segments_device(
     max-children, depth_max+1 rank-refinement sorts over <= node-count
     rows, ONE payload-carrying item sort over born-entries + child rows,
     a forward-fill interval expansion (no event-scale gathers), and one
-    stable pass sort + one scatter over the emitted bits."""
+    stable pass sort + one scatter over the emitted bits.  `li` is either
+    a table-backed LisIndex or a speck_virtual.VirtualLisIndex (arithmetic
+    child/anchor/path resolution, no per-node tables)."""
     from .speck_jax import _expand_fill, events_to_segments
 
     nn = li.nn
@@ -164,15 +200,8 @@ def lis_segments_device(
     (sid,) = jnp.nonzero(node_s < _NEVER, size=C, fill_value=nn)
     svalid = sid < nn
     q = jnp.minimum(sid, nn - 1)                     # [C]
-    cnt = jnp.where(svalid, li.ch_count[q], 0)       # [C]
-    start = li.ch_start[q]
     slot = jnp.arange(MC, dtype=jnp.int32)
-    rvalid = slot[None, :] < cnt[:, None]            # [C, MC]
-    ridx = jnp.minimum(start[:, None] + slot[None, :], li.nrows - 1)
-    crow = li.ctab[ridx]                             # ONE child-table gather
-    ispx = ((crow & 1) == 1) & rvalid
-    isnd = ((crow & 1) == 0) & rvalid
-    vidx = crow >> 1                    # pixel linear id, or n + node id
+    cnt, rvalid, ispx, isnd, vidx = li.children(q, svalid, slot)
     rowpass = jnp.where(svalid, node_s[q], _NEVER)   # [C] = children's birth
 
     # combined value table: one gather yields the child's significance pass
@@ -192,11 +221,7 @@ def lis_segments_device(
     # ---- anchors (per parent; equals each row's `top` and each born
     # child's chain anchor) -------------------------------------------------
     bq = rowpass                                      # birth pass of the rows
-    anchor = q
-    for _ in range(li.depth_max + 1):
-        pa = li.parent[anchor]
-        move = (pa >= 0) & (node_s[jnp.maximum(pa, 0)] == bq) & svalid
-        anchor = jnp.where(move, jnp.maximum(pa, 0), anchor)
+    anchor = li.anchors(q, bq, svalid, node_s)
 
     # ---- O: per-level insertion order of born nodes (roots pre-assigned) --
     R = C * MC
@@ -220,9 +245,9 @@ def lis_segments_device(
     c_bn = jnp.where(bok, bnf[bs], _BIG)
     c_an = jnp.where(bok, anf[bs], nn)
     bidc = jnp.minimum(c_bid, nn - 1)
-    c_lev = li.level[bidc]
-    c_pw = li.pw[bidc]                               # [CB, 4]
-    c_alev5 = 31 - li.level[jnp.minimum(c_an, nn - 1)]
+    c_lev = li.levels_of(bidc)
+    c_pw = li.paths_of(bidc)                   # list of path words [CB]
+    c_alev5 = 31 - li.levels_of(jnp.minimum(c_an, nn - 1))
 
     # Rank refinement: O(x) within level = rank by (level, birth pass,
     # anchor level finer-first, O(anchor), path).  Anchor chains strictly
@@ -241,23 +266,17 @@ def lis_segments_device(
     ).astype(jnp.int32)[:nlev]
     lstarts = jnp.cumsum(counts_lev) - counts_lev
     iota_cb = jnp.arange(CB, dtype=jnp.int32)
-    shallow = li.depth_max <= 10
 
     def refine(_, O_buf):
         a_ord = O_buf[c_an]
-        ops = (
-            (k_lba, a_ord, c_pw[:, 0], c_pw[:, 1], iota_cb)
-            if shallow
-            else (k_lba, a_ord, c_pw[:, 0], c_pw[:, 1], c_pw[:, 2],
-                  c_pw[:, 3], iota_cb)
-        )
+        ops = (k_lba, a_ord, *c_pw, iota_cb)
         out = jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=False)
         order = out[-1]
         rankpos = jnp.zeros(CB, jnp.int32).at[order].set(iota_cb)
         o_val = li.off0[c_lev] + (rankpos - lstarts[c_lev])
         return O_buf.at[jnp.where(bok, c_bid, nn)].set(o_val, mode="drop")
 
-    O_buf = jnp.concatenate([li.O0, jnp.zeros(1, jnp.int32)])
+    O_buf = li.O0_full()
     O_buf = jax.lax.fori_loop(0, li.depth_max + 1, refine, O_buf)
     n_sig = jnp.maximum(n_sig, jnp.where(n_born > CB, _BIG, 0))
 
@@ -282,12 +301,14 @@ def lis_segments_device(
 
     ent_from = jnp.concatenate([c_bn + 1, li.root_from])
     ent_s = node_s[ent_idc]
-    ent_pw = li.pw[ent_idc]
+    # entry path words: born entries reuse c_pw; roots have empty paths
+    rz = jnp.zeros(nroots, jnp.int32)
+    ent_pw = [jnp.concatenate([w, rz]) for w in c_pw]
 
     # ---- per-row static keys ----------------------------------------------
     w_top = jnp.broadcast_to(w_buf[anchor][:, None], (C, MC)).reshape(R)
-    rp0, rp1, rp2, rp3 = _row_path(
-        li, jnp.broadcast_to(q[:, None], (C, MC)).reshape(R),
+    rp = li.child_paths(
+        jnp.broadcast_to(q[:, None], (C, MC)).reshape(R),
         jnp.broadcast_to(slot[None, :], (C, MC)).reshape(R),
     )
     rowpassf = jnp.broadcast_to(rowpass[:, None], (C, MC)).reshape(R)
@@ -312,8 +333,7 @@ def lis_segments_device(
     # ------------------------------------------------------------------
     T = E + R
     kw_all = jnp.concatenate([w_of_ent, w_top])
-    k0 = jnp.concatenate([ent_pw[:, 0], rp0])
-    k1 = jnp.concatenate([ent_pw[:, 1], rp1])
+    kpath = [jnp.concatenate([e_w, r_w]) for e_w, r_w in zip(ent_pw, rp)]
 
     ent_lo = jnp.clip(ent_from, 0, 63)
     ent_s6 = jnp.clip(ent_s, 0, 63)
@@ -333,12 +353,7 @@ def lis_segments_device(
     )
     pay = jnp.concatenate([pay_ent, pay_row])
 
-    if shallow:
-        ops = (kw_all, k0, k1, pay)
-    else:
-        k2 = jnp.concatenate([ent_pw[:, 2], rp2])
-        k3 = jnp.concatenate([ent_pw[:, 3], rp3])
-        ops = (kw_all, k0, k1, k2, k3, pay)
+    ops = (kw_all, *kpath, pay)
     out = jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=False)
     pay_s = out[-1]
 

@@ -1,0 +1,341 @@
+"""Table-free SPECK partition forest for power-of-two cube dims.
+
+The LIS set walk (ops/speck_lis_jax.py) consumes per-node quantities —
+parent, level, path digits, child resolution — that the table-backed
+``LisIndex`` gathers from host-built arrays: the child table alone is
+O(n) rows (~76 MB at 256**3) and the tree build costs ~10 s of host time
+per dims (docs/ROADMAP.md #2).  For power-of-two cube dims the forest is
+perfectly regular, so every one of those quantities is arithmetic:
+
+  * the roots are the wavelet subbands — ``big`` (the coarsest LLL cube)
+    plus 7 octant complements per split level, all power-of-two cubes
+    (codec/speck_wave._initial_sets, dyadic branch; reference
+    SPECK3D_INT.cpp:22-97);
+  * below a root every partition is a full octant split, so a node is
+    identified by (root, depth, morton) where morton's 3-bit digits are
+    the child slots along the path (x fastest, matching
+    speck_wave._children_of's oct8 order);
+  * the BFS node numbering of ``build_tree`` is depth-major, root-major,
+    morton-minor — so ids convert to and from (root, depth, morton) with
+    two tiny static tables (per-depth id bases and first contributing
+    root), verified against the built tree in tests/test_speck_virtual.py.
+
+``VirtualLisIndex`` exposes the same walk interface as ``LisIndex`` with
+O(#roots) device constants, and ``pixel_schedule_virtual`` produces the
+(s, e, node-max) schedule from plain max-pool pyramids with the per-depth
+node ordering materialized by reshape/transpose morton interleaving — no
+gather tables, no host tree build.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dims import can_use_dyadic
+
+_NEVER = 0x7FFF
+
+
+def _is_pow2_cube(dims) -> bool:
+    nx, ny, nz = (int(d) for d in dims)
+    return (
+        nx == ny == nz
+        and nx >= 2
+        and (nx & (nx - 1)) == 0
+        and can_use_dyadic((nx, ny, nz)) is not None
+    )
+
+
+class VirtualLisIndex:
+    """Walk-interface index for power-of-two cube dims, no per-node tables.
+
+    Static device constants are O(#roots): root origins / side logs /
+    levels, per-depth id bases, and the root pre-assignment ranks.  The
+    interface methods mirror LisIndex's (speck_lis_jax.py); ids are the
+    partition tree's BFS numbering.
+    """
+
+    __slots__ = (
+        "dims", "K", "n", "nn", "nroots", "depth_max", "nlev", "max_ch",
+        "shallow",
+        # tiny device arrays
+        "r_slog", "r_org", "r_level", "depth_base", "r0",
+        "root_ids", "root_levels", "root_from", "off0", "O0_head",
+        # host copies for schedule construction
+        "h_slog", "h_org", "h_depth_base", "h_r0",
+    )
+
+    def __init__(self, dims):
+        nx, ny, nz = (int(d) for d in dims)
+        if not _is_pow2_cube((nx, ny, nz)):
+            raise ValueError("VirtualLisIndex requires power-of-two cube dims")
+        N = nx
+        K = N.bit_length() - 1
+        xf = can_use_dyadic((N, N, N))
+        self.dims = (N, N, N)
+        self.K = K
+        self.n = N * N * N
+
+        # roots in morton-assignment order: levels finest-first, `big`
+        # first within its level (speck_wave.build_tree:193-204)
+        orgs: List[Tuple[int, int, int]] = [(0, 0, 0)]
+        slogs: List[int] = [K - xf]
+        levels: List[int] = [3 * xf]
+        for i in range(xf - 1, -1, -1):
+            h = N >> (i + 1)
+            for k in range(1, 8):
+                orgs.append(((k & 1) * h, ((k >> 1) & 1) * h, (k >> 2) * h))
+                slogs.append(K - (i + 1))
+                levels.append(3 * (i + 1))
+        R = len(orgs)
+        self.nroots = R
+        slog = np.asarray(slogs, dtype=np.int32)
+        org = np.asarray(orgs, dtype=np.int32)  # (x, y, z)
+        rlev = np.asarray(levels, dtype=np.int32)
+        # sides are nondecreasing in root order: depth-d nodes come from the
+        # contiguous suffix of roots with side >= 2^(d+1)
+        assert (np.diff(slog) >= 0).all()
+
+        self.depth_max = max(int(slog.max()) - 1, 0)
+        D = self.depth_max
+        # id numbering: depth-major, then root-major, then morton.
+        # depth_base[d] = first id at depth d; r0[d] = first contributing root
+        r0 = np.empty(D + 2, dtype=np.int32)
+        counts = np.empty(D + 2, dtype=np.int64)
+        for d in range(D + 2):
+            contrib = slog >= d + 1
+            r0[d] = int(np.argmax(contrib)) if contrib.any() else R
+            counts[d] = int(contrib.sum()) << (3 * d)
+        depth_base = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.nn = int(depth_base[D + 1])
+        assert self.nn < 2**31
+        self.nlev = 3 * K + 1  # num_of_partitions(2^K) per axis = K
+
+        # root pre-assignment: per-level insertion ranks in root order
+        O0_head = np.zeros(R, dtype=np.int32)
+        off0 = np.zeros(self.nlev, dtype=np.int32)
+        for r in range(R):
+            L = int(rlev[r])
+            O0_head[r] = off0[L]
+            off0[L] += 1
+
+        self.max_ch = 8
+        self.shallow = True
+        assert D + 1 <= 12, "virtual path packing supports depth <= 12"
+
+        self.h_slog = slog
+        self.h_org = org
+        self.h_depth_base = depth_base
+        self.h_r0 = r0
+        self.r_slog = jnp.asarray(slog)
+        self.r_org = jnp.asarray(org)
+        self.r_level = jnp.asarray(rlev)
+        self.depth_base = jnp.asarray(depth_base.astype(np.int32))
+        self.r0 = jnp.asarray(r0)
+        self.root_ids = jnp.arange(R, dtype=jnp.int32)
+        self.root_levels = jnp.asarray(rlev)
+        self.root_from = jnp.zeros(R, dtype=jnp.int32)
+        self.off0 = jnp.asarray(off0)
+        self.O0_head = jnp.asarray(O0_head)
+
+    # -- id <-> (root, depth, morton) ---------------------------------------
+    def decode(self, ids):
+        """ids (any shape, values in [0, nn)) -> (r, d, m), elementwise."""
+        d = (
+            jnp.searchsorted(self.depth_base, ids, side="right").astype(
+                jnp.int32
+            )
+            - 1
+        )
+        rem = ids - self.depth_base[d]
+        r = self.r0[d] + (rem >> (3 * d))
+        m = rem & ((jnp.int32(1) << (3 * d)) - 1)
+        return r, d, m
+
+    def nid(self, r, d, m):
+        """(r, d, m) -> id; d is clamped into range (callers mask misuse)."""
+        dc = jnp.clip(d, 0, self.depth_max)
+        return self.depth_base[dc] + ((r - self.r0[dc]) << (3 * dc)) + m
+
+    def _unmorton(self, m):
+        """3-bit-digit deinterleave: morton -> (bx, by, bz) box coords."""
+        bx = jnp.zeros_like(m)
+        by = jnp.zeros_like(m)
+        bz = jnp.zeros_like(m)
+        for t in range(self.depth_max + 1):
+            bx = bx | (((m >> (3 * t)) & 1) << t)
+            by = by | (((m >> (3 * t + 1)) & 1) << t)
+            bz = bz | (((m >> (3 * t + 2)) & 1) << t)
+        return bx, by, bz
+
+    def _path_words(self, d, m):
+        """Packed path-digit words (depth j digit at word j//6, shift
+        5*(5 - j%6)), matching codec/speck_sorted.py's layout."""
+        w0 = jnp.zeros_like(m)
+        w1 = jnp.zeros_like(m)
+        for j in range(self.depth_max + 1):
+            # depth-j digit = slot+1 = ((m >> 3*(d-1-j)) & 7) + 1 for j < d
+            sh = jnp.maximum(3 * (d - 1 - j), 0)
+            dig = jnp.where(j < d, ((m >> sh) & 7) + 1, 0)
+            if j < 6:
+                w0 = w0 | (dig << (5 * (5 - j)))
+            else:
+                w1 = w1 | (dig << (5 * (11 - j)))
+        return [w0, w1]
+
+    # -- walk interface (mirrors LisIndex) ----------------------------------
+    def children(self, q, svalid, slot):
+        """Resolve all child slots of compacted parents q: returns
+        (cnt [C], rvalid, ispx, isnd [C,MC], vidx [C,MC]) where vidx is the
+        combined value index (pixel linear id, or n + node id)."""
+        N = self.dims[0]
+        r, d, m = self.decode(q)
+        side_log = self.r_slog[r] - d
+        cnt = jnp.where(svalid, 8, 0)
+        rvalid = slot[None, :] < cnt[:, None]
+        px_parent = side_log == 1  # children are pixels
+        ispx = px_parent[:, None] & rvalid
+        isnd = (~px_parent)[:, None] & rvalid
+        mc = (m[:, None] << 3) + slot[None, :]
+        cid = self.nid(r[:, None], (d + 1)[:, None], mc)
+        # pixel linear ids: box origin + octant offset
+        bx, by, bz = self._unmorton(m)
+        ox = self.r_org[r, 0] + (bx << 1)
+        oy = self.r_org[r, 1] + (by << 1)
+        oz = self.r_org[r, 2] + (bz << 1)
+        px = ox[:, None] + (slot[None, :] & 1)
+        py = oy[:, None] + ((slot[None, :] >> 1) & 1)
+        pz = oz[:, None] + (slot[None, :] >> 2)
+        lin = (pz * N + py) * N + px
+        vidx = jnp.where(ispx, lin, self.n + cid)
+        return cnt, rvalid, ispx, isnd, vidx
+
+    def anchors(self, q, bq, svalid, node_s):
+        """First strict ancestor chain: walk up while the parent's partition
+        pass equals the rows' birth pass bq.  Returns anchor node ids."""
+        r, d, m = self.decode(q)
+        d_a, m_a = d, m
+        for _ in range(self.depth_max + 1):
+            has_par = d_a > 0
+            pd_ = jnp.maximum(d_a - 1, 0)
+            pm_ = m_a >> 3
+            pid = self.nid(r, pd_, pm_)
+            move = has_par & (node_s[pid] == bq) & svalid
+            d_a = jnp.where(move, pd_, d_a)
+            m_a = jnp.where(move, pm_, m_a)
+        return self.nid(r, d_a, m_a)
+
+    def levels_of(self, ids):
+        r, d, _ = self.decode(ids)
+        return self.r_level[r] + 3 * d
+
+    def paths_of(self, ids):
+        _, d, m = self.decode(ids)
+        return self._path_words(d, m)
+
+    def child_paths(self, q, rslot):
+        """Path words of child slots: parent's path with digit (slot+1)
+        appended at the parent's depth."""
+        _, d, m = self.decode(q)
+        pw = self._path_words(d, m)
+        dig = rslot + 1
+        out = []
+        for k in range(2):
+            lo_k, hi_k = 6 * k, 6 * k + 6
+            sh = jnp.clip(5 * (5 - (d - 6 * k)), 0, 25)
+            in_word = (d >= lo_k) & (d < hi_k)
+            out.append(pw[k] + jnp.where(in_word, dig << sh, 0))
+        return out
+
+    def O0_full(self):
+        """Dense O scratch [nn+1]: root pre-assignment ranks, zeros below."""
+        return jnp.concatenate(
+            [
+                self.O0_head,
+                jnp.zeros(self.nn + 1 - self.nroots, jnp.int32),
+            ]
+        )
+
+
+_VIRTUAL: Dict[Tuple[int, int, int], VirtualLisIndex] = {}
+
+
+def virtual_lis_index(dims) -> VirtualLisIndex:
+    key = tuple(int(d) for d in dims)
+    vi = _VIRTUAL.get(key)
+    if vi is None:
+        vi = VirtualLisIndex(key)
+        _VIRTUAL[key] = vi
+    return vi
+
+
+def _morton_flatten(box: jnp.ndarray, d: int) -> jnp.ndarray:
+    """(L, L, L) cells, L = 2^d -> flat [L^3] in morton order (x fastest):
+    d rounds of per-axis MSB split + transpose; pure data movement."""
+    out = box[None]
+    l = box.shape[0]
+    for _ in range(d):
+        B = out.shape[0]
+        out = out.reshape(B, 2, l // 2, 2, l // 2, 2, l // 2)
+        out = out.transpose(0, 1, 3, 5, 2, 4, 6)
+        out = out.reshape(B * 8, l // 2, l // 2, l // 2)
+        l //= 2
+    return out.reshape(-1)
+
+
+def pixel_schedule_virtual(mags: jnp.ndarray, vf: VirtualLisIndex, num_bp):
+    """(s, e, node_max-in-BFS-id-order) for a power-of-two cube, from plain
+    max-pool pyramids — no gather tables, no host tree build.  Matches
+    pixel_schedule / pixel_schedule_pyramid outputs exactly."""
+    from .speck_jax import msbp1_device
+
+    N = vf.dims[0]
+    K = vf.K
+    pm = msbp1_device(mags)
+    vol = pm.reshape(N, N, N)
+    levels = [None] * (K + 1)
+    levels[K] = vol
+    cur = vol
+    for g in range(K - 1, -1, -1):
+        sz = cur.shape[0]
+        cur = cur.reshape(sz // 2, 2, sz // 2, 2, sz // 2, 2).max(
+            axis=(1, 3, 5)
+        )
+        levels[g] = cur
+
+    parts = []
+    for d in range(vf.depth_max + 1):
+        for r in range(int(vf.h_r0[d]), vf.nroots):
+            s_log = int(vf.h_slog[r])
+            g = K - (s_log - d)  # grid whose cells are the depth-d boxes
+            cell = 1 << (s_log - d)
+            ox, oy, oz = (int(v) // cell for v in vf.h_org[r])
+            L = 1 << d
+            box = jax.lax.slice(
+                levels[g], (oz, oy, ox), (oz + L, oy + L, ox + L)
+            )
+            parts.append(_morton_flatten(box, d))
+    nm = jnp.concatenate(parts).astype(jnp.int32)
+
+    s = jnp.where(pm > 0, num_bp - pm, _NEVER).astype(jnp.int32)
+    # every pixel's parent set is its aligned 2x2x2 box (all roots have
+    # side >= 2): broadcast the box max back over its 8 pixels
+    pmax = levels[K - 1]
+    e_cell = jnp.where(pmax > 0, num_bp - pmax.astype(jnp.int32), _NEVER)
+    h = N // 2
+    e = jnp.broadcast_to(
+        e_cell[:, None, :, None, :, None], (h, 2, h, 2, h, 2)
+    ).reshape(-1)
+    return s, e, nm
+
+
+__all__ = [
+    "VirtualLisIndex",
+    "virtual_lis_index",
+    "pixel_schedule_virtual",
+    "_is_pow2_cube",
+]

@@ -212,6 +212,7 @@ def _dense_encode_wave(
     traffic for the entropy stage is stream-sized."""
     from ..ops import speck_jax as sj
     from ..ops import speck_lis_jax as sl
+    from ..ops import speck_virtual as svirt
 
     out, ll = _encode_core(batch, mode, quality, cap, out_cap, residual)
     B, n = ll.shape
@@ -220,14 +221,23 @@ def _dense_encode_wave(
     # expose most pixels, so the compaction is a transfer/packing aid, not a
     # work bound; pass a smaller cap only to trade fallbacks for memory.
     wave_cap = n if wave_cap <= 0 else min(wave_cap, n)
-    # pyramid-form schedule (regular max-pools) for dyadic dims; the
-    # child-table segment reductions otherwise
-    try:
-        pti = sj.pyramid_index(dims3)
-    except ValueError:
-        pti = None
-    ti = None if pti is not None else sj.tree_index(dims3)
-    li = sl.lis_index(dims3)
+    # index tiers: table-free virtual forest for power-of-two cubes (the
+    # production chunk shape), pyramid-form schedule + table walk for other
+    # dyadic dims, child-table segment reductions otherwise
+    vfi = (
+        svirt.virtual_lis_index(dims3)
+        if svirt._is_pow2_cube(dims3)
+        else None
+    )
+    pti = None
+    ti = None
+    if vfi is None:
+        try:
+            pti = sj.pyramid_index(dims3)
+        except ValueError:
+            pti = None
+        ti = None if pti is not None else sj.tree_index(dims3)
+    li = vfi if vfi is not None else sl.lis_index(dims3)
     # total bytes for the concatenated segments, sized by the candidate cap;
     # overflow (counted on device) falls back to host entropy
     cap_total = min(n, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
@@ -236,7 +246,9 @@ def _dense_encode_wave(
         mags = jnp.abs(row).astype(jnp.uint32)
         pm = sj.msbp1_device(mags)
         num_bp = jnp.max(pm)
-        if pti is not None:
+        if vfi is not None:
+            s, e, nm = svirt.pixel_schedule_virtual(mags, vfi, num_bp)
+        elif pti is not None:
             s, e, nm = sj.pixel_schedule_pyramid(mags, pti, num_bp)
         else:
             s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
@@ -620,13 +632,18 @@ class TpuCompressor3D:
             if self.entropy == "wave":
                 from ..ops import speck_jax as sj
                 from ..ops import speck_lis_jax as sl
+                from ..ops import speck_virtual as svirt
 
-                # build static indexes outside any jit trace (tracer safety)
-                try:
-                    sj.pyramid_index((lx, ly, lz))
-                except ValueError:
-                    sj.tree_index((lx, ly, lz))
-                li = sl.lis_index((lx, ly, lz))
+                # build static indexes outside any jit trace (tracer safety);
+                # power-of-two cubes use the table-free virtual forest
+                if svirt._is_pow2_cube((lx, ly, lz)):
+                    li = svirt.virtual_lis_index((lx, ly, lz))
+                else:
+                    try:
+                        sj.pyramid_index((lx, ly, lz))
+                    except ValueError:
+                        sj.tree_index((lx, ly, lz))
+                    li = sl.lis_index((lx, ly, lz))
                 # node_cap defaults to the EXACT node count (never overflows;
                 # production tolerances make nearly every set significant);
                 # node_cap_frac < 1 trades fallbacks for device memory.

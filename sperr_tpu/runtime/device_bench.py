@@ -187,18 +187,24 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
     from ..ops import speck_jax as sj
     from ..ops import speck_lis_jax as sl
 
+    from ..ops import speck_virtual as svirt
+
     rng = np.random.default_rng(5)
     vol = rng.normal(size=(n, n, n)).astype(np.float32) * 0.05
     x = jnp.asarray(vol)
     nelems = n * n * n
     num_bp_cap = 34
-    try:
-        pti = sj.pyramid_index((n, n, n))
-        ti = None
-    except ValueError:
-        pti = None
-        ti = sj.tree_index((n, n, n))
-    li = sl.lis_index((n, n, n))
+    vfi = svirt.virtual_lis_index((n, n, n)) if svirt._is_pow2_cube(
+        (n, n, n)
+    ) else None
+    pti = None
+    ti = None
+    if vfi is None:
+        try:
+            pti = sj.pyramid_index((n, n, n))
+        except ValueError:
+            ti = sj.tree_index((n, n, n))
+    li = vfi if vfi is not None else sl.lis_index((n, n, n))
     node_cap = li.nn
     ev_cap = max(4096, 3 * nelems)
     wave_cap = nelems
@@ -216,7 +222,9 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         mags = jnp.abs(ll).astype(jnp.uint32)
         pm = sj.msbp1_device(mags)
         num_bp = jnp.max(pm)
-        if pti is not None:
+        if vfi is not None:
+            s, e, nm = svirt.pixel_schedule_virtual(mags, vfi, num_bp)
+        elif pti is not None:
             s, e, nm = sj.pixel_schedule_pyramid(mags, pti, num_bp)
         else:
             s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
@@ -329,11 +337,16 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     cap = max(1024, nelems // 4)
     out_cap = max(256, nelems // 64)
     num_bp_cap = 34
-    try:
-        sj.pyramid_index((n, n, n))
-    except ValueError:
-        sj.tree_index((n, n, n))
-    li = sl.lis_index((n, n, n))
+    from ..ops import speck_virtual as svirt
+
+    if svirt._is_pow2_cube((n, n, n)):
+        li = svirt.virtual_lis_index((n, n, n))
+    else:
+        try:
+            sj.pyramid_index((n, n, n))
+        except ValueError:
+            sj.tree_index((n, n, n))
+        li = sl.lis_index((n, n, n))
     node_cap = li.nn  # production default: exact
     lis_row_cap = max(4096, 3 * nelems)  # event cap (see parallel/batched.py)
 
