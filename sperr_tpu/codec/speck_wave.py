@@ -987,22 +987,22 @@ def stitch_2d(
     mags: np.ndarray = None,
     s_lin: np.ndarray = None,
     iset_max: np.ndarray = None,
+    lis_segments=None,
 ) -> bytes:
     """2D analog of stitch_3d: assemble the stream from pixel schedules
-    (device-supplied segments optional) plus the quad/I-set walk.  When the
-    segments are supplied, only s_lin (or pmsb), signs, node_max, and the
-    I-region maxima are needed."""
+    (device-supplied segments optional) plus the quad/I-set walk.  When
+    all three segment families are supplied (the full device-entropy
+    path, ops/speck_lis2_jax.py), this is pure concatenation."""
     nx, ny = dims
     n = nx * ny
     tree = build_tree2((nx, ny))
     budget = (budget_bits + 7) // 8 * 8 if budget_bits else None
 
-    node_s = np.where(node_max > 0, num_bp - node_max, _NEVER).astype(np.int32)
-    if iset_max is None:
-        iset_max = _iset_maxes(tree, pmsb.reshape(ny, nx))
-    iset_s = np.where(iset_max > 0, num_bp - iset_max, _NEVER).astype(np.int32)
-
-    if s_lin is None:
+    if lis_segments is None or lip_segments is None:
+        node_s = np.where(node_max > 0, num_bp - node_max, _NEVER).astype(
+            np.int32
+        )
+    if s_lin is None and pmsb is not None:
         s_lin = np.where(pmsb > 0, num_bp - pmsb, _NEVER).astype(np.int32)
     if lip_segments is None:
         e_lin = np.full(n, _NEVER, dtype=np.int32)
@@ -1015,11 +1015,22 @@ def stitch_2d(
         rs = s_lin[rnz]
         rmag = mags[rnz].astype(np.uint64)
 
-    # LIS bits: the set walk (quad partitions + I-set) as a lexicographic
-    # sort (codec/speck_sorted.py) — no recursion in the 2D encoder either.
-    from .speck_sorted import lis_segments_sorted_2d
+    if lis_segments is not None:
+        lis_all = lis_segments
+    else:
+        if iset_max is None:
+            iset_max = _iset_maxes(tree, pmsb.reshape(ny, nx))
+        iset_s = np.where(
+            iset_max > 0, num_bp - iset_max, _NEVER
+        ).astype(np.int32)
+        # LIS bits: the set walk (quad partitions + I-set) as a
+        # lexicographic sort (codec/speck_sorted.py) — no recursion in the
+        # 2D encoder either.
+        from .speck_sorted import lis_segments_sorted_2d
 
-    lis_all = lis_segments_sorted_2d(tree, node_s, s_lin, signs, num_bp, iset_s)
+        lis_all = lis_segments_sorted_2d(
+            tree, node_s, s_lin, signs, num_bp, iset_s
+        )
 
     segments: List[np.ndarray] = []
     total = 0

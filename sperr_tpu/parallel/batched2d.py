@@ -10,10 +10,12 @@ over a `jax.sharding.Mesh` 'slices' axis.  Entropy:
   * "host": the native SPECK2D engine consumes the (compacted) quantized
     coefficients on a thread pool — stream-identical to the f32 device
     contract of the 3D driver.
-  * "wave": per-pixel LIP/refinement bit segments are computed on device
-    (ops/speck_jax.pass_segments_packed_sparse); the host runs the 2D
-    quad/I-set walk (codec/speck_wave.stitch_2d) over device-computed
-    per-set maxima.  Containers are byte-identical to "host".
+  * "wave": the COMPLETE entropy stage on device — event-form LIP and
+    refinement segments plus the quad/I-set walk
+    (ops/speck_lis2_jax.lis2_segments_device); the host only concatenates
+    byte-aligned segments (codec/speck_wave.stitch_2d with precomputed
+    lis_segments).  Containers are byte-identical to "host", and the
+    device->host entropy traffic is stream-sized.
 
 PWE certification follows parallel/batched.py's dual scheme: the device
 scans the residual of the decode program it ships (f32), the host scans
@@ -134,42 +136,70 @@ def _dense_encode2(batch, mode: str, quality: float, cap: int, out_cap: int,
 @partial(
     jax.jit,
     static_argnames=("mode", "quality", "cap", "out_cap", "num_bp_cap", "dims2",
-                     "residual"),
+                     "residual", "node_cap", "ev_cap", "wave_cap"),
 )
 def _dense_encode2_wave(batch, mode: str, quality: float, cap: int, out_cap: int,
                         num_bp_cap: int, dims2: Tuple[int, int],
-                        residual: str = "dual"):
-    """2D dense stages + device pixel bit-work: per-pass packed LIP and
-    refinement segments plus per-set maxima; the host runs the quad/I-set
-    walk (SPECK2D_INT.cpp:11-97 order) and stitches."""
+                        residual: str = "dual", node_cap: int = 1024,
+                        ev_cap: int = 4096, wave_cap: int = 0):
+    """2D dense stages + the COMPLETE device entropy stage: event-form LIP
+    and refinement segments (ops/speck_jax.pass_segments_events) plus the
+    quad/I-set walk (ops/speck_lis2_jax.lis2_segments_device) all on the
+    device; the host only concatenates byte-aligned segments.  Mirrors the
+    3D _dense_encode_wave — device->host entropy traffic is stream-sized."""
     from ..ops import speck_jax as sj
+    from ..ops import speck_lis2_jax as sl2
+    from ..codec.speck_wave import build_tree2
 
     out, ll = _encode_core2(batch, mode, quality, cap, out_cap, residual)
     B, n = ll.shape
+    nx, ny = dims2
     ti = sj.tree_index(dims2)
+    li2 = sl2.lis2_index(dims2)
+    tree2 = build_tree2(dims2)
+    wave_cap = n if wave_cap <= 0 else min(wave_cap, n)
+    cap_total = min(n, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
 
     def one(row, sgn_row):
         mags = jnp.abs(row).astype(jnp.uint32)
         pm = sj.msbp1_device(mags)
         num_bp = jnp.max(pm)
         s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
-        lip, lip_c, ref, ref_c = sj.pass_segments_packed_sparse(
-            mags, sgn_row, s, e, num_bp, num_bp_cap
+        exposed = e < num_bp
+        n_exp = jnp.sum(exposed).astype(jnp.int32)
+        (ci,) = jnp.nonzero(exposed, size=wave_cap, fill_value=n)
+        ok = ci < n
+        cis = jnp.minimum(ci, n - 1)
+        s_c = jnp.where(ok, s[cis], _WAVE_NEVER)
+        e_c = jnp.where(ok, e[cis], _WAVE_NEVER)
+        m_c = jnp.where(ok, mags[cis], 0)
+        g_c = jnp.where(ok, sgn_row[cis], False)
+        (
+            lip_buf, lip_c, lip_total, ref_buf, ref_c, ref_total, pr_over
+        ) = sj.pass_segments_events(
+            m_c, g_c, s_c, e_c, num_bp, num_bp_cap, ev_cap, cap_total
         )
-        cap_total = n
-        lip_buf, _, lip_total = sj.concat_segments(lip, lip_c, cap_total)
-        ref_buf, _, ref_total = sj.concat_segments(ref, ref_c, cap_total)
+        lip_total = jnp.where(pr_over, jnp.int32(2**30), lip_total)
+        node_s = jnp.where(nm > 0, num_bp - nm, _WAVE_NEVER).astype(jnp.int32)
+        iset_s = sl2.iset_significance_device(
+            pm.reshape(ny, nx), tree2, num_bp
+        )
+        lis_buf, lis_c, lis_total, n_sig = sl2.lis2_segments_device(
+            node_s, s, sgn_row, num_bp, iset_s, li2, num_bp_cap, node_cap,
+            ev_cap, cap_total,
+        )
         return (
-            num_bp.astype(jnp.int32), pm.astype(jnp.int16), nm.astype(jnp.int16),
-            lip_buf, lip_c, lip_total, ref_buf, ref_c, ref_total,
+            num_bp.astype(jnp.int32), lip_buf, lip_c, lip_total, ref_buf,
+            ref_c, ref_total, lis_buf, lis_c, lis_total, n_sig, n_exp,
         )
 
     signs = ll >= 0
     res = jax.vmap(one)(ll, signs)
     out["wave"] = dict(
-        num_bp=res[0], pm=res[1], nm=res[2],
-        lip=res[3], lip_c=res[4], lip_total=res[5],
-        ref=res[6], ref_c=res[7], ref_total=res[8], signs=signs,
+        num_bp=res[0], lip=res[1], lip_c=res[2], lip_total=res[3],
+        ref=res[4], ref_c=res[5], ref_total=res[6],
+        lis=res[7], lis_c=res[8], lis_total=res[9],
+        n_sig=res[10], n_exposed=res[11],
     )
     return out
 
@@ -257,24 +287,32 @@ class TpuCompressor2D:
         wave = None
         if self.entropy == "wave":
             from ..ops import speck_jax as sj
+            from ..ops import speck_lis2_jax as sl2
 
-            sj.tree_index((nx, ny))  # build outside the trace
+            # build static indexes outside the trace
+            sj.tree_index((nx, ny))
+            li2 = sl2.lis2_index((nx, ny))
+            node_cap = li2.nn  # exact: the walk never overflows on nodes
+            ev_cap = max(4096, 3 * n)
             res = _dense_encode2_wave(
                 dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                (nx, ny), resid_mode,
+                (nx, ny), resid_mode, node_cap, ev_cap, n,
             )
             wdev = res.pop("wave")
+            # counts first, then total-trimmed fetches of the concatenated
+            # segment buffers: device->host entropy traffic is stream-sized
             wave = {
                 k: np.asarray(jax.device_get(wdev[k]))
-                for k in ("num_bp", "lip_c", "ref_c", "lip_total", "ref_total")
+                for k in ("num_bp", "lip_c", "ref_c", "lis_c", "lip_total",
+                          "ref_total", "lis_total", "n_sig", "n_exposed")
             }
+            wave["caps"] = (node_cap, ev_cap, n)
             lip_b = int(wave["lip_total"].max()) if B else 0
             ref_b = int(wave["ref_total"].max()) if B else 0
+            lis_b = int(wave["lis_total"].max()) if B else 0
             wave["lip"] = np.asarray(jax.device_get(wdev["lip"][:, :lip_b]))
             wave["ref"] = np.asarray(jax.device_get(wdev["ref"][:, :ref_b]))
-            wave["pm"] = np.asarray(jax.device_get(wdev["pm"]))
-            wave["nm"] = np.asarray(jax.device_get(wdev["nm"]))
-            wave["signs"] = np.asarray(jax.device_get(wdev["signs"]))
+            wave["lis"] = np.asarray(jax.device_get(wdev["lis"][:, :lis_b]))
         else:
             res = _dense_encode2(
                 dev, mode, float(quality), cap, out_cap, resid_mode
@@ -321,7 +359,18 @@ class TpuCompressor2D:
             condi = _condi_header(False, 0.0, 0, mean, q)
 
             m = int(nnz[k])
-            if wave is not None:
+            nc, evc, wc = wave["caps"] if wave is not None else (0, 0, 0)
+            cap_total = min(n, (2 * wc * (self.num_bp_cap + 4)) // 8 + 8)
+            use_wave = (
+                wave is not None
+                and int(wave["n_sig"][k]) <= nc
+                and int(wave["n_exposed"][k]) <= wc
+                and int(wave["num_bp"][k]) <= self.num_bp_cap
+                and int(wave["lip_total"][k]) <= cap_total
+                and int(wave["ref_total"][k]) <= cap_total
+                and int(wave["lis_total"][k]) <= cap_total
+            )
+            if use_wave:
                 body = self._stitch_wave2(wave, k, budget)
             else:
                 mags = np.zeros(n, dtype=np.int32)
@@ -373,6 +422,10 @@ class TpuCompressor2D:
         return streams
 
     def _stitch_wave2(self, wave, k: int, budget: int) -> bytes:
+        """Host half of the 2D device-entropy path: pure per-pass
+        concatenation of the device's packed LIP / LIS / refinement
+        segments — the quad/I-set walk bits were computed on the device
+        (ops/speck_lis2_jax.py)."""
         from ..codec import speck_wave as sw
 
         nx, ny = self.dims
@@ -392,9 +445,11 @@ class TpuCompressor2D:
 
         lip_segments = unconcat(wave["lip"][k], wave["lip_c"][k])
         ref_segments = unconcat(wave["ref"][k], wave["ref_c"][k])
+        lis_segments = unconcat(wave["lis"][k], wave["lis_c"][k])
         return sw.stitch_2d(
-            wave["pm"][k], wave["signs"][k], wave["nm"][k], (nx, ny), num_bp,
+            None, None, None, (nx, ny), num_bp,
             lip_segments, ref_segments, budget,
+            lis_segments=lis_segments,
         )
 
 
