@@ -228,6 +228,37 @@ def pass_segments_packed_sparse(
     return lip, lip_c, ref, ref_c
 
 
+def compact_schedule_by_sort(exposed, s, e, mags, signs, cap: int):
+    """Compact the exposed-pixel schedule with ONE payload-carrying sort.
+
+    Replaces nonzero + 4 index gathers (cumsum+scatter plus ~0.5 GB/s
+    gathers at n scale on TPU; docs/PALLAS.md) with a single 3-operand
+    sort: key = index for exposed pixels, n past the end otherwise, so the
+    sorted prefix is the compaction in ascending-index (emission) order.
+    s/e are clipped to 7 bits — consumers only compare them against
+    num_bp <= 64, so any clipped NEVER stays larger than every real pass.
+
+    Returns (s_c, e_c, m_c i32, g_c bool, n_exp) of length cap."""
+    n = s.shape[0]
+    key = jnp.where(exposed, jnp.arange(n, dtype=jnp.int32), n)
+    w1 = (
+        jnp.clip(s, 0, 127)
+        | (jnp.clip(e, 0, 127) << 7)
+        | (signs.astype(jnp.int32) << 14)
+    )
+    _, w1_s, m_s = jax.lax.sort(
+        (key, w1, mags.astype(jnp.int32)), num_keys=1, is_stable=False
+    )
+    n_exp = jnp.sum(exposed).astype(jnp.int32)
+    ok = jnp.arange(cap, dtype=jnp.int32) < n_exp
+    w1_c = w1_s[:cap]
+    s_c = jnp.where(ok, w1_c & 127, _NEVER)
+    e_c = jnp.where(ok, (w1_c >> 7) & 127, _NEVER)
+    g_c = jnp.where(ok, ((w1_c >> 14) & 1) == 1, False)
+    m_c = jnp.where(ok, m_s[:cap], 0)
+    return s_c, e_c, m_c, g_c, n_exp
+
+
 def events_to_segments(p_key, sec_key, bits, num_bp_cap: int, cap_total: int):
     """Sort emission events by (pass, secondary order) into a byte-aligned
     concatenation of per-pass segments — scatter-free.

@@ -253,17 +253,13 @@ def _dense_encode_wave(
         else:
             s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
         # candidate compaction: only ever-exposed pixels emit LIP/refinement
-        # bits, and nonzero ascending indices preserve the emission order —
-        # per-pass work shrinks from O(n) to O(significant neighborhood)
+        # bits; one payload-carrying sort compacts them in ascending-index
+        # (emission) order — per-pass work shrinks from O(n) to
+        # O(significant neighborhood) with no n-scale gathers
         exposed = e < num_bp
-        n_exp = jnp.sum(exposed).astype(jnp.int32)
-        (ci,) = jnp.nonzero(exposed, size=wave_cap, fill_value=n)
-        ok = ci < n
-        cis = jnp.minimum(ci, n - 1)
-        s_c = jnp.where(ok, s[cis], _WAVE_NEVER)
-        e_c = jnp.where(ok, e[cis], _WAVE_NEVER)
-        m_c = jnp.where(ok, mags[cis], 0)
-        g_c = jnp.where(ok, sgn_row[cis], False)
+        s_c, e_c, m_c, g_c, n_exp = sj.compact_schedule_by_sort(
+            exposed, s, e, mags, sgn_row, wave_cap
+        )
         # event-form LIP/refinement emission (one sort + one scatter over
         # the emitted bits instead of a per-pass compaction loop)
         (

@@ -166,14 +166,9 @@ def _dense_encode2_wave(batch, mode: str, quality: float, cap: int, out_cap: int
         num_bp = jnp.max(pm)
         s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
         exposed = e < num_bp
-        n_exp = jnp.sum(exposed).astype(jnp.int32)
-        (ci,) = jnp.nonzero(exposed, size=wave_cap, fill_value=n)
-        ok = ci < n
-        cis = jnp.minimum(ci, n - 1)
-        s_c = jnp.where(ok, s[cis], _WAVE_NEVER)
-        e_c = jnp.where(ok, e[cis], _WAVE_NEVER)
-        m_c = jnp.where(ok, mags[cis], 0)
-        g_c = jnp.where(ok, sgn_row[cis], False)
+        s_c, e_c, m_c, g_c, n_exp = sj.compact_schedule_by_sort(
+            exposed, s, e, mags, sgn_row, wave_cap
+        )
         (
             lip_buf, lip_c, lip_total, ref_buf, ref_c, ref_total, pr_over
         ) = sj.pass_segments_events(

@@ -234,13 +234,9 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         ll, mags, s, e, nm, num_bp = to_sched(y)
         sgn = ll >= 0
         exposed = e < num_bp
-        (ci,) = jnp.nonzero(exposed, size=wave_cap, fill_value=nelems)
-        ok = ci < nelems
-        cis = jnp.minimum(ci, nelems - 1)
-        s_c = jnp.where(ok, s[cis], _W_NEVER)
-        e_c = jnp.where(ok, e[cis], _W_NEVER)
-        m_c = jnp.where(ok, mags[cis].astype(jnp.int32), 0)
-        g_c = jnp.where(ok, sgn[cis], False)
+        s_c, e_c, m_c, g_c, _ = sj.compact_schedule_by_sort(
+            exposed, s, e, mags, sgn, wave_cap
+        )
         return ll, s, e, nm, num_bp, sgn, s_c, e_c, m_c, g_c
 
     def to_lip_expand(y):
