@@ -197,7 +197,17 @@ def lis_segments_device(
     n_sig = jnp.sum(node_s < _NEVER).astype(jnp.int32)
 
     # ---- significant sets (the partitioned parents), compacted ------------
-    (sid,) = jnp.nonzero(node_s < _NEVER, size=C, fill_value=nn)
+    # sort compaction: the key IS the node id, so one 1-operand sort
+    # replaces nonzero's cumsum+scatter (no gathers)
+    sig_key = jnp.where(
+        node_s < _NEVER, jnp.arange(nn, dtype=jnp.int32), nn
+    )
+    (sid_s,) = jax.lax.sort((sig_key,), num_keys=1, is_stable=False)
+    if C > nn:  # caps may exceed the node count; pad with invalid ids
+        sid_s = jnp.concatenate(
+            [sid_s, jnp.full(C - nn, nn, jnp.int32)]
+        )
+    sid = sid_s[:C]
     svalid = sid < nn
     q = jnp.minimum(sid, nn - 1)                     # [C]
     slot = jnp.arange(MC, dtype=jnp.int32)
@@ -238,12 +248,15 @@ def lis_segments_device(
     # instead of mis-ranking.
     CB = min(R, nn)
     n_born = jnp.sum(bornf).astype(jnp.int32)
-    (bsel,) = jnp.nonzero(bornf, size=CB, fill_value=R)
-    bok = bsel < R
-    bs = jnp.minimum(bsel, R - 1)
-    c_bid = jnp.where(bok, bidf[bs], nn)
-    c_bn = jnp.where(bok, bnf[bs], _BIG)
-    c_an = jnp.where(bok, anf[bs], nn)
+    # payload-carrying sort compaction of the born rows (id, birth, anchor)
+    bkey = jnp.where(bornf, jnp.arange(R, dtype=jnp.int32), R)
+    bkey_s, bid_s, bn_s, an_s = jax.lax.sort(
+        (bkey, bidf, bnf, anf), num_keys=1, is_stable=False
+    )
+    bok = bkey_s[:CB] < R
+    c_bid = jnp.where(bok, bid_s[:CB], nn)
+    c_bn = jnp.where(bok, bn_s[:CB], _BIG)
+    c_an = jnp.where(bok, an_s[:CB], nn)
     bidc = jnp.minimum(c_bid, nn - 1)
     c_lev = li.levels_of(bidc)
     c_pw = li.paths_of(bidc)                   # list of path words [CB]

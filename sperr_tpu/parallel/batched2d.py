@@ -84,9 +84,11 @@ def _encode_core2(batch, mode: str, quality: float, cap: int, out_cap: int,
     maxmag = jnp.max(jnp.abs(ll), axis=1)
 
     def compact(row):
-        (idx,) = jnp.nonzero(row != 0, size=cap, fill_value=n)
-        vals = jnp.where(idx < n, row[jnp.minimum(idx, n - 1)], 0)
-        return idx.astype(jnp.int32), vals
+        # payload-carrying sort compaction (see batched._encode_core)
+        key = jnp.where(row != 0, jnp.arange(n, dtype=jnp.int32), n)
+        key_s, val_s = jax.lax.sort((key, row), num_keys=1, is_stable=False)
+        idx = key_s[:cap]
+        return idx, jnp.where(idx < n, val_s[:cap], 0)
 
     idx, vals = jax.vmap(compact)(ll)
     out = dict(
@@ -118,9 +120,10 @@ def _encode_core2(batch, mode: str, quality: float, cap: int, out_cap: int,
         out["n_out"] = jnp.sum(omask, axis=1).astype(jnp.int32)
 
         def compact_out(m, d):
-            (oi,) = jnp.nonzero(m, size=out_cap, fill_value=n)
-            ov = jnp.where(oi < n, d[jnp.minimum(oi, n - 1)], 0.0)
-            return oi.astype(jnp.int32), ov
+            key = jnp.where(m, jnp.arange(n, dtype=jnp.int32), n)
+            key_s, d_s = jax.lax.sort((key, d), num_keys=1, is_stable=False)
+            oi = key_s[:out_cap]
+            return oi, jnp.where(oi < n, d_s[:out_cap], 0.0)
 
         out["out_idx"], out["out_vals"] = jax.vmap(compact_out)(omask, diff)
     return out, ll
