@@ -116,14 +116,9 @@ class LisIndex:
         vidx = crow >> 1
         return cnt, rvalid, ispx, isnd, vidx
 
-    def anchors(self, q, bq, svalid, node_s):
-        """Chain anchors: walk parents while their partition pass == bq."""
-        anchor = q
-        for _ in range(self.depth_max + 1):
-            pa = self.parent[anchor]
-            move = (pa >= 0) & (node_s[jnp.maximum(pa, 0)] == bq) & svalid
-            anchor = jnp.where(move, jnp.maximum(pa, 0), anchor)
-        return anchor
+    def parents_of(self, ids):
+        """Parent node id per node (-1 at roots)."""
+        return self.parent[ids]
 
     def levels_of(self, ids):
         return self.level[ids]
@@ -183,7 +178,8 @@ def lis_segments_device(
     falls back to the host stitcher.
 
     Cost shape (all device): two child-table gathers at R = sig-parents x
-    max-children, depth_max+1 rank-refinement sorts over <= node-count
+    max-children, ~log2(depth) rank-doubling sorts over the node table
+    plus ONE insertion-rank sort over <= node-count
     rows, ONE payload-carrying item sort over born-entries + child rows,
     a forward-fill interval expansion (no event-scale gathers), and one
     stable pass sort + one scatter over the emitted bits.  `li` is either
@@ -228,10 +224,61 @@ def lis_segments_device(
     last = slot[None, :] == cnt[:, None] - 1
     emitted = ((prev_any > 0) | ~last) & rvalid
 
-    # ---- anchors (per parent; equals each row's `top` and each born
-    # child's chain anchor) -------------------------------------------------
-    bq = rowpass                                      # birth pass of the rows
-    anchor = li.anchors(q, bq, svalid, node_s)
+    # ---- anchors + transitive anchor ranks ---------------------------------
+    # A node's chain anchor is its topmost ancestor reachable through nodes
+    # partitioning at the SAME pass.  Instead of walking parents depth_max
+    # times per row, build the per-node same-pass pointer once and
+    # pointer-double it (log2(depth) gathers over the node table); the
+    # rows' anchors are then one gather.
+    ids = jnp.arange(nn, dtype=jnp.int32)
+    par = li.parents_of(ids)                    # -1 at roots
+    is_root = par < 0
+    par_c = jnp.maximum(par, 0)
+    ns_par = node_s[par_c]
+    J = jnp.where((~is_root) & (ns_par == node_s), par_c, ids)
+    for _ in range(max(1, li.depth_max.bit_length())):
+        J = J[J]
+    anchor = jnp.where(svalid, J[q], q)
+
+    # Transitive anchor RANKS: the insertion-rank recursion O(x) =
+    # rank_within_level(bn, alev, O(anchor), path) unrolls along the anchor
+    # chain x -> a1 -> a2 -> ... (a_{i+1} = same-pass anchor of parent(a_i),
+    # ending at a root) into the lexicographic order of the chain's hop-word
+    # string  [u(a1), u(a2), ..., u(root)]  followed by path(x):
+    #   u(z) = (0 | O0(z))                    for roots
+    #        = (1 | bn(z) | 31 - lev(next(z))) for born nodes
+    # (every intermediate path(a_i) is a prefix of path(x) and a_i, a_i'
+    # compared at the same slot share a level, so comparing path(x) alone is
+    # sign-identical; roots order before born nodes at the same level exactly
+    # as their pre-assigned O0 < every born rank).  The strings are ranked
+    # with suffix-array doubling — ceil(log2(depth)) two-key sorts over the
+    # node table — replacing the old per-sweep refinement loop (depth_max+1
+    # five-operand sorts) with ONE final ranking sort below.
+    nxt = jnp.where(is_root, nn, J[par_c])
+    nxt = jnp.concatenate([nxt, jnp.full(1, nn, jnp.int32)])  # terminal pad
+    lev_all = li.levels_of(ids)
+    lev_nxt = lev_all[jnp.minimum(nxt[:nn], nn - 1)]
+    u = jnp.where(
+        is_root,
+        li.O0_full()[:nn],
+        (1 << 11) | (jnp.clip(ns_par, 0, 63) << 5) | (31 - lev_nxt),
+    )
+    R_rank = jnp.concatenate([u, jnp.zeros(1, jnp.int32)])
+    iota_n1 = jnp.arange(nn + 1, dtype=jnp.int32)
+    for _ in range(max(1, li.depth_max.bit_length())):
+        r1s, r2s, idx_s = jax.lax.sort(
+            (R_rank, R_rank[nxt], iota_n1), num_keys=2, is_stable=False
+        )
+        diff = jnp.concatenate(
+            [
+                jnp.zeros(1, jnp.int32),
+                ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(
+                    jnp.int32
+                ),
+            ]
+        )
+        R_rank = jnp.zeros(nn + 1, jnp.int32).at[idx_s].set(jnp.cumsum(diff))
+        nxt = nxt[nxt]
 
     # ---- O: per-level insertion order of born nodes (roots pre-assigned) --
     R = C * MC
@@ -262,13 +309,12 @@ def lis_segments_device(
     c_pw = li.paths_of(bidc)                   # list of path words [CB]
     c_alev5 = 31 - li.levels_of(jnp.minimum(c_an, nn - 1))
 
-    # Rank refinement: O(x) within level = rank by (level, birth pass,
-    # anchor level finer-first, O(anchor), path).  Anchor chains strictly
-    # ascend the tree, so depth_max+1 refinement sweeps converge every
-    # rank — independent of the bitplane count (the old loop ran one sort
-    # per PASS).  Level, birth and anchor-level pack into one key word;
-    # paths use two words when the tree is shallow enough (always, for
-    # production chunk dims).
+    # Insertion ranks in ONE sort: O(x) within level = rank by (level,
+    # birth pass, anchor level finer-first, TRANSITIVE anchor rank, path).
+    # R_rank already encodes the whole O(anchor) recursion, so no
+    # refinement sweeps are needed.  Level, birth and anchor-level pack
+    # into one key word; paths use two words when the tree is shallow
+    # enough (always, for production chunk dims).
     k_lba = jnp.where(
         bok,
         (c_lev << 11) | (jnp.clip(c_bn, 0, 63) << 5) | c_alev5,
@@ -280,17 +326,12 @@ def lis_segments_device(
     lstarts = jnp.cumsum(counts_lev) - counts_lev
     iota_cb = jnp.arange(CB, dtype=jnp.int32)
 
-    def refine(_, O_buf):
-        a_ord = O_buf[c_an]
-        ops = (k_lba, a_ord, *c_pw, iota_cb)
-        out = jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=False)
-        order = out[-1]
-        rankpos = jnp.zeros(CB, jnp.int32).at[order].set(iota_cb)
-        o_val = li.off0[c_lev] + (rankpos - lstarts[c_lev])
-        return O_buf.at[jnp.where(bok, c_bid, nn)].set(o_val, mode="drop")
-
-    O_buf = li.O0_full()
-    O_buf = jax.lax.fori_loop(0, li.depth_max + 1, refine, O_buf)
+    a_rank = R_rank[jnp.minimum(c_an, nn)]
+    ops_o = (k_lba, a_rank, *c_pw, iota_cb)
+    out_o = jax.lax.sort(ops_o, num_keys=len(ops_o) - 1, is_stable=False)
+    rankpos = jnp.zeros(CB, jnp.int32).at[out_o[-1]].set(iota_cb)
+    o_val = li.off0[c_lev] + (rankpos - lstarts[c_lev])
+    O_buf = li.O0_full().at[jnp.where(bok, c_bid, nn)].set(o_val, mode="drop")
     n_sig = jnp.maximum(n_sig, jnp.where(n_born > CB, _BIG, 0))
 
     # ---- w: global walk order over list entries (levels desc, O asc) ------

@@ -214,20 +214,11 @@ class VirtualLisIndex:
         vidx = jnp.where(ispx, lin, self.n + cid)
         return cnt, rvalid, ispx, isnd, vidx
 
-    def anchors(self, q, bq, svalid, node_s):
-        """First strict ancestor chain: walk up while the parent's partition
-        pass equals the rows' birth pass bq.  Returns anchor node ids."""
-        r, d, m = self.decode(q)
-        d_a, m_a = d, m
-        for _ in range(self.depth_max + 1):
-            has_par = d_a > 0
-            pd_ = jnp.maximum(d_a - 1, 0)
-            pm_ = m_a >> 3
-            pid = self.nid(r, pd_, pm_)
-            move = has_par & (node_s[pid] == bq) & svalid
-            d_a = jnp.where(move, pd_, d_a)
-            m_a = jnp.where(move, pm_, m_a)
-        return self.nid(r, d_a, m_a)
+    def parents_of(self, ids):
+        """Parent node id per node (-1 at roots), arithmetically."""
+        r, d, m = self.decode(ids)
+        pid = self.nid(r, jnp.maximum(d - 1, 0), m >> 3)
+        return jnp.where(d > 0, pid, -1)
 
     def levels_of(self, ids):
         r, d, _ = self.decode(ids)
