@@ -19,11 +19,11 @@ classes with *computed sort ranks* after all level-walk items:
 Item order within the I space follows the serial recursion: for k = xf
 down to 1, [pending-I(k) bit][group bit, group block] x3, encoded as the
 static rank 8*(xf-k) + {0; 1+2j; 2+2j}.  Everything else — birth/anchor
-chains, the O-rank refinement (levels, births, anchor classes), walk
-order, pixel signs riding their rows — is the 3D design with two more
-anchor classes (the walk root sorts first, group anchors sort last by
-their static I-event rank, reference QccPack appends I after all level
-lists)."""
+chains, the transitive anchor ranks (levels, births, anchor classes,
+one insertion-rank sort), walk order, pixel signs riding their rows —
+is the 3D design with two more anchor classes (the walk root sorts
+first, group anchors sort last by their static I-event rank, reference
+QccPack appends I after all level lists)."""
 
 from __future__ import annotations
 
@@ -214,13 +214,82 @@ def lis2_segments_device(
     last = slot[None, :] == cnt[:, None] - 1
     emitted = ((prev_any > 0) | ~last) & rvalid
 
-    # ---- anchors: ascend while the parent partitioned at the same pass ----
-    bq = rowpass
-    anchor = q
-    for _ in range(li.depth_max + 1):
-        pa = li.parent[anchor]
-        move = (pa >= 0) & (node_s[jnp.maximum(pa, 0)] == bq) & svalid
-        anchor = jnp.where(move, jnp.maximum(pa, 0), anchor)
+    # ---- anchors + transitive anchor ranks --------------------------------
+    # Same-pass parent pointer per node, pointer-doubled to the chain
+    # fixpoint (the 3D walk's construction, speck_lis_jax.py); the rows'
+    # anchors are then one gather.
+    ids = jnp.arange(nn, dtype=jnp.int32)
+    par = li.parent[ids]
+    has_par = par >= 0
+    par_c = jnp.maximum(par, 0)
+    J = jnp.where(has_par & (node_s[par_c] == node_s), par_c, ids)
+    for _ in range(max(1, (li.depth_max + 2).bit_length())):
+        J = J[J]
+    anchor = jnp.where(svalid, J[q], q)
+
+    # Transitive anchor RANKS: O(z) within a level ranks by (bn, aclass,
+    # a_born, O(anchor(z)), path), so the recursion unrolls along the
+    # anchor chain z -> anchor(z) -> ... into the lexicographic order of
+    # the chain's hop words followed by path(x) (prefix argument: every
+    # path(a_i) is a prefix of path(x) and same-slot anchors share a
+    # level).  The 2D-specific classes become TERMINAL hop words — the
+    # walk root (a_ord 0), root-anchored nodes (a_ord 0), and
+    # group-critical anchors (static I-rank t) — and (aclass, a_born)
+    # inside the word decide termination, so compared chains always end
+    # together.  Strings are ranked by suffix-array doubling; the final
+    # insertion order then needs ONE sort (below) instead of the old
+    # depth_max+2 refinement sweeps.
+    bn_n = jnp.where(
+        li.is_group,
+        iset_s[jnp.clip(li.k_of, 0, xf)],
+        jnp.where(has_par, node_s[par_c], 0),
+    )
+    ar_n = jnp.where(li.is_group | ~has_par, ids, J[par_c])
+    ar_grp_n = li.is_group[ar_n]
+    g_anc_n = ar_grp_n & (
+        (ids == ar_n)
+        | (iset_s[jnp.clip(li.k_of[ar_n], 0, xf)] == node_s[ar_n])
+    )
+    root_self_n = ids == 0
+    root_anc_n = (ar_n == 0) & ~root_self_n
+    aclass_n = jnp.where(
+        root_self_n,
+        0,
+        jnp.where(
+            g_anc_n, 127, 1 + (63 - jnp.clip(li.level[ar_n], 0, 63))
+        ),
+    )
+    a_born_n = jnp.where(root_self_n | root_anc_n, 0, 1)
+    term_n = root_self_n | root_anc_n | g_anc_n | ~has_par
+    t_n = jnp.where(g_anc_n, jnp.clip(li.irank_of[ar_n], 0, 2047), 0)
+    w_n = jnp.where(
+        root_self_n,
+        0,
+        (1 << 25)
+        | (jnp.clip(bn_n, 0, 63) << 19)
+        | (aclass_n << 12)
+        | (a_born_n << 11)
+        | t_n,
+    )
+    nxt = jnp.concatenate(
+        [jnp.where(term_n, nn, ar_n), jnp.full(1, nn, jnp.int32)]
+    )
+    R_rank = jnp.concatenate([w_n, jnp.zeros(1, jnp.int32)])
+    iota_n1 = jnp.arange(nn + 1, dtype=jnp.int32)
+    for _ in range(max(1, (li.depth_max + 2).bit_length())):
+        r1s, r2s, idx_s = jax.lax.sort(
+            (R_rank, R_rank[nxt], iota_n1), num_keys=2, is_stable=False
+        )
+        diff = jnp.concatenate(
+            [
+                jnp.zeros(1, jnp.int32),
+                ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(
+                    jnp.int32
+                ),
+            ]
+        )
+        R_rank = jnp.zeros(nn + 1, jnp.int32).at[idx_s].set(jnp.cumsum(diff))
+        nxt = nxt[nxt]
 
     # immediate-I blocks: the chain anchor is a group partitioned at its
     # own birth (b_group == s_group); their rows move to the I item space
@@ -295,22 +364,27 @@ def lis2_segments_device(
     lstarts = jnp.cumsum(counts_lev) - counts_lev
     iota_cb = jnp.arange(CB2, dtype=jnp.int32)
 
-    def refine(_, O_buf):
-        a_ord = jnp.where(
-            g_anc,
-            li.irank_of[ar],
-            jnp.where(root_self | root_anc, 0, O_buf[jnp.minimum(c_an, nn)]),
-        )
-        ops = (k_lba, a_ord, c_pw[:, 0], c_pw[:, 1], c_pw[:, 2],
-               c_pw[:, 3], iota_cb)
-        out = jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=False)
-        order = out[-1]
-        rankpos = jnp.zeros(CB2, jnp.int32).at[order].set(iota_cb)
-        o_val = rankpos - lstarts[jnp.clip(c_lev, 0, li.nlev - 1)]
-        return O_buf.at[jnp.where(bok, c_bid, nn)].set(o_val, mode="drop")
-
-    O_buf = jnp.zeros(nn + 1, jnp.int32)
-    O_buf = jax.lax.fori_loop(0, li.depth_max + 2, refine, O_buf)
+    # Insertion ranks in ONE sort: R_rank already encodes the whole
+    # O(anchor) recursion; the terminal classes keep their static values
+    # (consistent — (aclass, a_born) in k_lba separates the classes, so
+    # R_rank values only ever compare against other R_rank values).
+    a_ord = jnp.where(
+        g_anc,
+        li.irank_of[ar],
+        jnp.where(
+            root_self | root_anc, 0, R_rank[jnp.minimum(c_an, nn)]
+        ),
+    )
+    ops_o = (k_lba, a_ord, c_pw[:, 0], c_pw[:, 1], c_pw[:, 2],
+             c_pw[:, 3], iota_cb)
+    out_o = jax.lax.sort(ops_o, num_keys=len(ops_o) - 1, is_stable=False)
+    rankpos = jnp.zeros(CB2, jnp.int32).at[out_o[-1]].set(iota_cb)
+    o_val = rankpos - lstarts[jnp.clip(c_lev, 0, li.nlev - 1)]
+    O_buf = (
+        jnp.zeros(nn + 1, jnp.int32)
+        .at[jnp.where(bok, c_bid, nn)]
+        .set(o_val, mode="drop")
+    )
     n_sig = jnp.maximum(n_sig, jnp.where(n_born > CB, _BIG, 0))
 
     # ---- walk order over entries (levels desc, O asc) ---------------------
