@@ -538,6 +538,11 @@ class TpuCompressor3D:
         self.node_cap_frac = 1.0
         # LIP/refinement candidate cap as a fraction of n (1.0 = exact)
         self.wave_cand_frac = 1.0
+        # event-cap ladder (multiples of n): the first tier runs the whole
+        # batch; chunks that overflow retry one at a time at later tiers
+        # (noise-like data emits up to num_bp bits/pixel); only exhausted
+        # tiers fall back to host entropy
+        self.wave_event_tiers = (3, 8)
         # transfer: how quantized coefficients reach the host entropy stage.
         #   "sparse" — on-device compaction of nonzero coefficients and
         #              outliers: device->host traffic ~ information content.
@@ -629,6 +634,7 @@ class TpuCompressor3D:
             out_cap = max(256, n // 64)
             force_dense = self.transfer == "dense" and self.entropy != "wave"
             wave = None
+            wave_alt: Dict[int, dict] = {}
             if self.entropy == "wave":
                 from ..ops import speck_jax as sj
                 from ..ops import speck_lis_jax as sl
@@ -652,37 +658,68 @@ class TpuCompressor3D:
                     if self.node_cap_frac >= 1.0
                     else max(512, min(li.nn, int(li.nn * self.node_cap_frac)))
                 )
-                # event cap = total LIS bits: decisions <= 8*nodes ~ 1.1n,
-                # signs <= n, memberships ~ a fraction of n, so 3n covers
-                # the dense regime (measured ~1.25 bits/pixel at tol 1e-2
-                # on noisy data); overflow falls back to the host stitcher
-                lis_row_cap = max(4096, 3 * n)
+                # event cap = total LIP+refinement/LIS stream bits: 3n covers
+                # the smooth regime (measured ~1.25 bits/pixel at tol 1e-2 on
+                # mostly-smooth data).  Noise-like chunks legitimately emit
+                # more (the stream itself approaches num_bp bits/pixel), so
+                # cap overflow retries those chunks one at a time at the
+                # next tier instead of silently rerouting to host entropy;
+                # only exhausted tiers fall back.
                 wave_cap = (
                     n
                     if self.wave_cand_frac >= 1.0
                     else max(1024, min(n, int(n * self.wave_cand_frac)))
                 )
+
+                def fetch_wave(wdev, caps):
+                    # counts first, then total-trimmed fetches of the
+                    # concatenated segment buffers: the device->host entropy
+                    # traffic is stream-sized.
+                    w = {
+                        k: np.asarray(jax.device_get(wdev[k]))
+                        for k in ("num_bp", "lip_c", "ref_c", "lis_c",
+                                  "lip_total", "ref_total", "lis_total",
+                                  "lis_cmax", "n_sig", "n_exposed")
+                    }
+                    w["caps"] = caps
+                    ctot = min(n, (2 * caps[2] * (self.num_bp_cap + 4)) // 8 + 8)
+                    for name, tot in (("lip", "lip_total"),
+                                      ("ref", "ref_total"),
+                                      ("lis", "lis_total")):
+                        b = int(w[tot].max()) if w[tot].size else 0
+                        b = min(b, ctot)
+                        w[name] = np.asarray(jax.device_get(wdev[name][:, :b]))
+                    return w
+
+                tiers = [max(4096, int(t * n)) for t in self.wave_event_tiers]
+                caps0 = (node_cap, tiers[0], wave_cap)
                 res = _dense_encode_wave(
                     dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                    (lx, ly, lz), resid_mode, node_cap, lis_row_cap, wave_cap,
+                    (lx, ly, lz), resid_mode, node_cap, tiers[0], wave_cap,
                 )
-                wdev = res.pop("wave")
-                # counts first, then total-trimmed fetches of the
-                # concatenated segment buffers: the device->host entropy
-                # traffic is stream-sized.
-                wave = {
-                    k: np.asarray(jax.device_get(wdev[k]))
-                    for k in ("num_bp", "lip_c", "ref_c", "lis_c", "lip_total",
-                              "ref_total", "lis_total", "lis_cmax", "n_sig",
-                              "n_exposed")
-                }
-                wave["caps"] = (node_cap, lis_row_cap, wave_cap)
-                lip_b = int(wave["lip_total"].max()) if wave["lip_total"].size else 0
-                ref_b = int(wave["ref_total"].max()) if wave["ref_total"].size else 0
-                lis_b = int(wave["lis_total"].max()) if wave["lis_total"].size else 0
-                wave["lip"] = np.asarray(jax.device_get(wdev["lip"][:, :lip_b]))
-                wave["ref"] = np.asarray(jax.device_get(wdev["ref"][:, :ref_b]))
-                wave["lis"] = np.asarray(jax.device_get(wdev["lis"][:, :lis_b]))
+                wave = fetch_wave(res.pop("wave"), caps0)
+                # retry ladder: chunks whose event/byte totals overflowed
+                # re-run one at a time with a larger event cap (memory-
+                # bounded: the higher tier never batches)
+                for tier_cap in tiers[1:]:
+                    bad = [
+                        k for k in range(len(idxs))
+                        if not self._wave_fits(
+                            *((wave_alt[k], 0) if k in wave_alt else (wave, k)),
+                            n,
+                        )
+                        and int(wave["num_bp"][k]) <= self.num_bp_cap
+                    ]
+                    if not bad:
+                        break
+                    capsr = (node_cap, tier_cap, wave_cap)
+                    for k in bad:
+                        res_r = _dense_encode_wave(
+                            dev[k : k + 1], mode, float(quality), cap,
+                            out_cap, self.num_bp_cap, (lx, ly, lz),
+                            resid_mode, node_cap, tier_cap, wave_cap,
+                        )
+                        wave_alt[k] = fetch_wave(res_r.pop("wave"), capsr)
             elif force_dense:
                 res = _dense_encode(dev, mode, float(quality), resid_mode)
             else:
@@ -752,20 +789,13 @@ class TpuCompressor3D:
                 )
                 mean = float(small["mean"][k])
                 condi = _condi_header(False, 0.0, 0, mean, q)
-                nc, lrc, wc = wave["caps"] if wave is not None else (0, 0, 0)
-                cap_total = min(n, (2 * wc * (self.num_bp_cap + 4)) // 8 + 8)
-                use_wave = (
-                    wave is not None
-                    and int(wave["n_sig"][k]) <= nc
-                    and int(wave["n_exposed"][k]) <= wc
-                    and int(wave["num_bp"][k]) <= self.num_bp_cap
-                    and int(wave["lip_total"][k]) <= cap_total
-                    and int(wave["ref_total"][k]) <= cap_total
-                    and int(wave["lis_total"][k]) <= cap_total
+                wv, wk = (
+                    (wave_alt[k], 0) if k in wave_alt else (wave, k)
                 )
+                use_wave = wv is not None and self._wave_fits(wv, wk, n)
                 if use_wave:
                     wave_used[gi] = 1
-                    body = self._stitch_wave(wave, k, (lx, ly, lz), budget)
+                    body = self._stitch_wave(wv, wk, (lx, ly, lz), budget)
                 else:
                     width = _width_for(int(small["maxmag"][k]))
                     if dense is not None:
@@ -865,6 +895,20 @@ class TpuCompressor3D:
             self.vol_dims, self.chunk_dims, [len(s) for s in streams], is_float
         )
         return header + b"".join(streams)
+
+    def _wave_fits(self, wave, k: int, n: int) -> bool:
+        """True when chunk row k's device emission fit every cap (node,
+        exposed-pixel, bitplane, and per-buffer byte totals)."""
+        nc, lrc, wc = wave["caps"]
+        cap_total = min(n, (2 * wc * (self.num_bp_cap + 4)) // 8 + 8)
+        return (
+            int(wave["n_sig"][k]) <= nc
+            and int(wave["n_exposed"][k]) <= wc
+            and int(wave["num_bp"][k]) <= self.num_bp_cap
+            and int(wave["lip_total"][k]) <= cap_total
+            and int(wave["ref_total"][k]) <= cap_total
+            and int(wave["lis_total"][k]) <= cap_total
+        )
 
     def _stitch_wave(self, wave, k: int, dims3, budget: int) -> bytes:
         """Host half of the device-entropy path: pure per-pass concatenation

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -251,6 +251,22 @@ class TpuCompressor2D:
         # are sized to never overflow (production tolerances make most
         # coefficients significant — the 3D path's measured regime)
         self.sparse_cap_frac = 1.0
+        # event-cap ladder (multiples of n); see TpuCompressor3D
+        self.wave_event_tiers = (3, 8)
+        self.last_wave_chunks = 0
+
+    def _wave_fits(self, wave, k: int, n: int) -> bool:
+        """True when field row k's device emission fit every cap."""
+        nc, evc, wc = wave["caps"]
+        cap_total = min(n, (2 * wc * (self.num_bp_cap + 4)) // 8 + 8)
+        return (
+            int(wave["n_sig"][k]) <= nc
+            and int(wave["n_exposed"][k]) <= wc
+            and int(wave["num_bp"][k]) <= self.num_bp_cap
+            and int(wave["lip_total"][k]) <= cap_total
+            and int(wave["ref_total"][k]) <= cap_total
+            and int(wave["lis_total"][k]) <= cap_total
+        )
 
     def compress(self, field: np.ndarray, mode: str, quality: float) -> bytes:
         return self.compress_batch(np.asarray(field)[None], mode, quality)[0]
@@ -281,8 +297,10 @@ class TpuCompressor2D:
         else:
             resid_mode = "dual"
         uncertified = [0] * B
+        wave_used = [0] * B
 
         wave = None
+        wave_alt: Dict[int, dict] = {}
         if self.entropy == "wave":
             from ..ops import speck_jax as sj
             from ..ops import speck_lis2_jax as sl2
@@ -291,26 +309,56 @@ class TpuCompressor2D:
             sj.tree_index((nx, ny))
             li2 = sl2.lis2_index((nx, ny))
             node_cap = li2.nn  # exact: the walk never overflows on nodes
-            ev_cap = max(4096, 3 * n)
+
+            def fetch_wave(wdev, caps):
+                # counts first, then total-trimmed fetches of the
+                # concatenated segment buffers: device->host entropy
+                # traffic is stream-sized
+                w = {
+                    k: np.asarray(jax.device_get(wdev[k]))
+                    for k in ("num_bp", "lip_c", "ref_c", "lis_c",
+                              "lip_total", "ref_total", "lis_total",
+                              "n_sig", "n_exposed")
+                }
+                w["caps"] = caps
+                ctot = min(n, (2 * caps[2] * (self.num_bp_cap + 4)) // 8 + 8)
+                for name, tot in (("lip", "lip_total"),
+                                  ("ref", "ref_total"),
+                                  ("lis", "lis_total")):
+                    b = min(int(w[tot].max()) if w[tot].size else 0, ctot)
+                    w[name] = np.asarray(jax.device_get(wdev[name][:, :b]))
+                return w
+
+            # event-cap ladder: the first tier runs the whole batch; fields
+            # that overflow retry one at a time at later tiers (noise-like
+            # data emits up to num_bp bits/pixel); only exhausted tiers
+            # fall back to host entropy
+            tiers = [max(4096, int(t * n)) for t in self.wave_event_tiers]
             res = _dense_encode2_wave(
                 dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                (nx, ny), resid_mode, node_cap, ev_cap, n,
+                (nx, ny), resid_mode, node_cap, tiers[0], n,
             )
-            wdev = res.pop("wave")
-            # counts first, then total-trimmed fetches of the concatenated
-            # segment buffers: device->host entropy traffic is stream-sized
-            wave = {
-                k: np.asarray(jax.device_get(wdev[k]))
-                for k in ("num_bp", "lip_c", "ref_c", "lis_c", "lip_total",
-                          "ref_total", "lis_total", "n_sig", "n_exposed")
-            }
-            wave["caps"] = (node_cap, ev_cap, n)
-            lip_b = int(wave["lip_total"].max()) if B else 0
-            ref_b = int(wave["ref_total"].max()) if B else 0
-            lis_b = int(wave["lis_total"].max()) if B else 0
-            wave["lip"] = np.asarray(jax.device_get(wdev["lip"][:, :lip_b]))
-            wave["ref"] = np.asarray(jax.device_get(wdev["ref"][:, :ref_b]))
-            wave["lis"] = np.asarray(jax.device_get(wdev["lis"][:, :lis_b]))
+            wave = fetch_wave(res.pop("wave"), (node_cap, tiers[0], n))
+            for tier_cap in tiers[1:]:
+                bad = [
+                    k for k in range(B)
+                    if not self._wave_fits(
+                        *((wave_alt[k], 0) if k in wave_alt else (wave, k)),
+                        n,
+                    )
+                    and int(wave["num_bp"][k]) <= self.num_bp_cap
+                ]
+                if not bad:
+                    break
+                for k in bad:
+                    res_r = _dense_encode2_wave(
+                        dev[k : k + 1], mode, float(quality), cap, out_cap,
+                        self.num_bp_cap, (nx, ny), resid_mode, node_cap,
+                        tier_cap, n,
+                    )
+                    wave_alt[k] = fetch_wave(
+                        res_r.pop("wave"), (node_cap, tier_cap, n)
+                    )
         else:
             res = _dense_encode2(
                 dev, mode, float(quality), cap, out_cap, resid_mode
@@ -357,19 +405,11 @@ class TpuCompressor2D:
             condi = _condi_header(False, 0.0, 0, mean, q)
 
             m = int(nnz[k])
-            nc, evc, wc = wave["caps"] if wave is not None else (0, 0, 0)
-            cap_total = min(n, (2 * wc * (self.num_bp_cap + 4)) // 8 + 8)
-            use_wave = (
-                wave is not None
-                and int(wave["n_sig"][k]) <= nc
-                and int(wave["n_exposed"][k]) <= wc
-                and int(wave["num_bp"][k]) <= self.num_bp_cap
-                and int(wave["lip_total"][k]) <= cap_total
-                and int(wave["ref_total"][k]) <= cap_total
-                and int(wave["lis_total"][k]) <= cap_total
-            )
+            wv, wk = (wave_alt[k], 0) if k in wave_alt else (wave, k)
+            use_wave = wv is not None and self._wave_fits(wv, wk, n)
             if use_wave:
-                body = self._stitch_wave2(wave, k, budget)
+                wave_used[k] = 1
+                body = self._stitch_wave2(wv, wk, budget)
             else:
                 mags = np.zeros(n, dtype=np.int32)
                 sgn = np.ones(n, dtype=bool)
@@ -417,6 +457,7 @@ class TpuCompressor2D:
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             streams = list(pool.map(encode_one, range(B)))
         self.last_uncertified_chunks = sum(uncertified)
+        self.last_wave_chunks = sum(wave_used)
         return streams
 
     def _stitch_wave2(self, wave, k: int, budget: int) -> bytes:

@@ -137,3 +137,18 @@ def test_native_residual_matches_2d_transform():
     want = np.flatnonzero(np.abs(diff) > tol)
     np.testing.assert_array_equal(pos.astype(np.int64), want)
     np.testing.assert_allclose(err, diff[want], rtol=0, atol=0)
+
+
+def test_wave_retry_ladder_covers_noise_2d():
+    """Noise fields overflow the first event-cap tier; the retry ladder
+    keeps them on the device path, byte-identical to host entropy."""
+    rng = np.random.default_rng(5)
+    imgs = rng.normal(size=(2, 64, 64)).astype(np.float64)
+    tol = 1e-2
+    cw = TpuCompressor2D((64, 64), entropy="wave")
+    bw = cw.compress_batch(imgs, "pwe", tol)
+    assert cw.last_wave_chunks == 2
+    bh = TpuCompressor2D((64, 64), entropy="host").compress_batch(
+        imgs, "pwe", tol
+    )
+    assert all(bytes(a) == bytes(b) for a, b in zip(bw, bh))

@@ -119,3 +119,22 @@ def test_wave_device_path_at_production_dims():
     assert comp.last_wave_chunks == 1  # the device path actually ran
     comp_h = TpuCompressor3D((n, n, n), (n, n, n), entropy="host")
     assert bytes(s) == bytes(comp_h.compress(vol, "pwe", 1e-2))
+
+
+def test_wave_retry_ladder_covers_noise():
+    """Noise-like chunks overflow the first event-cap tier; the retry
+    ladder must keep them on the device path (no silent host fallback),
+    byte-identical to host entropy and within the PWE bound."""
+    rng = np.random.default_rng(7)
+    vol = rng.normal(size=(32, 32, 32)).astype(np.float64)
+    tol = 1e-2
+    comp_w = TpuCompressor3D((32, 32, 32), (32, 32, 32), entropy="wave")
+    wave = comp_w.compress(vol, "pwe", tol)
+    assert comp_w.last_wave_chunks == 1
+    host = TpuCompressor3D((32, 32, 32), (32, 32, 32), entropy="host").compress(
+        vol, "pwe", tol
+    )
+    assert bytes(wave) == bytes(host)
+    out = TpuDecompressor3D().decompress(bytes(wave))
+    arr = np.asarray(out[0] if isinstance(out, tuple) else out, np.float64)
+    assert np.abs(arr.reshape(vol.shape) - vol).max() <= tol
