@@ -41,6 +41,9 @@ from ..utils.packing import pack_8_booleans
 
 _MODES = ("psnr", "pwe", "rate")
 _WAVE_NEVER = 0x7FFF  # matches codec.speck_wave._NEVER
+# Wave-path capacity ladder defaults: (node_frac, event multiple of n,
+# candidate frac of n) per tier — see TpuCompressor3D.__init__.
+DEFAULT_WAVE_TIERS = ((0.625, 1.25, 0.625), (1.0, 3.0, 1.0), (1.0, 8.0, 1.0))
 
 
 def make_chunk_mesh(devices=None) -> Mesh:
@@ -533,16 +536,19 @@ class TpuCompressor3D:
         # host, which runs the set walk and stitches the stream.
         self.entropy = entropy
         self.num_bp_cap = 34
-        # device set-walk cap (fraction of n); overflow falls back to the
-        # host stitcher, like the other caps
-        self.node_cap_frac = 1.0
-        # LIP/refinement candidate cap as a fraction of n (1.0 = exact)
-        self.wave_cand_frac = 1.0
-        # event-cap ladder (multiples of n): the first tier runs the whole
-        # batch; chunks that overflow retry one at a time at later tiers
-        # (noise-like data emits up to num_bp bits/pixel); only exhausted
-        # tiers fall back to host entropy
-        self.wave_event_tiers = (3, 8)
+        # Wave-path capacity ladder: (node_frac of node-count, event
+        # multiple of n, candidate frac of n) per tier.  Every sort,
+        # gather and expansion in the device entropy stage scales with
+        # these caps, so tier 0 is sized for the smooth regime
+        # error-bounded compression actually operates in (measured at tol
+        # 1e-2 on superposed low-frequency modes: ~0.50 of sets
+        # significant, ~0.50 of pixels exposed, ~0.6 n LIP and ~0.52 n
+        # refinement events).  The first tier runs the whole batch; chunks
+        # that overflow ANY cap (exact device-side counts) retry one at a
+        # time at the wider tiers — saturated noise-like chunks
+        # legitimately emit up to num_bp bits/pixel — and only exhausted
+        # tiers fall back to host entropy.
+        self.wave_tiers = DEFAULT_WAVE_TIERS
         # transfer: how quantized coefficients reach the host entropy stage.
         #   "sparse" — on-device compaction of nonzero coefficients and
         #              outliers: device->host traffic ~ information content.
@@ -650,26 +656,18 @@ class TpuCompressor3D:
                     except ValueError:
                         sj.tree_index((lx, ly, lz))
                     li = sl.lis_index((lx, ly, lz))
-                # node_cap defaults to the EXACT node count (never overflows;
-                # production tolerances make nearly every set significant);
-                # node_cap_frac < 1 trades fallbacks for device memory.
-                node_cap = (
-                    li.nn
-                    if self.node_cap_frac >= 1.0
-                    else max(512, min(li.nn, int(li.nn * self.node_cap_frac)))
-                )
-                # event cap = total LIP+refinement/LIS stream bits: 3n covers
-                # the smooth regime (measured ~1.25 bits/pixel at tol 1e-2 on
-                # mostly-smooth data).  Noise-like chunks legitimately emit
-                # more (the stream itself approaches num_bp bits/pixel), so
-                # cap overflow retries those chunks one at a time at the
-                # next tier instead of silently rerouting to host entropy;
-                # only exhausted tiers fall back.
-                wave_cap = (
-                    n
-                    if self.wave_cand_frac >= 1.0
-                    else max(1024, min(n, int(n * self.wave_cand_frac)))
-                )
+                def tier_caps(tier):
+                    nf, em, wf = tier
+                    node_cap = (
+                        li.nn
+                        if nf >= 1.0
+                        else max(512, min(li.nn, int(li.nn * nf)))
+                    )
+                    ev_cap = max(4096, int(em * n))
+                    wave_cap = (
+                        n if wf >= 1.0 else max(1024, min(n, int(n * wf)))
+                    )
+                    return node_cap, ev_cap, wave_cap
 
                 def fetch_wave(wdev, caps):
                     # counts first, then total-trimmed fetches of the
@@ -691,17 +689,17 @@ class TpuCompressor3D:
                         w[name] = np.asarray(jax.device_get(wdev[name][:, :b]))
                     return w
 
-                tiers = [max(4096, int(t * n)) for t in self.wave_event_tiers]
-                caps0 = (node_cap, tiers[0], wave_cap)
+                caps0 = tier_caps(self.wave_tiers[0])
                 res = _dense_encode_wave(
                     dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                    (lx, ly, lz), resid_mode, node_cap, tiers[0], wave_cap,
+                    (lx, ly, lz), resid_mode, *caps0,
                 )
                 wave = fetch_wave(res.pop("wave"), caps0)
-                # retry ladder: chunks whose event/byte totals overflowed
-                # re-run one at a time with a larger event cap (memory-
-                # bounded: the higher tier never batches)
-                for tier_cap in tiers[1:]:
+                # retry ladder: chunks that overflowed any cap (node,
+                # candidate, event or byte totals — exact device counts)
+                # re-run one at a time at the next, wider tier (memory-
+                # bounded: the higher tiers never batch)
+                for tier in self.wave_tiers[1:]:
                     bad = [
                         k for k in range(len(idxs))
                         if not self._wave_fits(
@@ -712,12 +710,12 @@ class TpuCompressor3D:
                     ]
                     if not bad:
                         break
-                    capsr = (node_cap, tier_cap, wave_cap)
+                    capsr = tier_caps(tier)
                     for k in bad:
                         res_r = _dense_encode_wave(
                             dev[k : k + 1], mode, float(quality), cap,
                             out_cap, self.num_bp_cap, (lx, ly, lz),
-                            resid_mode, node_cap, tier_cap, wave_cap,
+                            resid_mode, *capsr,
                         )
                         wave_alt[k] = fetch_wave(res_r.pop("wave"), capsr)
             elif force_dense:

@@ -251,8 +251,10 @@ class TpuCompressor2D:
         # are sized to never overflow (production tolerances make most
         # coefficients significant — the 3D path's measured regime)
         self.sparse_cap_frac = 1.0
-        # event-cap ladder (multiples of n); see TpuCompressor3D
-        self.wave_event_tiers = (3, 8)
+        # event-cap ladder (multiples of n); see TpuCompressor3D.  Tier 0
+        # is sized for the smooth regime (~0.6 n events per class at tol
+        # 1e-2); overflowing fields retry at the wider tiers.
+        self.wave_event_tiers = (1.25, 3, 8)
         self.last_wave_chunks = 0
 
     def _wave_fits(self, wave, k: int, n: int) -> bool:

@@ -188,9 +188,9 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
     from ..ops import speck_lis_jax as sl
 
     from ..ops import speck_virtual as svirt
+    from ..parallel.batched import DEFAULT_WAVE_TIERS
 
-    rng = np.random.default_rng(5)
-    vol = rng.normal(size=(n, n, n)).astype(np.float32) * 0.05
+    vol = _smooth_field(n)[0]
     x = jnp.asarray(vol)
     nelems = n * n * n
     num_bp_cap = 34
@@ -205,9 +205,10 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         except ValueError:
             ti = sj.tree_index((n, n, n))
     li = vfi if vfi is not None else sl.lis_index((n, n, n))
-    node_cap = li.nn
-    ev_cap = max(4096, 3 * nelems)
-    wave_cap = nelems
+    nf, em, wf = DEFAULT_WAVE_TIERS[0]
+    node_cap = li.nn if nf >= 1.0 else max(512, min(li.nn, int(li.nn * nf)))
+    ev_cap = max(4096, int(em * nelems))
+    wave_cap = nelems if wf >= 1.0 else max(1024, int(nelems * wf))
     cap_total = min(nelems, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
     _W_NEVER = 0x7FFF
     q = jnp.float32(1.5 * tol)
@@ -316,18 +317,41 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
     return out
 
 
+def _smooth_field(n: int, batch: int = 1, seed: int = 7) -> np.ndarray:
+    """Superposed low-frequency separable modes + sub-tolerance noise: the
+    operating regime of error-bounded compression (mirrors bench.py's
+    make_volume).  Noise-like fields saturate every wave cap and retry at
+    the wider tiers — a different (measurable but non-headline) regime."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    vol = np.zeros((n, n, n), dtype=np.float32)
+    for _ in range(24):
+        fx, fy, fz = rng.uniform(0.5, 6.0, 3)
+        px, py, pz = rng.uniform(0, 2 * np.pi, 3)
+        a = np.float32(rng.normal(scale=0.4))
+        gx = np.sin(2 * np.pi * fx * t + px).astype(np.float32)
+        gy = np.sin(2 * np.pi * fy * t + py).astype(np.float32)
+        gz = np.sin(2 * np.pi * fz * t + pz).astype(np.float32)
+        vol += a * (gz[:, None, None] * gy[None, :, None] * gx[None, None, :])
+    vol += rng.normal(scale=0.001, size=vol.shape).astype(np.float32)
+    return np.broadcast_to(vol, (batch, n, n, n)).copy()
+
+
 def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
                        iters: int = 4) -> Dict[str, float]:
     """Device seconds for the wave-entropy encode (full SPECK bit work on
-    device) vs the dense core alone; the difference is the entropy stage."""
+    device) vs the dense core alone; the difference is the entropy stage.
+
+    Measures the production tier-0 capacities (TpuCompressor3D.wave_tiers)
+    on a smooth field — the configuration and regime the driver actually
+    runs for the headline workload."""
     from ..parallel.batched import (
-        _dense_encode_sparse, _dense_encode_wave,
+        DEFAULT_WAVE_TIERS, _dense_encode_sparse, _dense_encode_wave,
     )
     from ..ops import speck_jax as sj
     from ..ops import speck_lis_jax as sl
 
-    rng = np.random.default_rng(5)
-    vol = rng.normal(size=(batch, n, n, n)).astype(np.float32) * 0.05
+    vol = _smooth_field(n, batch)
     x = jnp.asarray(vol)
     nelems = n * n * n
     cap = max(1024, nelems // 4)
@@ -343,8 +367,10 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
         except ValueError:
             sj.tree_index((n, n, n))
         li = sl.lis_index((n, n, n))
-    node_cap = li.nn  # production default: exact
-    lis_row_cap = max(4096, 3 * nelems)  # event cap (see parallel/batched.py)
+    nf, em, wf = DEFAULT_WAVE_TIERS[0]
+    node_cap = li.nn if nf >= 1.0 else max(512, min(li.nn, int(li.nn * nf)))
+    ev_cap = max(4096, int(em * nelems))
+    wave_cap = nelems if wf >= 1.0 else max(1024, int(nelems * wf))
 
     def sparse(y):
         return _dense_encode_sparse(y, "pwe", float(tol), cap, out_cap, "dual")
@@ -352,7 +378,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     def wave(y):
         return _dense_encode_wave(
             y, "pwe", float(tol), cap, out_cap, num_bp_cap, (n, n, n),
-            "dual", node_cap, lis_row_cap,
+            "dual", node_cap, ev_cap, wave_cap,
         )
 
     ts = time_stage(sparse, x, iters=iters)
@@ -362,5 +388,6 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
         "dense_core_s": round(ts, 5),
         "wave_total_s": round(tw, 5),
         "entropy_stage_s": round(max(tw - ts, 0.0), 5),
+        "entropy_per_chunk_ms": round(max(tw - ts, 0.0) / batch * 1e3, 3),
         "wave_encode_gbps": round(vol.nbytes / tw / 1e9, 3),
     }
