@@ -403,36 +403,23 @@ def _expand_fill(ln, words, ev_cap: int, widths=None):
     return [filled[:, 2 + i] for i in range(len(words))], rel, ev_ok, ev_total
 
 
-def pass_segments_events(
-    mag_c: jnp.ndarray,
+def lip_events(
     sign_c: jnp.ndarray,
     s_c: jnp.ndarray,
     e_c: jnp.ndarray,
     num_bp: jnp.ndarray,
     num_bp_cap: int,
     ev_cap: int,
-    cap_total: int,
 ):
-    """Event-form LIP + refinement emission (replaces the per-pass scan of
-    pass_segments_packed_sparse; bit-identical output).
+    """LIP emission events: pixel i emits a membership bit (value s==p) at
+    every pass p in (e, s], plus its sign right after the decision when it
+    turns significant; order within a pass is ascending pixel, decision
+    before sign.  Events are generated in item order, so within-pass order
+    is the event index itself.  Item payloads reach the events via
+    forward-fill scans (_expand_fill), never event-scale gathers.
 
-    LIP: pixel i emits a membership bit (value s==p) at every pass
-    p in (e, s], plus its sign right after the decision when it turns
-    significant; order within a pass is ascending pixel, decision before
-    sign.  Refinement: magnitude bit num_bp-1-p at every pass p > s.
-    Returns (lip_buf, lip_counts, lip_total, ref_buf, ref_counts,
-    ref_total, overflow) — buffers are byte-aligned per-pass
-    concatenations; `overflow` flags a truncated event expansion (the
-    driver must fall back to host entropy).
-
-    Events are generated in item order (ascending pixel, decision before
-    sign), so the within-pass order is the event index itself and the
-    pass sort is a STABLE one-key sort; item payloads reach the events via
-    forward-fill scans (_expand_fill), never event-scale gathers."""
-    C = mag_c.shape[0]
-    m32 = mag_c.astype(jnp.int32)
-
-    # --- LIP: interval (e, min(s, num_bp-1)] of decisions + optional sign.
+    Returns (p_key i32[ev_cap] — invalid events keyed num_bp_cap,
+    bit bool[ev_cap], overflow bool)."""
     # The sign rides as one extra slot at the end of the interval when the
     # pixel turns significant inside the pass range.  Fields are packed
     # into one word: lo(6b) | hi(6b) | has_sign | sign.
@@ -458,12 +445,20 @@ def pass_segments_events(
     # decision value (s == p) <=> the event right before the sign slot
     bit_ev = jnp.where(is_sign, sg_e == 1, (hs_e == 1) & (p_raw == hi_e - 1))
     p_key = jnp.where(ev_ok, p_ev, num_bp_cap)
-    lip_buf, lip_c, lip_total = events_to_segments(
-        p_key, None, bit_ev, num_bp_cap, cap_total
-    )
-    lip_over = ev_total > ev_cap
+    return p_key, bit_ev, ev_total > ev_cap
 
-    # --- refinement: interval [s+1, num_bp-1], magnitude bits.
+
+def ref_events(
+    mag_c: jnp.ndarray,
+    s_c: jnp.ndarray,
+    num_bp: jnp.ndarray,
+    num_bp_cap: int,
+    ev_cap: int,
+):
+    """Refinement emission events: magnitude bit num_bp-1-p at every pass
+    p in [s+1, num_bp-1], ascending pixel within a pass.  Same event-form
+    contract as lip_events."""
+    m32 = mag_c.astype(jnp.int32)
     rlo = jnp.minimum(s_c + 1, 63)
     rhi = jnp.broadcast_to(num_bp - 1, rlo.shape)
     rln = jnp.where(rlo <= rhi, rhi - rlo + 1, 0)
@@ -474,15 +469,119 @@ def pass_segments_events(
     shift = jnp.clip(num_bp - 1 - rp, 0, 31).astype(jnp.uint32)
     rbit = ((m_f.astype(jnp.uint32) >> shift) & jnp.uint32(1)).astype(bool)
     rp_key = jnp.where(rok, rp, num_bp_cap)
+    return rp_key, rbit, rtotal > ev_cap
+
+
+def pass_segments_events(
+    mag_c: jnp.ndarray,
+    sign_c: jnp.ndarray,
+    s_c: jnp.ndarray,
+    e_c: jnp.ndarray,
+    num_bp: jnp.ndarray,
+    num_bp_cap: int,
+    ev_cap: int,
+    cap_total: int,
+):
+    """Event-form LIP + refinement emission (replaces the per-pass scan of
+    pass_segments_packed_sparse; bit-identical output).
+
+    Returns (lip_buf, lip_counts, lip_total, ref_buf, ref_counts,
+    ref_total, overflow) — buffers are byte-aligned per-pass
+    concatenations; `overflow` flags a truncated event expansion (the
+    driver must fall back to host entropy)."""
+    p_key, bit_ev, lip_over = lip_events(
+        sign_c, s_c, e_c, num_bp, num_bp_cap, ev_cap
+    )
+    lip_buf, lip_c, lip_total = events_to_segments(
+        p_key, None, bit_ev, num_bp_cap, cap_total
+    )
+    rp_key, rbit, ref_over = ref_events(
+        mag_c, s_c, num_bp, num_bp_cap, ev_cap
+    )
     ref_buf, ref_c, ref_total = events_to_segments(
         rp_key, None, rbit, num_bp_cap, cap_total
     )
-    ref_over = rtotal > ev_cap
-
     overflow = lip_over | ref_over | (lip_total > cap_total) | (
         ref_total > cap_total
     )
     return lip_buf, lip_c, lip_total, ref_buf, ref_c, ref_total, overflow
+
+
+def events_to_segments_merged(p_keys, bits_list, num_bp_cap: int,
+                              cap_total: int):
+    """One (pass, class)-keyed sort packs EVERY emission class at once.
+
+    `p_keys` / `bits_list`: per-class event arrays in STREAM ORDER (the
+    SPECK pass layout LIP ‖ LIS ‖ refinement -> classes 0, 1, 2); each
+    class's events must be in within-pass order (the event-form
+    contract).  The merged bucket key b = p*C + c makes the sorted bit
+    vector the full per-pass-per-class segment concatenation in one
+    operation — one sort, one pad set, one packbits instead of C of
+    each (the per-class sorts were ~15% of the entropy stage;
+    docs/PALLAS.md).
+
+    Returns (buf u8[C*cap_total], counts i32[P*C] in bucket order,
+    cls_bytes i32[C] — per-class byte totals (the old per-class buffer
+    totals, for cap checks), total_bytes i32)."""
+    C = len(p_keys)
+    P = num_bp_cap
+    NB = P * C
+    pvals = jnp.arange(P, dtype=jnp.int32)
+    counts_cls = [
+        jnp.sum(pk[None, :] == pvals[:, None], axis=1, dtype=jnp.int32)
+        for pk in p_keys
+    ]
+    counts = jnp.stack(counts_cls, axis=1).reshape(-1)  # bucket order
+    bc = (counts + 7) // 8
+    total_bytes = jnp.sum(bc)
+    cls_bytes = jnp.stack(
+        [jnp.sum((c + 7) // 8) for c in counts_cls]
+    ).astype(jnp.int32)
+    needed = bc * 8 - counts  # pads per bucket, in [0, 7]
+
+    big = jnp.int32(2 * NB + 2)
+    key_real = jnp.concatenate(
+        [
+            jnp.where(pk < P, (pk * C + c) * 2, big)
+            for c, pk in enumerate(p_keys)
+        ]
+    )
+    NPAD = 7 * NB
+    pad_b = jnp.repeat(jnp.arange(NB, dtype=jnp.int32), 7)
+    pad_slot = jnp.tile(jnp.arange(7, dtype=jnp.int32), NB)
+    key_pad = jnp.where(pad_slot < needed[pad_b], pad_b * 2 + 1, big)
+    key_all = jnp.concatenate([key_real, key_pad])
+    bit_all = jnp.concatenate(
+        [b.astype(jnp.int32) for b in bits_list]
+        + [jnp.zeros(NPAD, jnp.int32)]
+    )
+
+    TT = key_all.shape[0]
+    jbits = max(1, (TT - 1).bit_length())
+    if (2 * NB + 2).bit_length() + jbits + 1 <= 31:
+        fused = (
+            (key_all << (jbits + 1))
+            | (jnp.arange(TT, dtype=jnp.int32) << 1)
+            | bit_all
+        )
+        (srt,) = jax.lax.sort((fused,), num_keys=1, is_stable=False)
+        bit_sorted = (srt & 1).astype(jnp.uint8)
+    else:
+        _, bit_sorted = jax.lax.sort(
+            (key_all, bit_all), num_keys=1, is_stable=True
+        )
+        bit_sorted = bit_sorted.astype(jnp.uint8)
+
+    cap_bits = C * cap_total * 8
+    if cap_bits > TT:
+        bit_sorted = jnp.concatenate(
+            [bit_sorted, jnp.zeros(cap_bits - TT, jnp.uint8)]
+        )
+    else:
+        bit_sorted = bit_sorted[:cap_bits]
+    iota = jnp.arange(cap_bits, dtype=jnp.int32)
+    out01 = jnp.where(iota < total_bytes * 8, bit_sorted, 0).astype(jnp.uint8)
+    return _packbits_device(out01), counts, cls_bytes, total_bytes
 
 
 def concat_segments(rows: jnp.ndarray, bit_counts: jnp.ndarray, cap_total: int):

@@ -165,6 +165,7 @@ def lis_segments_device(
     node_cap: int,
     ev_cap: int,
     cap_total: int,
+    return_events: bool = False,
 ):
     """All LIS bit segments on the device, event-form.
 
@@ -293,17 +294,49 @@ def lis_segments_device(
     # the node count).  If a reduced node_cap ever drops born rows, n_sig
     # is raised past the cap so the driver falls back to the host stitcher
     # instead of mis-ranking.
-    CB = min(R, nn)
-    n_born = jnp.sum(bornf).astype(jnp.int32)
-    # payload-carrying sort compaction of the born rows (id, birth, anchor)
-    bkey = jnp.where(bornf, jnp.arange(R, dtype=jnp.int32), R)
-    bkey_s, bid_s, bn_s, an_s = jax.lax.sort(
-        (bkey, bidf, bnf, anf), num_keys=1, is_stable=False
-    )
-    bok = bkey_s[:CB] < R
-    c_bid = jnp.where(bok, bid_s[:CB], nn)
-    c_bn = jnp.where(bok, bn_s[:CB], _BIG)
-    c_an = jnp.where(bok, an_s[:CB], nn)
+    if getattr(li, "uniform_children", False):
+        # Parent-form: in a full-octant forest born-ness is a PARENT
+        # property (children are uniformly nodes iff side >= 4), so one
+        # 3-operand sort over the C parents replaces the 4-operand sort
+        # over all R = C*MC child rows; eligible parents are bounded
+        # exactly by li.nn_inner (the inner-node count), so under
+        # n_sig <= C this compaction can never overflow.
+        eligible = isnd[:, 0]
+        C2 = min(C, int(li.nn_inner))
+        key2 = jnp.where(eligible, jnp.arange(C, dtype=jnp.int32), C)
+        key2_s, bn2_s, an2_s = jax.lax.sort(
+            (key2, rowpass, anchor), num_keys=1, is_stable=False
+        )
+        bok2 = key2_s[:C2] < C
+        qidx = jnp.minimum(key2_s[:C2], C - 1)
+        bid2 = (jnp.minimum(vidx, li.n + nn - 1) - li.n)[qidx]  # [C2, MC]
+        CB = C2 * MC
+        bok = jnp.broadcast_to(bok2[:, None], (C2, MC)).reshape(CB)
+        c_bid = jnp.where(bok, bid2.reshape(CB), nn)
+        c_bn = jnp.where(
+            bok,
+            jnp.broadcast_to(bn2_s[:C2, None], (C2, MC)).reshape(CB),
+            _BIG,
+        )
+        c_an = jnp.where(
+            bok,
+            jnp.broadcast_to(an2_s[:C2, None], (C2, MC)).reshape(CB),
+            nn,
+        )
+        n_born = jnp.int32(0)  # cannot overflow (exact structural bound)
+    else:
+        CB = min(R, nn)
+        n_born = jnp.sum(bornf).astype(jnp.int32)
+        # payload-carrying sort compaction of the born rows (id, birth,
+        # anchor)
+        bkey = jnp.where(bornf, jnp.arange(R, dtype=jnp.int32), R)
+        bkey_s, bid_s, bn_s, an_s = jax.lax.sort(
+            (bkey, bidf, bnf, anf), num_keys=1, is_stable=False
+        )
+        bok = bkey_s[:CB] < R
+        c_bid = jnp.where(bok, bid_s[:CB], nn)
+        c_bn = jnp.where(bok, bn_s[:CB], _BIG)
+        c_an = jnp.where(bok, an_s[:CB], nn)
     bidc = jnp.minimum(c_bid, nn - 1)
     c_lev = li.levels_of(bidc)
     c_pw = li.paths_of(bidc)                   # list of path words [CB]
@@ -441,6 +474,15 @@ def lis_segments_device(
         jnp.where(is_sign_ev, sign_f == 1, signow_f == 1),
     )
     p_key = jnp.where(ev_ok, p_ev, num_bp_cap)
+    if return_events:
+        # merged-pack mode: the caller feeds these to
+        # speck_jax.events_to_segments_merged together with the LIP and
+        # refinement classes; byte-cap checks happen there.  Event-cap
+        # overflow still forces the host fallback via n_sig.
+        n_sig = jnp.maximum(
+            n_sig, jnp.where(ev_total > ev_cap, _BIG, 0)
+        )
+        return p_key, bit_ev, n_sig
     buf, counts, total_bytes = events_to_segments(
         p_key, None, bit_ev, num_bp_cap, cap_total
     )

@@ -60,14 +60,18 @@ class VirtualLisIndex:
     """
 
     __slots__ = (
-        "dims", "K", "n", "nn", "nroots", "depth_max", "nlev", "max_ch",
-        "shallow",
+        "dims", "K", "n", "nn", "nn_inner", "nroots", "depth_max", "nlev",
+        "max_ch", "shallow",
         # tiny device arrays
         "r_slog", "r_org", "r_level", "depth_base", "r0",
         "root_ids", "root_levels", "root_from", "off0", "O0_head",
         # host copies for schedule construction
         "h_slog", "h_org", "h_depth_base", "h_r0",
     )
+
+    # every node's children are uniformly pixels or uniformly nodes (full
+    # octant splits): enables the parent-form born compaction in the walk
+    uniform_children = True
 
     def __init__(self, dims):
         nx, ny, nz = (int(d) for d in dims)
@@ -113,6 +117,15 @@ class VirtualLisIndex:
         depth_base = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.nn = int(depth_base[D + 1])
         assert self.nn < 2**31
+        # nodes whose children are NODES (side >= 4): depth-d nodes from
+        # roots with slog >= d+2.  Exact bound for the parent-form born
+        # compaction in the LIS walk (children of a node are uniformly
+        # pixels or nodes in this forest).
+        self.nn_inner = int(
+            sum(
+                int((slog >= d + 2).sum()) << (3 * d) for d in range(D + 1)
+            )
+        )
         self.nlev = 3 * K + 1  # num_of_partitions(2^K) per axis = K
 
         # root pre-assignment: per-level insertion ranks in root order

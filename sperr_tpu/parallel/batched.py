@@ -267,33 +267,37 @@ def _dense_encode_wave(
         s_c, e_c, m_c, g_c, n_exp = sj.compact_schedule_by_sort(
             exposed, s, e, mags, sgn_row, wave_cap
         )
-        # event-form LIP/refinement emission (one sort + one scatter over
-        # the emitted bits instead of a per-pass compaction loop)
-        (
-            lip_buf, lip_c, lip_total, ref_buf, ref_c, ref_total, pr_over
-        ) = sj.pass_segments_events(
-            m_c, g_c, s_c, e_c, num_bp, num_bp_cap, lis_row_cap, cap_total
+        # event-form emission for all three classes, packed by ONE merged
+        # (pass, class)-keyed sort (stream order LIP ‖ LIS ‖ refinement)
+        lp_key, lp_bit, lp_over = sj.lip_events(
+            g_c, s_c, e_c, num_bp, num_bp_cap, lis_row_cap
         )
-        lip_total = jnp.where(pr_over, jnp.int32(2**30), lip_total)
+        rp_key, rp_bit, rp_over = sj.ref_events(
+            m_c, s_c, num_bp, num_bp_cap, lis_row_cap
+        )
         # the set walk itself: event-form device emission
         node_s = jnp.where(nm > 0, num_bp - nm, _WAVE_NEVER).astype(jnp.int32)
-        lis_buf, lis_c, lis_total, n_sig = sl.lis_segments_device(
+        ls_key, ls_bit, n_sig = sl.lis_segments_device(
             node_s, s, sgn_row, num_bp, li, num_bp_cap, node_cap,
-            lis_row_cap, cap_total,
+            lis_row_cap, cap_total, return_events=True,
         )
+        seg, seg_c, cls_bytes, _ = sj.events_to_segments_merged(
+            [lp_key, ls_key, rp_key], [lp_bit, ls_bit, rp_bit],
+            num_bp_cap, cap_total,
+        )
+        lip_total = jnp.where(lp_over, jnp.int32(2**30), cls_bytes[0])
+        ref_total = jnp.where(rp_over, jnp.int32(2**30), cls_bytes[2])
         return (
-            num_bp.astype(jnp.int32), lip_buf, lip_c, lip_total, ref_buf,
-            ref_c, ref_total, lis_buf, lis_c, lis_total,
-            jnp.int32(0), n_sig, n_exp,
+            num_bp.astype(jnp.int32), seg, seg_c, lip_total,
+            cls_bytes[1], ref_total, n_sig, n_exp,
         )
 
     signs = ll >= 0
     res = jax.vmap(one)(ll, signs)
     out["wave"] = dict(
-        num_bp=res[0], lip=res[1], lip_c=res[2], lip_total=res[3],
-        ref=res[4], ref_c=res[5], ref_total=res[6],
-        lis=res[7], lis_c=res[8], lis_total=res[9], lis_cmax=res[10],
-        n_sig=res[11], n_exposed=res[12],
+        num_bp=res[0], seg=res[1], seg_c=res[2], lip_total=res[3],
+        lis_total=res[4], ref_total=res[5],
+        n_sig=res[6], n_exposed=res[7],
     )
     return out
 
@@ -670,23 +674,24 @@ class TpuCompressor3D:
                     return node_cap, ev_cap, wave_cap
 
                 def fetch_wave(wdev, caps):
-                    # counts first, then total-trimmed fetches of the
-                    # concatenated segment buffers: the device->host entropy
-                    # traffic is stream-sized.
+                    # counts first, then a total-trimmed fetch of the merged
+                    # segment buffer: the device->host entropy traffic is
+                    # stream-sized.
                     w = {
                         k: np.asarray(jax.device_get(wdev[k]))
-                        for k in ("num_bp", "lip_c", "ref_c", "lis_c",
+                        for k in ("num_bp", "seg_c",
                                   "lip_total", "ref_total", "lis_total",
-                                  "lis_cmax", "n_sig", "n_exposed")
+                                  "n_sig", "n_exposed")
                     }
                     w["caps"] = caps
                     ctot = min(n, (2 * caps[2] * (self.num_bp_cap + 4)) // 8 + 8)
-                    for name, tot in (("lip", "lip_total"),
-                                      ("ref", "ref_total"),
-                                      ("lis", "lis_total")):
-                        b = int(w[tot].max()) if w[tot].size else 0
-                        b = min(b, ctot)
-                        w[name] = np.asarray(jax.device_get(wdev[name][:, :b]))
+                    tot = (
+                        np.minimum(w["lip_total"], ctot)
+                        + np.minimum(w["lis_total"], ctot)
+                        + np.minimum(w["ref_total"], ctot)
+                    )
+                    b = int(tot.max()) if tot.size else 0
+                    w["seg"] = np.asarray(jax.device_get(wdev["seg"][:, :b]))
                     return w
 
                 caps0 = tier_caps(self.wave_tiers[0])
@@ -919,19 +924,22 @@ class TpuCompressor3D:
         if num_bp == 0:
             return sw._pack_stream(np.empty(0, np.uint8), 0, 0)
 
-        def unconcat(buf, bit_counts):
-            bc = (bit_counts.astype(np.int64) + 7) // 8
-            offs = np.cumsum(bc) - bc
-            return [
-                np.unpackbits(
-                    buf[offs[p] : offs[p] + bc[p]], bitorder="little"
-                )[: int(bit_counts[p])]
-                for p in range(num_bp)
-            ]
+        # merged buffer layout: buckets (pass, class) in stream order
+        # LIP ‖ LIS ‖ refinement, each bucket byte-aligned
+        counts = wave["seg_c"][k].astype(np.int64)  # [num_bp_cap * 3]
+        buf = wave["seg"][k]
+        bc = (counts + 7) // 8
+        offs = np.cumsum(bc) - bc
 
-        lip_segments = unconcat(wave["lip"][k], wave["lip_c"][k])
-        ref_segments = unconcat(wave["ref"][k], wave["ref_c"][k])
-        lis_segments = unconcat(wave["lis"][k], wave["lis_c"][k])
+        def seg(p, c):
+            b = p * 3 + c
+            return np.unpackbits(
+                buf[offs[b] : offs[b] + bc[b]], bitorder="little"
+            )[: int(counts[b])]
+
+        lip_segments = [seg(p, 0) for p in range(num_bp)]
+        lis_segments = [seg(p, 1) for p in range(num_bp)]
+        ref_segments = [seg(p, 2) for p in range(num_bp)]
         return sw.stitch_3d(
             None, None, None, dims3, num_bp,
             lip_segments, ref_segments, budget,
