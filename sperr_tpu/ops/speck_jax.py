@@ -180,54 +180,6 @@ def _packbits_device(bits01: jnp.ndarray) -> jnp.ndarray:
     return (w @ powers).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("num_bp_cap",))
-def pass_segments_packed_sparse(
-    mag_c: jnp.ndarray,
-    sign_c: jnp.ndarray,
-    s_c: jnp.ndarray,
-    e_c: jnp.ndarray,
-    num_bp: jnp.ndarray,
-    num_bp_cap: int,
-):
-    """pass_segments_packed over a candidate-compacted pixel set.
-
-    Only pixels whose enclosing set ever partitions (e < num_bp) contribute
-    LIP or refinement bits, and every nonzero pixel is such a candidate — so
-    gathering candidates once (ascending index, preserving emission order)
-    shrinks the per-pass work from O(n) to O(significant neighborhood).
-    Padding entries must carry s = e = NEVER."""
-    C = mag_c.shape[0]
-    cap_lip = ((2 * C + 7) // 8) * 8
-    cap_ref = ((C + 7) // 8) * 8
-    m32 = mag_c.astype(jnp.uint32)
-
-    def compact_pack(bits_flat, valid_flat, cap):
-        dst = jnp.cumsum(valid_flat.astype(jnp.int32)) - 1
-        idx = jnp.where(valid_flat, dst, cap)
-        out01 = jnp.zeros(cap, dtype=jnp.uint8)
-        out01 = out01.at[idx].set(bits_flat.astype(jnp.uint8), mode="drop")
-        return _packbits_device(out01), jnp.sum(valid_flat).astype(jnp.int32)
-
-    def step(carry, p):
-        active = p < num_bp
-        memb = (e_c < p) & (s_c >= p) & active
-        dec = memb & (s_c == p)
-        bits2 = jnp.stack([dec, sign_c & dec], axis=1).reshape(-1)
-        valid2 = jnp.stack([memb, dec], axis=1).reshape(-1)
-        lip_row, lip_cnt = compact_pack(bits2, valid2, cap_lip)
-
-        rmemb = (s_c < p) & active
-        shift = jnp.maximum(num_bp - 1 - p, 0).astype(jnp.uint32)
-        rbit = ((m32 >> shift) & jnp.uint32(1)).astype(bool) & rmemb
-        ref_row, ref_cnt = compact_pack(rbit, rmemb, cap_ref)
-        return carry, (lip_row, lip_cnt, ref_row, ref_cnt)
-
-    _, (lip, lip_c, ref, ref_c) = jax.lax.scan(
-        step, 0, jnp.arange(num_bp_cap, dtype=jnp.int32)
-    )
-    return lip, lip_c, ref, ref_c
-
-
 def compact_schedule_by_sort(exposed, s, e, mags, signs, cap: int):
     """Compact the exposed-pixel schedule with ONE payload-carrying sort.
 
@@ -584,24 +536,6 @@ def events_to_segments_merged(p_keys, bits_list, num_bp_cap: int,
     return _packbits_device(out01), counts, cls_bytes, total_bytes
 
 
-def concat_segments(rows: jnp.ndarray, bit_counts: jnp.ndarray, cap_total: int):
-    """Concatenate per-pass packed segments into one dense byte buffer.
-
-    rows: u8[P, W] (each row an independently packed, byte-aligned segment);
-    bit_counts: i32[P].  Returns (buf u8[cap_total], byte_offsets i32[P],
-    total_bytes i32).  Fetching buf[:total] makes the device->host entropy
-    transfer stream-sized instead of max-count x passes."""
-    P, W = rows.shape
-    bc = (bit_counts + 7) // 8
-    off = jnp.cumsum(bc) - bc
-    col = jnp.arange(W, dtype=jnp.int32)
-    idx = off[:, None] + col[None, :]
-    valid = col[None, :] < bc[:, None]
-    buf = jnp.zeros(cap_total, dtype=jnp.uint8)
-    buf = buf.at[jnp.where(valid, idx, cap_total)].set(rows, mode="drop")
-    return buf, off.astype(jnp.int32), jnp.sum(bc).astype(jnp.int32)
-
-
 def encode_3d_device(mags_np, signs_np, dims, budget_bits: int = 0) -> bytes:
     """Full 3D SPECK encode with the pixel work on the JAX device and the
     set walk + stitching on the host.  Byte-identical to the serial engines.
@@ -802,6 +736,5 @@ __all__ = [
     "node_max",
     "pixel_schedule",
     "pass_segments",
-    "pass_segments_packed_sparse",
     "encode_3d_device",
 ]
