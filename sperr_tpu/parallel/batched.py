@@ -553,6 +553,12 @@ class TpuCompressor3D:
         # legitimately emit up to num_bp bits/pixel — and only exhausted
         # tiers fall back to host entropy.
         self.wave_tiers = DEFAULT_WAVE_TIERS
+        # Device-memory sub-batching budgets, in ELEMENTS per jit call
+        # (see compress()): bounds the per-call device working set.  The
+        # wave path's intermediates run ~40x the input bytes, the dense
+        # paths ~6x.
+        self.wave_elem_budget = 1 << 25
+        self.dense_elem_budget = 1 << 28
         # transfer: how quantized coefficients reach the host entropy stage.
         #   "sparse" — on-device compaction of nonzero coefficients and
         #              outliers: device->host traffic ~ information content.
@@ -628,7 +634,31 @@ class TpuCompressor3D:
         dev_resid = resid_mode != "none"
         uncertified = [0] * len(chunks)
 
-        for shape, idxs in groups.items():
+        # Memory-bounded sub-batching: one jit call per (shape, sub-batch).
+        # The wave path keeps ~40x the input footprint in device
+        # intermediates (event buffers, sort operands), the dense paths
+        # ~6x — without a bound, a 512^3 volume at 64^3 chunk dims would
+        # put thousands of chunks' working sets on the device at once.
+        # Sub-batches reuse the compiled executable (same B); only the
+        # final remainder compiles a second shape.
+        elem_budget = (
+            self.wave_elem_budget
+            if self.entropy == "wave"
+            else self.dense_elem_budget
+        )
+
+        group_parts: List[Tuple[Tuple[int, int, int], List[int]]] = []
+        for shape, idxs_all in groups.items():
+            n_ = shape[0] * shape[1] * shape[2]
+            bmax = max(1, int(elem_budget // max(1, n_)))
+            if self.mesh is not None:
+                ndev = self.mesh.devices.size
+                if bmax > ndev:
+                    bmax -= bmax % ndev  # keep sub-batches mesh-divisible
+            for s0 in range(0, len(idxs_all), bmax):
+                group_parts.append((shape, idxs_all[s0 : s0 + bmax]))
+
+        for shape, idxs in group_parts:
             lz, ly, lx = shape
             n = lx * ly * lz
             batch = np.stack(
@@ -1000,7 +1030,20 @@ class TpuDecompressor3D:
         for i, c in enumerate(chunks):
             groups.setdefault((c[5], c[3], c[1]), []).append(i)
 
-        for shape, idxs in groups.items():
+        # memory-bounded sub-batching (see TpuCompressor3D.compress): the
+        # decode path keeps ~3x the chunk bytes on device per call
+        group_parts: List[Tuple[Tuple[int, int, int], List[int]]] = []
+        for shape, idxs_all in groups.items():
+            n_ = shape[0] * shape[1] * shape[2]
+            bmax = max(1, (1 << 28) // max(1, n_))
+            if self.mesh is not None:
+                ndev = self.mesh.devices.size
+                if bmax > ndev:
+                    bmax -= bmax % ndev
+            for s0 in range(0, len(idxs_all), bmax):
+                group_parts.append((shape, idxs_all[s0 : s0 + bmax]))
+
+        for shape, idxs in group_parts:
             lz, ly, lx = shape
             n = lx * ly * lz
             B = len(idxs)

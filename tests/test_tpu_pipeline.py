@@ -168,3 +168,27 @@ def test_dense_transfer_mode_identical_streams(mode, quality):
         (32, 32, 64), (32, 32, 32), transfer="dense"
     ).compress(vol, mode, quality)
     assert bytes(s_sparse) == bytes(s_dense)
+
+
+@pytest.mark.parametrize("entropy", ["host", "wave"])
+def test_sub_batched_groups_identical_streams(entropy):
+    """Memory-bounded sub-batching (wave/dense_elem_budget): splitting a
+    shape group across several jit calls must be invisible in the
+    container — byte-identical to the one-shot batch, wave coverage
+    retained, and the decoder (which sub-batches independently) exact."""
+    vol = _vol(16, 16, 64, seed=21)  # four 16^3 chunks in one shape group
+    dims, cd = (16, 16, 64), (16, 16, 16)
+
+    one = batched.TpuCompressor3D(dims, cd, entropy=entropy)
+    s_one = bytes(one.compress(vol, "pwe", 1e-3))
+
+    sub = batched.TpuCompressor3D(dims, cd, entropy=entropy)
+    sub.wave_elem_budget = 16 * 16 * 16  # 1 chunk per jit call
+    sub.dense_elem_budget = 16 * 16 * 16
+    s_sub = bytes(sub.compress(vol, "pwe", 1e-3))
+    assert s_sub == s_one
+    assert sub.last_wave_chunks == one.last_wave_chunks
+
+    out, dims_out = batched.TpuDecompressor3D().decompress(s_sub)
+    assert dims_out == dims
+    assert np.abs(out.astype(np.float64) - vol.astype(np.float64)).max() <= 1e-3
