@@ -255,6 +255,8 @@ class TpuCompressor2D:
         # is sized for the smooth regime (~0.6 n events per class at tol
         # 1e-2); overflowing fields retry at the wider tiers.
         self.wave_event_tiers = (1.25, 3, 8)
+        # device-memory sub-batch budget, in elements per jit call
+        self.elem_budget = 1 << 25
         self.last_wave_chunks = 0
 
     def _wave_fits(self, wave, k: int, n: int) -> bool:
@@ -280,6 +282,22 @@ class TpuCompressor2D:
         nx, ny = self.dims
         n = nx * ny
         B = fields.shape[0]
+        # memory-bounded sub-batching (see TpuCompressor3D.compress): the
+        # wave path keeps ~40x the input footprint in device intermediates
+        bmax = max(1, self.elem_budget // max(1, n))
+        if self.mesh is not None and bmax > self.mesh.devices.size:
+            bmax -= bmax % self.mesh.devices.size
+        if B > bmax:
+            fields = np.asarray(fields).reshape(B, ny, nx)
+            out: List[bytes] = []
+            wave_total = 0
+            for s0 in range(0, B, bmax):
+                out.extend(
+                    self.compress_batch(fields[s0 : s0 + bmax], mode, quality)
+                )
+                wave_total += self.last_wave_chunks
+            self.last_wave_chunks = wave_total
+            return out
         batch = np.ascontiguousarray(
             np.asarray(fields).reshape(B, ny, nx), dtype=np.dtype(self.dtype)
         )
