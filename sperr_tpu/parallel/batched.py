@@ -42,8 +42,22 @@ from ..utils.packing import pack_8_booleans
 _MODES = ("psnr", "pwe", "rate")
 _WAVE_NEVER = 0x7FFF  # matches codec.speck_wave._NEVER
 # Wave-path capacity ladder defaults: (node_frac, event multiple of n,
-# candidate frac of n) per tier — see TpuCompressor3D.__init__.
-DEFAULT_WAVE_TIERS = ((0.625, 1.25, 0.625), (1.0, 3.0, 1.0), (1.0, 8.0, 1.0))
+# candidate frac of n) per tier — see TpuCompressor3D.__init__.  The event
+# multiple may be one scalar for all classes or a per-class (LIP, LIS,
+# refinement) triple: the classes' event counts differ ~2x in the smooth
+# regime (measured ~0.6n LIP, ~0.3n LIS, ~0.52n refinement at tol 1e-2),
+# and every expansion/sort in the entropy stage scales with its class cap.
+DEFAULT_WAVE_TIERS = (
+    (0.625, (0.8, 0.45, 0.7), 0.625),
+    (1.0, 3.0, 1.0),
+    (1.0, 8.0, 1.0),
+)
+
+
+def _ev_caps3(em, n: int):
+    """Per-class (LIP, LIS, ref) event caps from a tier's event multiple."""
+    em3 = em if isinstance(em, (tuple, list)) else (em, em, em)
+    return tuple(max(4096, int(e * n)) for e in em3)
 
 
 def make_chunk_mesh(devices=None) -> Mesh:
@@ -204,13 +218,13 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
     jax.jit,
     static_argnames=(
         "mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3", "residual",
-        "node_cap", "lis_row_cap", "wave_cap",
+        "node_cap", "ev_caps", "wave_cap",
     ),
 )
 def _dense_encode_wave(
     batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
     dims3: Tuple[int, int, int], residual: str = "f32", node_cap: int = 1024,
-    lis_row_cap: int = 4096, wave_cap: int = 0,
+    ev_caps: Tuple[int, int, int] = (4096, 4096, 4096), wave_cap: int = 0,
 ):
     """Device stages + the complete wavefront entropy stage: per-pass packed
     LIP / LIS / refinement segments (ops/speck_jax.py, ops/speck_lis_jax.py).
@@ -270,16 +284,16 @@ def _dense_encode_wave(
         # event-form emission for all three classes, packed by ONE merged
         # (pass, class)-keyed sort (stream order LIP ‖ LIS ‖ refinement)
         lp_key, lp_bit, lp_over = sj.lip_events(
-            g_c, s_c, e_c, num_bp, num_bp_cap, lis_row_cap
+            g_c, s_c, e_c, num_bp, num_bp_cap, ev_caps[0]
         )
         rp_key, rp_bit, rp_over = sj.ref_events(
-            m_c, s_c, num_bp, num_bp_cap, lis_row_cap
+            m_c, s_c, num_bp, num_bp_cap, ev_caps[2]
         )
         # the set walk itself: event-form device emission
         node_s = jnp.where(nm > 0, num_bp - nm, _WAVE_NEVER).astype(jnp.int32)
         ls_key, ls_bit, n_sig = sl.lis_segments_device(
             node_s, s, sgn_row, num_bp, li, num_bp_cap, node_cap,
-            lis_row_cap, cap_total, return_events=True,
+            ev_caps[1], cap_total, return_events=True,
         )
         seg, seg_c, cls_bytes, _ = sj.events_to_segments_merged(
             [lp_key, ls_key, rp_key], [lp_bit, ls_bit, rp_bit],
@@ -541,7 +555,8 @@ class TpuCompressor3D:
         self.entropy = entropy
         self.num_bp_cap = 34
         # Wave-path capacity ladder: (node_frac of node-count, event
-        # multiple of n, candidate frac of n) per tier.  Every sort,
+        # multiple of n — one scalar or a per-class (LIP, LIS, refinement)
+        # triple, candidate frac of n) per tier.  Every sort,
         # gather and expansion in the device entropy stage scales with
         # these caps, so tier 0 is sized for the smooth regime
         # error-bounded compression actually operates in (measured at tol
@@ -697,11 +712,11 @@ class TpuCompressor3D:
                         if nf >= 1.0
                         else max(512, min(li.nn, int(li.nn * nf)))
                     )
-                    ev_cap = max(4096, int(em * n))
+                    ev_caps = _ev_caps3(em, n)
                     wave_cap = (
                         n if wf >= 1.0 else max(1024, min(n, int(n * wf)))
                     )
-                    return node_cap, ev_cap, wave_cap
+                    return node_cap, ev_caps, wave_cap
 
                 def fetch_wave(wdev, caps):
                     # counts first, then a total-trimmed fetch of the merged

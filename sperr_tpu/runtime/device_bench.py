@@ -188,7 +188,7 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
     from ..ops import speck_lis_jax as sl
 
     from ..ops import speck_virtual as svirt
-    from ..parallel.batched import DEFAULT_WAVE_TIERS
+    from ..parallel.batched import DEFAULT_WAVE_TIERS, _ev_caps3
 
     vol = _smooth_field(n)[0]
     x = jnp.asarray(vol)
@@ -207,7 +207,7 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
     li = vfi if vfi is not None else sl.lis_index((n, n, n))
     nf, em, wf = DEFAULT_WAVE_TIERS[0]
     node_cap = li.nn if nf >= 1.0 else max(512, min(li.nn, int(li.nn * nf)))
-    ev_cap = max(4096, int(em * nelems))
+    lip_cap, lis_cap, ref_cap = _ev_caps3(em, nelems)
     wave_cap = nelems if wf >= 1.0 else max(1024, int(nelems * wf))
     cap_total = min(nelems, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
     _W_NEVER = 0x7FFF
@@ -252,7 +252,7 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
              | (has_sign.astype(jnp.int32) << 12)
              | (g_c.astype(jnp.int32) << 13))
         (wf,), rel, ev_ok, ev_total = sj._expand_fill(
-            ln, [w], ev_cap, widths=[14]
+            ln, [w], lip_cap, widths=[14]
         )
         return r, wf, rel, ev_ok, ev_total
 
@@ -279,7 +279,7 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         rhi = jnp.broadcast_to(num_bp - 1, rlo.shape)
         rln = jnp.where(rlo <= rhi, rhi - rlo + 1, 0)
         (rlo_f, m_f), rrel, rok, rtotal = sj._expand_fill(
-            rln, [rlo, m_c], ev_cap, widths=[6, 31]
+            rln, [rlo, m_c], ref_cap, widths=[6, 31]
         )
         rp = rlo_f + rrel
         shift = jnp.clip(num_bp - 1 - rp, 0, 31).astype(jnp.uint32)
@@ -293,7 +293,7 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         ll, s, e, nm, num_bp, sgn = r[:6]
         node_s = jnp.where(nm > 0, num_bp - nm, _W_NEVER).astype(jnp.int32)
         lis = sl.lis_segments_device(
-            node_s, s, sgn, num_bp, li, num_bp_cap, node_cap, ev_cap,
+            node_s, s, sgn, num_bp, li, num_bp_cap, node_cap, lis_cap,
             cap_total,
         )
         return r, lip, ref, lis
@@ -347,6 +347,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     runs for the headline workload."""
     from ..parallel.batched import (
         DEFAULT_WAVE_TIERS, _dense_encode_sparse, _dense_encode_wave,
+        _ev_caps3,
     )
     from ..ops import speck_jax as sj
     from ..ops import speck_lis_jax as sl
@@ -369,7 +370,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
         li = sl.lis_index((n, n, n))
     nf, em, wf = DEFAULT_WAVE_TIERS[0]
     node_cap = li.nn if nf >= 1.0 else max(512, min(li.nn, int(li.nn * nf)))
-    ev_cap = max(4096, int(em * nelems))
+    ev_caps = _ev_caps3(em, nelems)
     wave_cap = nelems if wf >= 1.0 else max(1024, int(nelems * wf))
 
     def sparse(y):
@@ -378,7 +379,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     def wave(y):
         return _dense_encode_wave(
             y, "pwe", float(tol), cap, out_cap, num_bp_cap, (n, n, n),
-            "dual", node_cap, ev_cap, wave_cap,
+            "dual", node_cap, ev_caps, wave_cap,
         )
 
     ts = time_stage(sparse, x, iters=iters)
