@@ -88,6 +88,26 @@ def run(argv=None) -> int:
         if args.bitstream:
             with open(args.bitstream, "wb") as f:
                 f.write(stream)
+        if args.print_stats and args.exec_mode == "tpu":
+            # PWE certification surface (parallel/batched.py pwe_strict=True
+            # dual mode): chunks listed here carry the f64-decoder bound
+            # only — the shipped f32 device decoder is not certified for
+            # them (mirrors the reference's per-chunk error surface,
+            # SPERR3D_OMP_C.cpp:132-135).
+            wav = getattr(comp, "last_wave_chunks", 0)
+            unc = getattr(comp, "last_uncertified_ids", [])
+            print(f"TPU engine: device-entropy chunks = {wav}")
+            if mode == "pwe":
+                if unc:
+                    print(
+                        f"PWE f32-decoder certification: {len(unc)} chunk(s) "
+                        f"NOT certified (f64 bound still holds): ids {unc}"
+                    )
+                else:
+                    print(
+                        "PWE bound certified for both f64 and f32 device "
+                        "decoders (all chunks)"
+                    )
         if args.print_stats or args.decomp_f or args.decomp_d:
             recon = _decompress(bytes(stream), args)[0].reshape(-1)
             if args.decomp_f:

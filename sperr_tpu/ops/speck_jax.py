@@ -173,11 +173,58 @@ def pass_segments(
     return jax.vmap(one_pass)(jnp.arange(num_bp_cap))
 
 
+_PACK_W_NP = None
+
+
+def _pack_weight_np():
+    """Constant (1024, 128) selector: W[i, i//8] = 2**(i%8), zeros elsewhere."""
+    global _PACK_W_NP
+    if _PACK_W_NP is None:
+        w = np.zeros((1024, 128), np.float32)
+        i = np.arange(1024)
+        w[i, i // 8] = 1 << (i % 8)
+        _PACK_W_NP = w
+    return _PACK_W_NP
+
+
 def _packbits_device(bits01: jnp.ndarray) -> jnp.ndarray:
-    """Pack a 0/1 uint8 vector (length % 8 == 0) LSB-first into bytes."""
-    w = bits01.reshape(-1, 8).astype(jnp.uint32)
-    powers = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint32)
-    return (w @ powers).astype(jnp.uint8)
+    """Pack a 0/1 uint8 vector (length % 8 == 0) LSB-first into bytes.
+
+    One MXU matmul per 1024-bit row: rows of 1024 bits x a constant
+    (1024, 128) selector-weight matrix give 128 exact byte values per row
+    (bits and power-of-two weights are exact in bf16; 8-term sums <= 255
+    are exact in the f32 accumulator).  The natural ``(-1, 8) @ powers``
+    form tiles its minor dim 8 -> 128 on TPU — a 16x HBM inflation that
+    OOM'd the 256^3 wave path (25.8 GB for a 1.6 GB logical buffer); here
+    every operand keeps a 128-aligned minor dim."""
+    nbits = bits01.shape[0]
+    rows = -(-nbits // 1024)
+    pad = rows * 1024 - nbits
+    if pad:
+        bits01 = jnp.concatenate(
+            [bits01, jnp.zeros(pad, dtype=bits01.dtype)]
+        )
+    m = bits01.reshape(rows, 1024).astype(jnp.bfloat16)
+    w = jnp.asarray(_pack_weight_np(), dtype=jnp.bfloat16)
+    by = jax.lax.dot_general(
+        m, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return by.astype(jnp.uint8).reshape(-1)[: nbits // 8]
+
+
+def cap_total_bytes(
+    n: int, num_bp_cap: int, wave_cap: int, ev_caps
+) -> int:
+    """Per-class byte capacity for the merged segment buffer.
+
+    A class's segment bytes are bounded by (its valid events + 7 pad bits
+    per pass) / 8 — exceeding that implies an event-cap overflow, which
+    already forces the host fallback, so sizing the buffer by the event
+    caps (instead of the volume-scale worst case) loses nothing and cuts
+    the 256^3 buffer ~4x."""
+    worst = min(n, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
+    ev_bound = (max(ev_caps) + 7 * num_bp_cap) // 8 + 16
+    return min(worst, ev_bound)
 
 
 def compact_schedule_by_sort(exposed, s, e, mags, signs, cap: int):
@@ -281,17 +328,25 @@ def events_to_segments(p_key, sec_key, bits, num_bp_cap: int, cap_total: int):
         )
         bit_sorted = bit_sorted.astype(jnp.uint8)
 
-    cap_total_bits = cap_total * 8
-    if cap_total_bits > TT:
+    # Valid stream bits never exceed TT (every byte is a real event or a
+    # kept pad), so pack only min(cap, TT)-rounded bits and zero-pad the
+    # BYTES to the declared capacity — 8x cheaper than padding bits.
+    k_bits = min(cap_total * 8, ((TT + 7) // 8) * 8)
+    if k_bits > TT:
         bit_sorted = jnp.concatenate(
-            [bit_sorted, jnp.zeros(cap_total_bits - TT, jnp.uint8)]
+            [bit_sorted, jnp.zeros(k_bits - TT, jnp.uint8)]
         )
     else:
-        bit_sorted = bit_sorted[:cap_total_bits]
+        bit_sorted = bit_sorted[:k_bits]
     # zero the junk past the stream (invalid reals / surplus pads)
-    iota = jnp.arange(cap_total_bits, dtype=jnp.int32)
+    iota = jnp.arange(k_bits, dtype=jnp.int32)
     out01 = jnp.where(iota < total_bytes * 8, bit_sorted, 0).astype(jnp.uint8)
-    return _packbits_device(out01), counts, total_bytes
+    packed = _packbits_device(out01)
+    if cap_total > k_bits // 8:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros(cap_total - k_bits // 8, jnp.uint8)]
+        )
+    return packed, counts, total_bytes
 
 
 def _expand_fill(ln, words, ev_cap: int, widths=None):
@@ -524,16 +579,21 @@ def events_to_segments_merged(p_keys, bits_list, num_bp_cap: int,
         )
         bit_sorted = bit_sorted.astype(jnp.uint8)
 
-    cap_bits = C * cap_total * 8
-    if cap_bits > TT:
+    k_bits = min(C * cap_total * 8, ((TT + 7) // 8) * 8)
+    if k_bits > TT:
         bit_sorted = jnp.concatenate(
-            [bit_sorted, jnp.zeros(cap_bits - TT, jnp.uint8)]
+            [bit_sorted, jnp.zeros(k_bits - TT, jnp.uint8)]
         )
     else:
-        bit_sorted = bit_sorted[:cap_bits]
-    iota = jnp.arange(cap_bits, dtype=jnp.int32)
+        bit_sorted = bit_sorted[:k_bits]
+    iota = jnp.arange(k_bits, dtype=jnp.int32)
     out01 = jnp.where(iota < total_bytes * 8, bit_sorted, 0).astype(jnp.uint8)
-    return _packbits_device(out01), counts, cls_bytes, total_bytes
+    packed = _packbits_device(out01)
+    if C * cap_total > k_bits // 8:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros(C * cap_total - k_bits // 8, jnp.uint8)]
+        )
+    return packed, counts, cls_bytes, total_bytes
 
 
 def encode_3d_device(mags_np, signs_np, dims, budget_bits: int = 0) -> bytes:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,11 @@ DEFAULT_WAVE_TIERS = (
 def _ev_caps3(em, n: int):
     """Per-class (LIP, LIS, ref) event caps from a tier's event multiple."""
     em3 = em if isinstance(em, (tuple, list)) else (em, em, em)
+    if len(em3) != 3:
+        raise ValueError(
+            "wave tier event multiple must be a scalar or a (LIP, LIS, "
+            f"refinement) triple, got {em!r}"
+        )
     return tuple(max(4096, int(e * n)) for e in em3)
 
 
@@ -259,9 +264,9 @@ def _dense_encode_wave(
             pti = None
         ti = None if pti is not None else sj.tree_index(dims3)
     li = vfi if vfi is not None else sl.lis_index(dims3)
-    # total bytes for the concatenated segments, sized by the candidate cap;
+    # total bytes for the concatenated segments, sized by the event caps;
     # overflow (counted on device) falls back to host entropy
-    cap_total = min(n, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
+    cap_total = sj.cap_total_bytes(n, num_bp_cap, wave_cap, ev_caps)
 
     def one(row, sgn_row):
         mags = jnp.abs(row).astype(jnp.uint32)
@@ -572,7 +577,7 @@ class TpuCompressor3D:
         # (see compress()): bounds the per-call device working set.  The
         # wave path's intermediates run ~40x the input bytes, the dense
         # paths ~6x.
-        self.wave_elem_budget = 1 << 25
+        self.wave_elem_budget = 1 << 24
         self.dense_elem_budget = 1 << 28
         # transfer: how quantized coefficients reach the host entropy stage.
         #   "sparse" — on-device compaction of nonzero coefficients and
@@ -610,6 +615,20 @@ class TpuCompressor3D:
         #              to f32 roundoff (precision=32 native fast-mode
         #              contract).
         self.pwe_strict = pwe_strict
+        # Per-compress observability (documented attribute contract, reset
+        # by every compress/compress_chunks call):
+        #   last_wave_chunks        — chunks encoded by the device entropy
+        #                             path (vs host-entropy fallback);
+        #   last_uncertified_chunks — PWE dual-certification failures: the
+        #                             exact-f64 bound holds for these chunks
+        #                             but the shipped f32 device decoder is
+        #                             NOT certified;
+        #   last_uncertified_ids    — their indices, in chunk order (the
+        #                             reference's per-chunk error surface,
+        #                             SPERR3D_OMP_C.cpp:132-135).
+        self.last_wave_chunks = 0
+        self.last_uncertified_chunks = 0
+        self.last_uncertified_ids: List[int] = []
 
     def _shard(self, arr):
         if self.mesh is None:
@@ -626,6 +645,31 @@ class TpuCompressor3D:
         is_float = np.asarray(vol).dtype == np.float32
         vol3 = np.asarray(vol).reshape(nz, ny, nx)
         chunks = chunk_volume(self.vol_dims, self.chunk_dims)
+
+        def loader(c):
+            return vol3[
+                c[4] : c[4] + c[5], c[2] : c[2] + c[3], c[0] : c[0] + c[1]
+            ]
+
+        streams = self.compress_chunks(chunks, loader, mode, quality)
+        header = tools.generate_header(
+            self.vol_dims, self.chunk_dims, [len(s) for s in streams], is_float
+        )
+        return header + b"".join(streams)
+
+    def compress_chunks(
+        self, chunks, loader, mode: str, quality: float
+    ) -> List[bytes]:
+        """Device-batched compression of an explicit chunk list.
+
+        ``loader(spec)`` returns a chunk's data shaped (lz, ly, lx); specs
+        are (x0, lx, y0, ly, z0, lz) as produced by utils.dims.chunk_volume.
+        Returns one SPECK_FLT stream per spec, in order — no container
+        header.  This is the multi-host seam: parallel.distributed routes
+        each process's owned chunks through this method on its local mesh
+        (the reference's per-thread codec instances,
+        SPERR3D_OMP_C.cpp:94-130, lifted to host scale)."""
+        assert mode in _MODES
 
         # Group chunks by shape so each group is one batched jit invocation.
         groups: Dict[Tuple[int, int, int], List[int]] = {}
@@ -678,9 +722,7 @@ class TpuCompressor3D:
             n = lx * ly * lz
             batch = np.stack(
                 [
-                    np.ascontiguousarray(
-                        vol3[c[4] : c[4] + c[5], c[2] : c[2] + c[3], c[0] : c[0] + c[1]]
-                    )
+                    np.ascontiguousarray(loader(c))
                     for c in (chunks[i] for i in idxs)
                 ]
             ).astype(np.dtype(self.dtype))
@@ -689,7 +731,7 @@ class TpuCompressor3D:
             out_cap = max(256, n // 64)
             force_dense = self.transfer == "dense" and self.entropy != "wave"
             wave = None
-            wave_alt: Dict[int, dict] = {}
+            wave_alt: Dict[int, Tuple[dict, int]] = {}
             if self.entropy == "wave":
                 from ..ops import speck_jax as sj
                 from ..ops import speck_lis_jax as sl
@@ -729,7 +771,9 @@ class TpuCompressor3D:
                                   "n_sig", "n_exposed")
                     }
                     w["caps"] = caps
-                    ctot = min(n, (2 * caps[2] * (self.num_bp_cap + 4)) // 8 + 8)
+                    ctot = sj.cap_total_bytes(
+                        n, self.num_bp_cap, caps[2], caps[1]
+                    )
                     tot = (
                         np.minimum(w["lip_total"], ctot)
                         + np.minimum(w["lis_total"], ctot)
@@ -747,27 +791,36 @@ class TpuCompressor3D:
                 wave = fetch_wave(res.pop("wave"), caps0)
                 # retry ladder: chunks that overflowed any cap (node,
                 # candidate, event or byte totals — exact device counts)
-                # re-run one at a time at the next, wider tier (memory-
-                # bounded: the higher tiers never batch)
+                # re-run BATCHED at the next, wider tier: power-of-two
+                # sub-batches bound both the compile count (one executable
+                # per size class) and the per-call device working set, so a
+                # noisy volume degrades by tier, not chunk-serially
                 for tier in self.wave_tiers[1:]:
                     bad = [
                         k for k in range(len(idxs))
                         if not self._wave_fits(
-                            *((wave_alt[k], 0) if k in wave_alt else (wave, k)),
-                            n,
+                            *wave_alt.get(k, (wave, k)), n
                         )
                         and int(wave["num_bp"][k]) <= self.num_bp_cap
                     ]
                     if not bad:
                         break
                     capsr = tier_caps(tier)
-                    for k in bad:
+                    bmax_r = max(
+                        1, (self.wave_elem_budget // 4) // max(1, n)
+                    )
+                    for s0 in range(0, len(bad), bmax_r):
+                        grp = bad[s0 : s0 + bmax_r]
+                        Bp = 1 << (len(grp) - 1).bit_length()
+                        sel = grp + [grp[0]] * (Bp - len(grp))
                         res_r = _dense_encode_wave(
-                            dev[k : k + 1], mode, float(quality), cap,
-                            out_cap, self.num_bp_cap, (lx, ly, lz),
+                            dev[jnp.asarray(sel)], mode, float(quality),
+                            cap, out_cap, self.num_bp_cap, (lx, ly, lz),
                             resid_mode, *capsr,
                         )
-                        wave_alt[k] = fetch_wave(res_r.pop("wave"), capsr)
+                        wv = fetch_wave(res_r.pop("wave"), capsr)
+                        for j, k in enumerate(grp):
+                            wave_alt[k] = (wv, j)
             elif force_dense:
                 res = _dense_encode(dev, mode, float(quality), resid_mode)
             else:
@@ -837,9 +890,7 @@ class TpuCompressor3D:
                 )
                 mean = float(small["mean"][k])
                 condi = _condi_header(False, 0.0, 0, mean, q)
-                wv, wk = (
-                    (wave_alt[k], 0) if k in wave_alt else (wave, k)
-                )
+                wv, wk = wave_alt.get(k, (wave, k))
                 use_wave = wv is not None and self._wave_fits(wv, wk, n)
                 if use_wave:
                     wave_used[gi] = 1
@@ -871,14 +922,8 @@ class TpuCompressor3D:
                         return ll
 
                     def _orig_row():
-                        c = chunks[gi]
                         return np.ascontiguousarray(
-                            vol3[
-                                c[4] : c[4] + c[5],
-                                c[2] : c[2] + c[3],
-                                c[0] : c[0] + c[1],
-                            ],
-                            dtype=np.float64,
+                            loader(chunks[gi]), dtype=np.float64
                         ).ravel()
 
                     def _dev_scan():
@@ -937,18 +982,25 @@ class TpuCompressor3D:
 
         self.last_wave_chunks = sum(wave_used)
         # chunks whose f32-device-decode PWE bound could not be certified
-        # (dual mode only; the exact-f64 bound still holds for them)
+        # (dual mode only; the exact-f64 bound still holds for them); the
+        # ids let CLI/--print_stats name the affected chunks
         self.last_uncertified_chunks = sum(uncertified)
-        header = tools.generate_header(
-            self.vol_dims, self.chunk_dims, [len(s) for s in streams], is_float
-        )
-        return header + b"".join(streams)
+        self.last_uncertified_ids = [
+            i for i, u in enumerate(uncertified) if u
+        ]
+        return streams
 
     def _wave_fits(self, wave, k: int, n: int) -> bool:
         """True when chunk row k's device emission fit every cap (node,
-        exposed-pixel, bitplane, and per-buffer byte totals)."""
-        nc, lrc, wc = wave["caps"]
-        cap_total = min(n, (2 * wc * (self.num_bp_cap + 4)) // 8 + 8)
+        exposed-pixel, bitplane, and per-buffer byte totals).
+
+        Event-cap overflows never need a check of their own here: the
+        device kernels encode them into the totals (LIS overflow poisons
+        n_sig, LIP/refinement overflow forces a 2**30 byte total)."""
+        nc, ev_caps, wc = wave["caps"]
+        from ..ops.speck_jax import cap_total_bytes
+
+        cap_total = cap_total_bytes(n, self.num_bp_cap, wc, ev_caps)
         return (
             int(wave["n_sig"][k]) <= nc
             and int(wave["n_exposed"][k]) <= wc
@@ -1004,7 +1056,11 @@ class TpuDecompressor3D:
         self.hierarchy: List[np.ndarray] = []
 
     def decompress(
-        self, stream: bytes, to_host: bool = True, multi_res: bool = False
+        self,
+        stream: bytes,
+        to_host: bool = True,
+        multi_res: bool = False,
+        only: Optional[Sequence[int]] = None,
     ) -> Tuple[object, Tuple[int, int, int]]:
         """Decode a container stream.
 
@@ -1018,9 +1074,17 @@ class TpuDecompressor3D:
         hierarchy (device-side partial IDWT, SPERR3D_OMP_D.cpp:117-126)
         into `self.hierarchy`, ordered coarsest-first to match
         utils.dims.coarsened_resolutions_chunked.  Requires to_host=True.
+
+        `only`: optional chunk-id subset to decode (the multi-host seam:
+        each process decodes the chunks it owns, parallel.distributed
+        gathers/scatters — SPERR3D_OMP_D.cpp:101-127 across hosts).
+        Use with to_host=False; with to_host=True the volume outside the
+        selected chunks is uninitialized.
         """
         if multi_res and not to_host:
             raise ValueError("multi_res decode requires to_host=True")
+        if multi_res and only is not None:
+            raise ValueError("multi_res decode does not support `only`")
         from ..utils.dims import coarsened_resolutions, coarsened_resolutions_chunked
 
         h = tools.parse_header(stream)
@@ -1041,8 +1105,11 @@ class TpuDecompressor3D:
                 chunk_volume(vol_res[i], chunk_res[i]) for i in range(len(vol_res))
             ]
 
+        keep = None if only is None else set(int(i) for i in only)
         groups: Dict[Tuple[int, int, int], List[int]] = {}
         for i, c in enumerate(chunks):
+            if keep is not None and i not in keep:
+                continue
             groups.setdefault((c[5], c[3], c[1]), []).append(i)
 
         # memory-bounded sub-batching (see TpuCompressor3D.compress): the

@@ -96,10 +96,18 @@ def compress_distributed(
                 np.asarray(loader(c), dtype=np.float64).reshape(-1), mode, quality
             )
 
+        local_streams = [compress_chunk(chunks[i]) for i in mine]
     else:
-        compress_chunk = compressor_factory(mode, quality)
-
-    local_streams = [compress_chunk(chunks[i]) for i in mine]
+        comp = compressor_factory(mode, quality)
+        if hasattr(comp, "compress_chunks"):
+            # device-batched engine (TpuCompressor3D via
+            # device_compressor_factory): the process's owned chunks run
+            # as one batched pipeline on its local mesh
+            local_streams = comp.compress_chunks(
+                [chunks[i] for i in mine], loader, mode, quality
+            )
+        else:
+            local_streams = [comp(chunks[i]) for i in mine]
     # blob = length table for my chunks (u64 each, in my-owned order) ++
     # payload bytes: the gather carries everything rank 0 needs, with no
     # separate metadata collective.
@@ -122,3 +130,94 @@ def compress_distributed(
         vol_dims, chunk_dims, [len(s) for s in ordered], is_float
     )
     return header + b"".join(ordered)
+
+
+def device_compressor_factory(chunk_dims: Tuple[int, int, int], mesh=None,
+                              **opts):
+    """A ``compressor_factory`` for compress_distributed that routes each
+    process's owned chunks through the device-batched TpuCompressor3D
+    pipeline on the process's local mesh (dense stages SPMD over devices,
+    entropy per the engine's configuration).  ``opts`` pass through to
+    TpuCompressor3D (entropy=, pwe_strict=, transfer=, ...)."""
+
+    def make(mode, quality):
+        from .batched import TpuCompressor3D
+
+        cd = tuple(int(d) for d in chunk_dims)
+        return TpuCompressor3D(cd, cd, mesh=mesh, **opts)
+
+    return make
+
+
+def decompress_distributed(
+    stream: bytes,
+    pid: Optional[int] = None,
+    nprocs: Optional[int] = None,
+    transport=None,
+    decompressor_factory=None,
+    to_host: bool = True,
+):
+    """Distributed decompression: each process decodes its round-robin
+    chunks on its local devices; decoded blocks gather to process 0, which
+    scatters them into the full volume — the reference's parallel chunk
+    decode + scatter (SPERR3D_OMP_D.cpp:101-127) across hosts.
+
+    to_host=True: returns (volume, vol_dims) on process 0, None elsewhere.
+    to_host=False: every process returns (its device-resident blocks as
+    {(z0,y0,x0,lz,ly,lx) -> jax.Array}, vol_dims) — no gather, for
+    TPU-native consumers of the decompressed field.
+    """
+    import jax
+
+    pid = jax.process_index() if pid is None else pid
+    nprocs = jax.process_count() if nprocs is None else nprocs
+    h = tools.parse_header(stream)
+    chunks = chunk_volume(h.vol_dims, h.chunk_dims)
+    mine = local_chunk_ids(len(chunks), pid, nprocs)
+
+    if decompressor_factory is None:
+        from .batched import TpuDecompressor3D
+
+        dec = TpuDecompressor3D()
+    else:
+        dec = decompressor_factory()
+    blocks, _ = dec.decompress(stream, to_host=False, only=mine)
+    if not to_host:
+        return blocks, h.vol_dims
+
+    if transport is None:
+        from .transport import default_transport
+
+        transport = default_transport(nprocs)
+    dt = np.dtype(getattr(dec, "dtype", np.float32))
+    # blob = my blocks' raw bytes in my-owned chunk order (shapes are
+    # implied by the chunk grid, so no per-block metadata is needed)
+    blob = b"".join(
+        np.ascontiguousarray(np.asarray(blocks[_key(chunks[i])])).tobytes()
+        for i in mine
+    )
+    payloads = transport.gather_bytes(blob, pid, nprocs)
+    if payloads is None:
+        return None
+
+    nx, ny, nz = h.vol_dims
+    vol = np.empty((nz, ny, nx), dtype=dt)
+    for p in range(nprocs):
+        owned = local_chunk_ids(len(chunks), p, nprocs)
+        off = 0
+        for i in owned:
+            c = chunks[i]
+            nbytes = c[1] * c[3] * c[5] * dt.itemsize
+            block = np.frombuffer(
+                payloads[p][off : off + nbytes], dtype=dt
+            ).reshape(c[5], c[3], c[1])
+            vol[
+                c[4] : c[4] + c[5], c[2] : c[2] + c[3], c[0] : c[0] + c[1]
+            ] = block
+            off += nbytes
+    return vol, h.vol_dims
+
+
+def _key(c: ChunkSpec):
+    """Chunk spec -> the block key TpuDecompressor3D uses (z0,y0,x0,lz,ly,lx)."""
+    return (c[4], c[2], c[0], c[5], c[3], c[1])

@@ -209,7 +209,9 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
     node_cap = li.nn if nf >= 1.0 else max(512, min(li.nn, int(li.nn * nf)))
     lip_cap, lis_cap, ref_cap = _ev_caps3(em, nelems)
     wave_cap = nelems if wf >= 1.0 else max(1024, int(nelems * wf))
-    cap_total = min(nelems, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
+    cap_total = sj.cap_total_bytes(
+        nelems, num_bp_cap, wave_cap, (lip_cap, lis_cap, ref_cap)
+    )
     _W_NEVER = 0x7FFF
     q = jnp.float32(1.5 * tol)
 
@@ -338,13 +340,15 @@ def _smooth_field(n: int, batch: int = 1, seed: int = 7) -> np.ndarray:
 
 
 def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
-                       iters: int = 4) -> Dict[str, float]:
+                       iters: int = 4, noisy: bool = False) -> Dict[str, float]:
     """Device seconds for the wave-entropy encode (full SPECK bit work on
     device) vs the dense core alone; the difference is the entropy stage.
 
-    Measures the production tier-0 capacities (TpuCompressor3D.wave_tiers)
+    Default: the production tier-0 capacities (TpuCompressor3D.wave_tiers)
     on a smooth field — the configuration and regime the driver actually
-    runs for the headline workload."""
+    runs for the headline workload.  noisy=True measures the adversarial
+    regime instead: a white-noise field at the widest tier's caps (what a
+    retried cap-overflowing chunk costs on device)."""
     from ..parallel.batched import (
         DEFAULT_WAVE_TIERS, _dense_encode_sparse, _dense_encode_wave,
         _ev_caps3,
@@ -352,7 +356,11 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     from ..ops import speck_jax as sj
     from ..ops import speck_lis_jax as sl
 
-    vol = _smooth_field(n, batch)
+    if noisy:
+        rng = np.random.default_rng(11)
+        vol = rng.normal(size=(batch, n, n, n)).astype(np.float32)
+    else:
+        vol = _smooth_field(n, batch)
     x = jnp.asarray(vol)
     nelems = n * n * n
     cap = max(1024, nelems // 4)
@@ -368,7 +376,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
         except ValueError:
             sj.tree_index((n, n, n))
         li = sl.lis_index((n, n, n))
-    nf, em, wf = DEFAULT_WAVE_TIERS[0]
+    nf, em, wf = DEFAULT_WAVE_TIERS[-1 if noisy else 0]
     node_cap = li.nn if nf >= 1.0 else max(512, min(li.nn, int(li.nn * nf)))
     ev_caps = _ev_caps3(em, nelems)
     wave_cap = nelems if wf >= 1.0 else max(1024, int(nelems * wf))
@@ -386,6 +394,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     tw = time_stage(wave, x, iters=iters)
     return {
         "n": n, "batch": batch,
+        "regime": "noisy(widest tier)" if noisy else "smooth(tier 0)",
         "dense_core_s": round(ts, 5),
         "wave_total_s": round(tw, 5),
         "entropy_stage_s": round(max(tw - ts, 0.0), 5),

@@ -141,3 +141,88 @@ def test_compress_distributed_socket_gather_end_to_end():
     ref = Sperr3DCompressor((nx, ny, nz), chunk_dims).compress(vol, "psnr", 70.0)
     assert out[0] == bytes(ref)
     assert out[1] is None and out[2] is None
+
+
+class _SimTransport:
+    """Sequential-simulation transport: non-root ranks deposit blobs first,
+    rank 0 gathers last (test harness for in-process multi-rank runs)."""
+
+    def __init__(self, nprocs):
+        self.store = [None] * nprocs
+
+    def gather_bytes(self, payload, pid, nprocs):
+        self.store[pid] = payload
+        if pid != 0:
+            return None
+        assert all(b is not None for b in self.store), "rank 0 must run last"
+        return list(self.store)
+
+
+def test_device_engine_composes_with_distributed():
+    """N simulated processes, each batching its owned chunks through the
+    device pipeline (TpuCompressor3D over the virtual mesh): the assembled
+    container must byte-match the single-host device run, and the
+    distributed decode must bit-match the single-host decode
+    (SPERR3D_OMP_C.cpp:94-130 / SPERR3D_OMP_D.cpp:101-127 across hosts)."""
+    from sperr_tpu.parallel import batched
+
+    nx = ny = nz = 32
+    vol = _vol(nx, ny, nz, seed=12)
+    chunk_dims = (16, 16, 16)
+    nprocs = 2
+
+    def loader(c):
+        x0, lx, y0, ly, z0, lz = c
+        return vol[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx]
+
+    mesh = batched.make_chunk_mesh()
+    factory = dist.device_compressor_factory(chunk_dims, mesh=mesh)
+    tr = _SimTransport(nprocs)
+    out = {}
+    for pid in range(nprocs - 1, -1, -1):  # rank 0 last (sim transport)
+        out[pid] = dist.compress_distributed(
+            loader, (nx, ny, nz), chunk_dims, "pwe", 1e-3, is_float=True,
+            compressor_factory=factory, pid=pid, nprocs=nprocs, transport=tr,
+        )
+    assert out[1] is None
+    single = batched.TpuCompressor3D(
+        (nx, ny, nz), chunk_dims, mesh=mesh
+    ).compress(vol, "pwe", 1e-3)
+    assert out[0] == single
+
+    # distributed decode: every rank decodes its chunks, rank 0 assembles
+    tr2 = _SimTransport(nprocs)
+    dout = {}
+    for pid in range(nprocs - 1, -1, -1):
+        dout[pid] = dist.decompress_distributed(
+            out[0], pid=pid, nprocs=nprocs, transport=tr2
+        )
+    assert dout[1] is None
+    got, dims = dout[0]
+    ref, _ = batched.TpuDecompressor3D(mesh=mesh).decompress(out[0])
+    assert dims == (nx, ny, nz)
+    np.testing.assert_array_equal(got, ref)
+    assert np.abs(got.astype(np.float64) - vol).max() <= 1e-3
+
+
+def test_decompress_distributed_device_blocks():
+    """to_host=False: each rank keeps only its owned chunks device-resident."""
+    from sperr_tpu.parallel import batched
+
+    nx = ny = nz = 32
+    vol = _vol(nx, ny, nz, seed=4)
+    chunk_dims = (16, 16, 16)
+    stream = batched.TpuCompressor3D((nx, ny, nz), chunk_dims).compress(
+        vol, "psnr", 70.0
+    )
+    chunks = chunk_volume((nx, ny, nz), chunk_dims)
+    nprocs = 2
+    seen = set()
+    for pid in range(nprocs):
+        blocks, dims = dist.decompress_distributed(
+            stream, pid=pid, nprocs=nprocs, to_host=False
+        )
+        mine = dist.local_chunk_ids(len(chunks), pid, nprocs)
+        assert set(blocks.keys()) == {dist._key(chunks[i]) for i in mine}
+        seen |= set(blocks.keys())
+    assert len(seen) == len(chunks)

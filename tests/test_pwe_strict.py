@@ -188,3 +188,71 @@ def test_residual_outliers_matches_numpy_reference():
     want = np.flatnonzero(np.abs(diff) > tol)
     np.testing.assert_array_equal(pos.astype(np.int64), want)
     np.testing.assert_array_equal(err, diff[want])
+
+
+def test_uncertifiable_tolerance_surfaces_chunks():
+    """A PWE tolerance within ~1e2 ulps of the data scale cannot be
+    certified for the shipped f32 device decoder; the compressor must say
+    WHICH chunks carry the weaker (f64-only) contract — the reference's
+    per-chunk error surface (SPERR3D_OMP_C.cpp:132-135) extended to the
+    certification state."""
+    from sperr_tpu.parallel.batched import TpuCompressor3D
+
+    rng = np.random.default_rng(3)
+    n = 16
+    vol = (np.ones((n, n, n)) + 0.1 * rng.normal(size=(n, n, n))).astype(
+        np.float32
+    )
+    tol = 1e-7  # ~1 ulp of the O(1) data scale: eta > tol/8 by construction
+    comp = TpuCompressor3D((n, n, n), (n, n, n))
+    stream = comp.compress(vol, "pwe", tol)
+    assert comp.last_uncertified_chunks == 1
+    assert comp.last_uncertified_ids == [0]
+
+    # the exact-f64 decoder contract still holds for the flagged chunk
+    from sperr_tpu.parallel.chunked3d import Sperr3DDecompressor
+
+    out, _ = Sperr3DDecompressor(precision=64).decompress(bytes(stream))
+    assert np.abs(out.astype(np.float64) - vol.astype(np.float64)).max() <= tol
+
+
+def test_certified_run_has_no_flagged_chunks():
+    from sperr_tpu.parallel.batched import TpuCompressor3D
+
+    rng = np.random.default_rng(5)
+    n = 16
+    vol = (np.ones((n, n, n)) + 0.1 * rng.normal(size=(n, n, n))).astype(
+        np.float32
+    )
+    comp = TpuCompressor3D((n, n, n), (n, n, n))
+    comp.compress(vol, "pwe", 1e-2)
+    assert comp.last_uncertified_chunks == 0
+    assert comp.last_uncertified_ids == []
+
+
+def test_cli_surfaces_certification(tmp_path, capsys):
+    from sperr_tpu.cli import sperr3d
+
+    rng = np.random.default_rng(9)
+    n = 16
+    vol = (np.ones((n, n, n)) + 0.1 * rng.normal(size=(n, n, n))).astype(
+        np.float32
+    )
+    inp = tmp_path / "in.f32"
+    vol.ravel().tofile(inp)
+    rc = sperr3d.run(
+        ["-c", str(inp), "--ftype", "32", "--dims", str(n), str(n), str(n),
+         "--exec", "tpu", "--pwe", "1e-7", "--print_stats",
+         "--bitstream", str(tmp_path / "o.stream")]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "NOT certified" in out and "ids [0]" in out
+
+    rc = sperr3d.run(
+        ["-c", str(inp), "--ftype", "32", "--dims", str(n), str(n), str(n),
+         "--exec", "tpu", "--pwe", "1e-2", "--print_stats",
+         "--bitstream", str(tmp_path / "o2.stream")]
+    )
+    assert rc == 0
+    assert "certified for both" in capsys.readouterr().out

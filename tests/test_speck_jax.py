@@ -102,3 +102,17 @@ def test_pass_segments_counts_are_stream_sized():
     stream = bytes(ENG.encode(3, mags, signs, dims, 64, 0))
     total_bits = int.from_bytes(stream[1:9], "little")
     assert 0 < total_pixel_bits < total_bits
+
+
+def test_packbits_device_parity():
+    """MXU-dot packbits == np.packbits(bitorder='little') at assorted
+    lengths (the (-1, 8) reshape it replaces OOM'd at 256^3: 16x minor-dim
+    tiling inflation; VERDICT r2 #1)."""
+    from sperr_tpu.ops.speck_jax import _packbits_device
+
+    rng = np.random.default_rng(2)
+    for nbits in (8, 64, 1024, 1032, 4096, 100_000 * 8):
+        bits = rng.integers(0, 2, nbits).astype(np.uint8)
+        got = np.asarray(_packbits_device(jnp.asarray(bits)))
+        want = np.packbits(bits, bitorder="little")
+        np.testing.assert_array_equal(got, want)
