@@ -827,10 +827,23 @@ class TpuCompressor3D:
                 res = _dense_encode_sparse(
                     dev, mode, float(quality), cap, out_cap, resid_mode
                 )
+            # When the device entropy path covered every chunk and no host
+            # residual scan is needed (non-PWE modes), the quantized
+            # coefficients never have to leave the device — the sparse
+            # fetch below (~nnz * 8 B/chunk) is only for host-entropy
+            # fallbacks and the PWE f64 scan.
+            wave_all_fit = (
+                wave is not None
+                and mode != "pwe"
+                and all(
+                    self._wave_fits(*wave_alt.get(k, (wave, k)), n)
+                    for k in range(len(idxs))
+                )
+            )
             # Pull small per-chunk scalars first; decide dense fallback.
             nnz = (
                 None
-                if force_dense
+                if force_dense or wave_all_fit
                 else np.asarray(jax.device_get(res["nnz"]))
             )
             small_keys = ["is_const", "v0", "mean", "q", "maxmag"]
@@ -850,7 +863,10 @@ class TpuCompressor3D:
                 else None
             )
             dense = None
-            if force_dense:
+            sparse = None
+            if wave_all_fit:
+                pass  # no coefficient fetch at all
+            elif force_dense:
                 dense = jax.device_get(res)
             elif (nnz > cap).any() or (n_out is not None and (n_out > out_cap).any()):
                 dense = jax.device_get(
