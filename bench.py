@@ -323,53 +323,80 @@ def main():
     # encode+decode rate for one 256^3 chunk, entropy stage included);
     # host engine otherwise.  BENCH_HEADLINE=host forces the old headline.
     total_gbps = host["total_gbps"]
+    metric = f"{metric_name} f32 PWE({TOL}) encode+decode throughput"
     headline_source = "host_native_cpu_engine (end-to-end)"
     dev_num = None
     if isinstance(stages, dict) and "error" not in stages:
         w = stages.get("wave_entropy_256") or {}
-        if "wave_total_s" in w and "decode_core_s" in stages:
+        # prefer the full device decode (SPECK offload included); fall back
+        # to the core-only number with an honest label
+        dec_key = "decode_total_s" if "decode_total_s" in stages else "decode_core_s"
+        full_dec = dec_key == "decode_total_s"
+        # both halves must be measured at the SAME chunk dims or the
+        # throughput formula is meaningless (ADVICE r3)
+        if "wave_total_s" in w and dec_key in stages and int(
+            w.get("n", -1)
+        ) == int(stages.get("n", -2)):
             cb = float(w["n"]) ** 3 * 4
             dev_num = round(
-                2 * cb / (w["wave_total_s"] + stages["decode_core_s"]) / 1e9,
-                4,
+                2 * cb / (w["wave_total_s"] + stages[dec_key]) / 1e9, 4
             )
             stages["device_wave_pipeline_gbps"] = dev_num
     if dev_num is not None and os.environ.get("BENCH_HEADLINE", "device") == "device":
         total_gbps = dev_num
+        # name what was measured, in the metric string itself (ADVICE r3)
+        dec_label = (
+            "full decode" if full_dec else "partial decode (invquant+IDWT)"
+        )
+        metric = (
+            f"{stages['n']}^3-chunk device encode + {dec_label}, on-chip "
+            f"stage-timed, PWE({TOL})"
+        )
         headline_source = (
-            "tpu_device (256^3 chunk, on-chip stage timing, tunnel "
-            "excluded: encode = full device SPECK wave pipeline; decode = "
-            "device invquant+IDWT core, SPECK parse still host-side)"
+            "tpu_device: encode = full device SPECK wave pipeline; decode = "
+            + (
+                "device SPECK decode offload + invquant + IDWT"
+                if full_dec
+                else "device invquant+IDWT core only, SPECK parse host-side"
+            )
         )
 
     baseline = 0.04  # GB/s, reference single-core 512^3 encode (BASELINE.md)
-    result = json.dumps(
-        {
-            "metric": f"{metric_name} f32 PWE({TOL}) encode+decode throughput",
-            "value": total_gbps,
-            "unit": "GB/s/chip",
-            "vs_baseline": round(total_gbps / baseline, 2),
-            "detail": {
-                "headline_source": headline_source,
-                "input": source,
-                "host_native": host,
-                "tpu_path": tpu,
-                "tpu_device_stages": stages,
-                "compressed_bytes": stream_len,
-                "bpp": round(stream_len * 8 / vol.size, 3),
-                # host f32 fast mode margin-certifies for f64 decoders
-                # (tol - eta detection, per-chunk f64 escalation); the
-                # device driver dual-certifies for both the f64 decoders
-                # and its own f32 device decoder (parallel/batched.py).
-                "pwe_bound": "certified (f64 decoders; device driver "
-                "also certifies its f32 decoder)",
-            },
-        }
-    )
-    # the JSON line must be the LAST thing on stdout, printed atomically
-    # (the driver keeps only an output tail; round 2's was lost to log noise)
+    detail = {
+        "headline_source": headline_source,
+        "input": source,
+        "host_native": host,
+        "tpu_path": tpu,
+        "tpu_device_stages": stages,
+        "compressed_bytes": stream_len,
+        "bpp": round(stream_len * 8 / vol.size, 3),
+        # host f32 fast mode margin-certifies for f64 decoders
+        # (tol - eta detection, per-chunk f64 escalation); the
+        # device driver dual-certifies for both the f64 decoders
+        # and its own f32 device decoder (parallel/batched.py).
+        "pwe_bound": "certified (f64 decoders; device driver "
+        "also certifies its f32 decoder)",
+    }
+    headline = {
+        "metric": metric,
+        "value": total_gbps,
+        "unit": "GB/s/chip",
+        "vs_baseline": round(total_gbps / baseline, 2),
+        "headline_source": headline_source,
+        "detail_file": "/tmp/sperr_bench_detail.json",
+    }
+    # Full detail goes to a sidecar file AND an early stdout line; the FINAL
+    # stdout line is the compact headline only.  The driver keeps a ~2000
+    # char tail of stdout: rounds 1-3 all lost the headline (log noise, then
+    # sheer line length), so the last line must stay well under that.
+    try:
+        with open("/tmp/sperr_bench_detail.json", "w") as f:
+            json.dump(detail, f, indent=1)
+    except Exception:
+        pass
+    sys.stdout.write("DETAIL " + json.dumps(detail) + "\n")
     sys.stdout.flush()
-    sys.stdout.write("\n" + result + "\n")
+    sys.stdout.write("\n" + json.dumps(headline) + "\n")
     sys.stdout.flush()
 
 
