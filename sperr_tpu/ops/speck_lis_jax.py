@@ -143,6 +143,20 @@ class LisIndex:
         return jnp.concatenate([self.O0, jnp.zeros(1, jnp.int32)])
 
 
+def lis_item_count(li, node_cap: int) -> int:
+    """Static item count (entries + child rows) of the walk's unified
+    emission sort at a given node cap — the T dimension of the dense LIS
+    emission matrices (ops/wave_pack.py) and of the walk's `pay_s`."""
+    C = int(node_cap)
+    MC = int(li.max_ch)
+    R = C * MC
+    if getattr(li, "uniform_children", False):
+        CB = min(C, int(li.nn_inner)) * MC
+    else:
+        CB = min(R, int(li.nn))
+    return CB + int(li.nroots) + R
+
+
 _LIS_INDEXES = {}
 
 
@@ -443,6 +457,14 @@ def lis_segments_device(
     ops = (kw_all, *kpath, pay)
     out = jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=False)
     pay_s = out[-1]
+
+    if return_events == "items":
+        # prefix-pack mode (ops/wave_pack.py): the caller builds dense
+        # [pass, item] emission matrices straight from the walk-ordered
+        # payloads — no interval expansion, no event sort.  Event-cap
+        # overflow cannot occur (there is no event buffer); only the
+        # node-cap/born overflows poison n_sig.
+        return pay_s, n_sig
 
     is_ent_s = (pay_s & 1) == 1
     lo_s = (pay_s >> 1) & 63

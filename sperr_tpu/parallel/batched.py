@@ -41,28 +41,27 @@ from ..utils.packing import pack_8_booleans
 
 _MODES = ("psnr", "pwe", "rate")
 _WAVE_NEVER = 0x7FFF  # matches codec.speck_wave._NEVER
-# Wave-path capacity ladder defaults: (node_frac, event multiple of n,
-# candidate frac of n) per tier — see TpuCompressor3D.__init__.  The event
-# multiple may be one scalar for all classes or a per-class (LIP, LIS,
-# refinement) triple: the classes' event counts differ ~2x in the smooth
-# regime (measured ~0.6n LIP, ~0.3n LIS, ~0.52n refinement at tol 1e-2),
-# and every expansion/sort in the entropy stage scales with its class cap.
-DEFAULT_WAVE_TIERS = (
-    (0.625, (0.8, 0.45, 0.7), 0.625),
-    (1.0, 3.0, 1.0),
-    (1.0, 8.0, 1.0),
+# Wave-path capacity ladder: (node_frac, evb_frac, out_frac) per tier —
+# fractions of the partition-tree node count, the emission-matrix piece
+# count, and the output byte bound (see _dense_encode_wave).  The last
+# tier's node cap is exact and its piece/byte caps cover any realistic
+# stream (~n/2 pieces, 8n bytes), so device coverage fails only for
+# num_bp > num_bp_cap or truly pathological density (host fallback).
+# Small chunks are dense per voxel (a 64^3 slice of a smooth field
+# carries ~1.8 bits/voxel) while big chunks are sparse (~0.06 bpp at
+# 256^3), so the first-tier fractions scale down with chunk size;
+# mis-sizing only costs a batched retry, never bytes.
+DEFAULT_WAVE_TIERS = ((0.5, 0.25, 0.25), (1.0, 1.0, 1.0))
+DEFAULT_WAVE_TIERS_BIG = (
+    (1.0 / 16, 1.0 / 24, 1.0 / 24),
+    (0.25, 0.25, 0.25),
+    (1.0, 1.0, 1.0),
 )
 
 
-def _ev_caps3(em, n: int):
-    """Per-class (LIP, LIS, ref) event caps from a tier's event multiple."""
-    em3 = em if isinstance(em, (tuple, list)) else (em, em, em)
-    if len(em3) != 3:
-        raise ValueError(
-            "wave tier event multiple must be a scalar or a (LIP, LIS, "
-            f"refinement) triple, got {em!r}"
-        )
-    return tuple(max(4096, int(e * n)) for e in em3)
+def wave_tiers_for(n: int):
+    """Default capacity ladder for an n-voxel chunk (see above)."""
+    return DEFAULT_WAVE_TIERS if n < (1 << 21) else DEFAULT_WAVE_TIERS_BIG
 
 
 def make_chunk_mesh(devices=None) -> Mesh:
@@ -223,30 +222,34 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
     jax.jit,
     static_argnames=(
         "mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3", "residual",
-        "node_cap", "ev_caps", "wave_cap",
+        "node_frac", "evb_frac", "out_frac",
     ),
 )
 def _dense_encode_wave(
     batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
-    dims3: Tuple[int, int, int], residual: str = "f32", node_cap: int = 1024,
-    ev_caps: Tuple[int, int, int] = (4096, 4096, 4096), wave_cap: int = 0,
+    dims3: Tuple[int, int, int], residual: str = "f32",
+    node_frac: float = 1.0, evb_frac: float = 1.0, out_frac: float = 1.0,
 ):
-    """Device stages + the complete wavefront entropy stage: per-pass packed
-    LIP / LIS / refinement segments (ops/speck_jax.py, ops/speck_lis_jax.py).
-    The whole SPECK bit computation runs on the device; the host only
-    concatenates byte-aligned segments and writes headers.  Device->host
-    traffic for the entropy stage is stream-sized."""
+    """Device stages + the complete prefix-pack entropy stage
+    (ops/wave_pack.py): dense [pass, position] emission matrices for
+    LIP / LIS / refinement, packed by ops/packemit.masked_pack.  The whole
+    SPECK bit computation runs on the device; the host only concatenates
+    byte-aligned segments and writes headers.  Device->host traffic for
+    the entropy stage is stream-sized.
+
+    Tier fractions (static): ``node_frac`` of the partition-tree node
+    count bounds significant sets; ``evb_frac`` of the piece count bounds
+    non-empty 256-cell pieces; ``out_frac`` sizes the output buffer.  At
+    1.0 the node cap is exact and the piece/byte caps are generous
+    realistic bounds (~n/2 pieces, 8n bytes) — data dense beyond that
+    falls back to the host engine."""
     from ..ops import speck_jax as sj
     from ..ops import speck_lis_jax as sl
     from ..ops import speck_virtual as svirt
+    from ..ops import wave_pack as wp
 
     out, ll = _encode_core(batch, mode, quality, cap, out_cap, residual)
     B, n = ll.shape
-    # wave_cap: capacity of the LIP/refinement pixel-candidate compaction —
-    # defaults to n (exact bound: never overflows).  Production tolerances
-    # expose most pixels, so the compaction is a transfer/packing aid, not a
-    # work bound; pass a smaller cap only to trade fallbacks for memory.
-    wave_cap = n if wave_cap <= 0 else min(wave_cap, n)
     # index tiers: table-free virtual forest for power-of-two cubes (the
     # production chunk shape), pyramid-form schedule + table walk for other
     # dyadic dims, child-table segment reductions otherwise
@@ -264,9 +267,30 @@ def _dense_encode_wave(
             pti = None
         ti = None if pti is not None else sj.tree_index(dims3)
     li = vfi if vfi is not None else sl.lis_index(dims3)
-    # total bytes for the concatenated segments, sized by the event caps;
-    # overflow (counted on device) falls back to host entropy
-    cap_total = sj.cap_total_bytes(n, num_bp_cap, wave_cap, ev_caps)
+
+    nn = int(li.nn)
+    node_cap = nn if node_frac >= 1.0 else max(2048, min(nn, int(nn * node_frac)))
+    # static emission-matrix geometry (mirrors ops/wave_pack.wave_emit_3d)
+    T = sl.lis_item_count(li, node_cap)
+    Tp = -(-T // 128) * 128
+    npad = -(-n // 128) * 128
+    cells = num_bp_cap * (2 * npad + 2 * Tp + npad)
+    np_pieces = cells // 256
+    # widest tier: generous realistic bounds, not the astronomically padded
+    # exact cell bound — truly pathological chunks (beyond ~8 n output
+    # bytes or ~n/2 non-empty pieces) fall back to the host engine
+    evb_wide = min(np_pieces, max(1 << 20, n // 2))
+    out_wide = min(((cells // 8 + 3 * num_bp_cap) // 4 + 1) * 4, 8 * n)
+    evb_cap = (
+        evb_wide
+        if evb_frac >= 1.0
+        else max(8192, min(evb_wide, int(np_pieces * evb_frac)))
+    )
+    out_cap_bytes = (
+        out_wide
+        if out_frac >= 1.0
+        else max(16384, min(out_wide, (int(out_wide * out_frac) // 4) * 4))
+    )
 
     def one(row, sgn_row):
         mags = jnp.abs(row).astype(jnp.uint32)
@@ -278,45 +302,21 @@ def _dense_encode_wave(
             s, e, nm = sj.pixel_schedule_pyramid(mags, pti, num_bp)
         else:
             s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
-        # candidate compaction: only ever-exposed pixels emit LIP/refinement
-        # bits; one payload-carrying sort compacts them in ascending-index
-        # (emission) order — per-pass work shrinks from O(n) to
-        # O(significant neighborhood) with no n-scale gathers
-        exposed = e < num_bp
-        s_c, e_c, m_c, g_c, n_exp = sj.compact_schedule_by_sort(
-            exposed, s, e, mags, sgn_row, wave_cap
-        )
-        # event-form emission for all three classes, packed by ONE merged
-        # (pass, class)-keyed sort (stream order LIP ‖ LIS ‖ refinement)
-        lp_key, lp_bit, lp_over = sj.lip_events(
-            g_c, s_c, e_c, num_bp, num_bp_cap, ev_caps[0]
-        )
-        rp_key, rp_bit, rp_over = sj.ref_events(
-            m_c, s_c, num_bp, num_bp_cap, ev_caps[2]
-        )
-        # the set walk itself: event-form device emission
         node_s = jnp.where(nm > 0, num_bp - nm, _WAVE_NEVER).astype(jnp.int32)
-        ls_key, ls_bit, n_sig = sl.lis_segments_device(
-            node_s, s, sgn_row, num_bp, li, num_bp_cap, node_cap,
-            ev_caps[1], cap_total, return_events=True,
+        em = wp.wave_emit_3d(
+            mags, sgn_row, s, e, node_s, num_bp, li, num_bp_cap,
+            node_cap, evb_cap, out_cap_bytes,
         )
-        seg, seg_c, cls_bytes, _ = sj.events_to_segments_merged(
-            [lp_key, ls_key, rp_key], [lp_bit, ls_bit, rp_bit],
-            num_bp_cap, cap_total,
-        )
-        lip_total = jnp.where(lp_over, jnp.int32(2**30), cls_bytes[0])
-        ref_total = jnp.where(rp_over, jnp.int32(2**30), cls_bytes[2])
+        fits = (em.n_sig <= node_cap) & ~em.overflow
         return (
-            num_bp.astype(jnp.int32), seg, seg_c, lip_total,
-            cls_bytes[1], ref_total, n_sig, n_exp,
+            em.num_bp, em.seg, em.counts, em.total_bytes, fits, em.n_sig,
         )
 
     signs = ll >= 0
     res = jax.vmap(one)(ll, signs)
     out["wave"] = dict(
-        num_bp=res[0], seg=res[1], seg_c=res[2], lip_total=res[3],
-        lis_total=res[4], ref_total=res[5],
-        n_sig=res[6], n_exposed=res[7],
+        num_bp=res[0], seg=res[1], counts=res[2], total_bytes=res[3],
+        fits=res[4], n_sig=res[5],
     )
     return out
 
@@ -559,20 +559,13 @@ class TpuCompressor3D:
         # host, which runs the set walk and stitches the stream.
         self.entropy = entropy
         self.num_bp_cap = 34
-        # Wave-path capacity ladder: (node_frac of node-count, event
-        # multiple of n — one scalar or a per-class (LIP, LIS, refinement)
-        # triple, candidate frac of n) per tier.  Every sort,
-        # gather and expansion in the device entropy stage scales with
-        # these caps, so tier 0 is sized for the smooth regime
-        # error-bounded compression actually operates in (measured at tol
-        # 1e-2 on superposed low-frequency modes: ~0.50 of sets
-        # significant, ~0.50 of pixels exposed, ~0.6 n LIP and ~0.52 n
-        # refinement events).  The first tier runs the whole batch; chunks
-        # that overflow ANY cap (exact device-side counts) retry one at a
-        # time at the wider tiers — saturated noise-like chunks
-        # legitimately emit up to num_bp bits/pixel — and only exhausted
-        # tiers fall back to host entropy.
-        self.wave_tiers = DEFAULT_WAVE_TIERS
+        # Wave-path capacity ladder: (node_frac, evb_frac, out_frac) per
+        # tier (see _dense_encode_wave / wave_tiers_for).  Every data-
+        # dependent movement in the prefix-pack entropy stage scales with
+        # these caps; the first tier runs the whole batch and chunks that
+        # overflow (exact device-side flags) retry batched at the wider
+        # tiers.  None -> per-chunk-size defaults (wave_tiers_for).
+        self.wave_tiers = None
         # Device-memory sub-batching budgets, in ELEMENTS per jit call
         # (see compress()): bounds the per-call device working set.  The
         # wave path's intermediates run ~40x the input bytes, the dense
@@ -737,75 +730,55 @@ class TpuCompressor3D:
                 from ..ops import speck_lis_jax as sl
                 from ..ops import speck_virtual as svirt
 
-                # build static indexes outside any jit trace (tracer safety);
-                # power-of-two cubes use the table-free virtual forest
+                # build static indexes outside any jit trace (tracer
+                # safety: their device constants are created eagerly, not
+                # inside _dense_encode_wave's trace)
                 if svirt._is_pow2_cube((lx, ly, lz)):
-                    li = svirt.virtual_lis_index((lx, ly, lz))
+                    svirt.virtual_lis_index((lx, ly, lz))
                 else:
                     try:
                         sj.pyramid_index((lx, ly, lz))
                     except ValueError:
                         sj.tree_index((lx, ly, lz))
-                    li = sl.lis_index((lx, ly, lz))
-                def tier_caps(tier):
-                    nf, em, wf = tier
-                    node_cap = (
-                        li.nn
-                        if nf >= 1.0
-                        else max(512, min(li.nn, int(li.nn * nf)))
-                    )
-                    ev_caps = _ev_caps3(em, n)
-                    wave_cap = (
-                        n if wf >= 1.0 else max(1024, min(n, int(n * wf)))
-                    )
-                    return node_cap, ev_caps, wave_cap
+                    sl.lis_index((lx, ly, lz))
 
-                def fetch_wave(wdev, caps):
-                    # counts first, then a total-trimmed fetch of the merged
-                    # segment buffer: the device->host entropy traffic is
-                    # stream-sized.
+                def fetch_wave(wdev):
+                    # scalars first, then a total-trimmed fetch of the
+                    # packed segment buffer: the device->host entropy
+                    # traffic is stream-sized.
                     w = {
                         k: np.asarray(jax.device_get(wdev[k]))
-                        for k in ("num_bp", "seg_c",
-                                  "lip_total", "ref_total", "lis_total",
-                                  "n_sig", "n_exposed")
+                        for k in ("num_bp", "counts", "total_bytes",
+                                  "fits", "n_sig")
                     }
-                    w["caps"] = caps
-                    ctot = sj.cap_total_bytes(
-                        n, self.num_bp_cap, caps[2], caps[1]
-                    )
-                    tot = (
-                        np.minimum(w["lip_total"], ctot)
-                        + np.minimum(w["lis_total"], ctot)
-                        + np.minimum(w["ref_total"], ctot)
-                    )
+                    tot = w["total_bytes"]
                     b = int(tot.max()) if tot.size else 0
+                    b = min(b, wdev["seg"].shape[1])
                     w["seg"] = np.asarray(jax.device_get(wdev["seg"][:, :b]))
                     return w
 
-                caps0 = tier_caps(self.wave_tiers[0])
+                tiers = (
+                    self.wave_tiers
+                    if self.wave_tiers is not None
+                    else wave_tiers_for(n)
+                )
                 res = _dense_encode_wave(
                     dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                    (lx, ly, lz), resid_mode, *caps0,
+                    (lx, ly, lz), resid_mode, *tiers[0],
                 )
-                wave = fetch_wave(res.pop("wave"), caps0)
-                # retry ladder: chunks that overflowed any cap (node,
-                # candidate, event or byte totals — exact device counts)
-                # re-run BATCHED at the next, wider tier: power-of-two
-                # sub-batches bound both the compile count (one executable
-                # per size class) and the per-call device working set, so a
-                # noisy volume degrades by tier, not chunk-serially
-                for tier in self.wave_tiers[1:]:
+                wave = fetch_wave(res.pop("wave"))
+                # retry ladder: chunks that overflowed a cap (exact device
+                # flags) re-run BATCHED at the next, wider tier; only
+                # num_bp > num_bp_cap ever falls back to host entropy (the
+                # last tier's caps are exact bounds)
+                for tier in tiers[1:]:
                     bad = [
                         k for k in range(len(idxs))
-                        if not self._wave_fits(
-                            *wave_alt.get(k, (wave, k)), n
-                        )
+                        if not self._wave_fits(*wave_alt.get(k, (wave, k)))
                         and int(wave["num_bp"][k]) <= self.num_bp_cap
                     ]
                     if not bad:
                         break
-                    capsr = tier_caps(tier)
                     bmax_r = max(
                         1, (self.wave_elem_budget // 4) // max(1, n)
                     )
@@ -816,9 +789,9 @@ class TpuCompressor3D:
                         res_r = _dense_encode_wave(
                             dev[jnp.asarray(sel)], mode, float(quality),
                             cap, out_cap, self.num_bp_cap, (lx, ly, lz),
-                            resid_mode, *capsr,
+                            resid_mode, *tier,
                         )
-                        wv = fetch_wave(res_r.pop("wave"), capsr)
+                        wv = fetch_wave(res_r.pop("wave"))
                         for j, k in enumerate(grp):
                             wave_alt[k] = (wv, j)
             elif force_dense:
@@ -836,7 +809,7 @@ class TpuCompressor3D:
                 wave is not None
                 and mode != "pwe"
                 and all(
-                    self._wave_fits(*wave_alt.get(k, (wave, k)), n)
+                    self._wave_fits(*wave_alt.get(k, (wave, k)))
                     for k in range(len(idxs))
                 )
             )
@@ -907,7 +880,7 @@ class TpuCompressor3D:
                 mean = float(small["mean"][k])
                 condi = _condi_header(False, 0.0, 0, mean, q)
                 wv, wk = wave_alt.get(k, (wave, k))
-                use_wave = wv is not None and self._wave_fits(wv, wk, n)
+                use_wave = wv is not None and self._wave_fits(wv, wk)
                 if use_wave:
                     wave_used[gi] = 1
                     body = self._stitch_wave(wv, wk, (lx, ly, lz), budget)
@@ -1006,25 +979,15 @@ class TpuCompressor3D:
         ]
         return streams
 
-    def _wave_fits(self, wave, k: int, n: int) -> bool:
-        """True when chunk row k's device emission fit every cap (node,
-        exposed-pixel, bitplane, and per-buffer byte totals).
+    def _wave_fits(self, wave, k: int) -> bool:
+        """True when chunk row k's device emission fit every cap.
 
-        Event-cap overflows never need a check of their own here: the
-        device kernels encode them into the totals (LIS overflow poisons
-        n_sig, LIP/refinement overflow forces a 2**30 byte total)."""
-        nc, ev_caps, wc = wave["caps"]
-        from ..ops.speck_jax import cap_total_bytes
-
-        cap_total = cap_total_bytes(n, self.num_bp_cap, wc, ev_caps)
-        return (
-            int(wave["n_sig"][k]) <= nc
-            and int(wave["n_exposed"][k]) <= wc
-            and int(wave["num_bp"][k]) <= self.num_bp_cap
-            and int(wave["lip_total"][k]) <= cap_total
-            and int(wave["ref_total"][k]) <= cap_total
-            and int(wave["lis_total"][k]) <= cap_total
-        )
+        The device computes the verdict itself (`fits` = node cap honored
+        and no piece/byte overflow in masked_pack); num_bp > num_bp_cap
+        additionally routes to the host engine (never to a wider tier)."""
+        return bool(wave["fits"][k]) and int(
+            wave["num_bp"][k]
+        ) <= self.num_bp_cap
 
     def _stitch_wave(self, wave, k: int, dims3, budget: int) -> bytes:
         """Host half of the device-entropy path: pure per-pass concatenation
@@ -1037,15 +1000,16 @@ class TpuCompressor3D:
         if num_bp == 0:
             return sw._pack_stream(np.empty(0, np.uint8), 0, 0)
 
-        # merged buffer layout: buckets (pass, class) in stream order
-        # LIP ‖ LIS ‖ refinement, each bucket byte-aligned
-        counts = wave["seg_c"][k].astype(np.int64)  # [num_bp_cap * 3]
+        # packed buffer layout (ops/wave_pack.py): CLASS-major rows — all
+        # LIP passes, then LIS, then refinement — each row byte-aligned
+        P = self.num_bp_cap
+        counts = wave["counts"][k].astype(np.int64)  # [3 * num_bp_cap]
         buf = wave["seg"][k]
         bc = (counts + 7) // 8
         offs = np.cumsum(bc) - bc
 
         def seg(p, c):
-            b = p * 3 + c
+            b = c * P + p
             return np.unpackbits(
                 buf[offs[b] : offs[b] + bc[b]], bitorder="little"
             )[: int(counts[b])]

@@ -174,21 +174,22 @@ def pipeline_stages(n: int = 256, batch: int = 1, tol: float = 1e-2,
 
 def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
                            iters: int = 4) -> Dict[str, float]:
-    """Per-substage device seconds for the wave-entropy encode at one n^3
-    chunk: cumulative chains c0..c8 are timed (every chain re-applies all
-    earlier substages to the perturbed input so nothing is hoistable), and
-    the reported per-substage cost is the delta between adjacent chains.
+    """Per-substage device seconds for the prefix-pack wave-entropy encode
+    at one n^3 chunk: cumulative chains are timed (every chain re-applies
+    all earlier substages to the perturbed input so nothing is hoistable),
+    and the reported per-substage cost is the delta between adjacent
+    chains.
 
-    Substages mirror _dense_encode_wave's one(): quantize -> pixel schedule
-    -> exposed-pixel compaction -> LIP event expansion -> LIP pass
-    sort+pack -> refinement events -> the LIS walk (whole)."""
+    Substages mirror _dense_encode_wave's one(): quantize -> pixel
+    schedule -> LIS walk items -> emission matrices + word fold ->
+    the full masked pack."""
     from ..ops import cdf97_jax as cdfj
-    from ..ops import quantize_jax as qzj
+    from ..ops import packemit as pe
     from ..ops import speck_jax as sj
     from ..ops import speck_lis_jax as sl
-
     from ..ops import speck_virtual as svirt
-    from ..parallel.batched import DEFAULT_WAVE_TIERS, _ev_caps3
+    from ..ops import wave_pack as wp
+    from ..parallel.batched import wave_tiers_for
 
     vol = _smooth_field(n)[0]
     x = jnp.asarray(vol)
@@ -205,13 +206,17 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         except ValueError:
             ti = sj.tree_index((n, n, n))
     li = vfi if vfi is not None else sl.lis_index((n, n, n))
-    nf, em, wf = DEFAULT_WAVE_TIERS[0]
-    node_cap = li.nn if nf >= 1.0 else max(512, min(li.nn, int(li.nn * nf)))
-    lip_cap, lis_cap, ref_cap = _ev_caps3(em, nelems)
-    wave_cap = nelems if wf >= 1.0 else max(1024, int(nelems * wf))
-    cap_total = sj.cap_total_bytes(
-        nelems, num_bp_cap, wave_cap, (lip_cap, lis_cap, ref_cap)
-    )
+    nf, ef, of = wave_tiers_for(nelems)[0]
+    nn = int(li.nn)
+    node_cap = nn if nf >= 1.0 else max(2048, min(nn, int(nn * nf)))
+    T = sl.lis_item_count(li, node_cap)
+    Tp = -(-T // 128) * 128
+    npad = -(-nelems // 128) * 128
+    cells = num_bp_cap * (2 * npad + 2 * Tp + npad)
+    np_pieces = cells // 256
+    evb_cap = max(8192, min(np_pieces, int(np_pieces * ef)))
+    out_exact = ((cells // 8 + 3 * num_bp_cap) // 4 + 1) * 4
+    out_cap = max(16384, min(out_exact, (int(out_exact * of) // 4) * 4))
     _W_NEVER = 0x7FFF
     q = jnp.float32(1.5 * tol)
 
@@ -233,81 +238,57 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
             s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
         return ll, mags, s, e, nm, num_bp
 
-    def to_compact(y):
+    def to_items(y):
         ll, mags, s, e, nm, num_bp = to_sched(y)
         sgn = ll >= 0
-        exposed = e < num_bp
-        s_c, e_c, m_c, g_c, _ = sj.compact_schedule_by_sort(
-            exposed, s, e, mags, sgn, wave_cap
+        node_s = jnp.where(nm > 0, num_bp - nm, _W_NEVER).astype(jnp.int32)
+        pay_s, n_sig = sl.lis_segments_device(
+            node_s, s, sgn, num_bp, li, num_bp_cap, node_cap,
+            ev_cap=0, cap_total=0, return_events="items",
         )
-        return ll, s, e, nm, num_bp, sgn, s_c, e_c, m_c, g_c
+        return ll, mags, s, e, num_bp, sgn, pay_s, n_sig
 
-    def to_lip_expand(y):
-        r = to_compact(y)
-        _, _, _, _, num_bp, _, s_c, e_c, m_c, g_c = r
-        lo = jnp.minimum(e_c + 1, 63)
-        hi_dec = jnp.minimum(s_c, num_bp - 1)
-        has_sign = (s_c <= num_bp - 1) & (lo <= hi_dec)
-        hi = hi_dec + has_sign.astype(jnp.int32)
-        ln = jnp.where(lo <= hi, hi - lo + 1, 0)
-        w = (lo | (jnp.clip(hi, 0, 63) << 6)
-             | (has_sign.astype(jnp.int32) << 12)
-             | (g_c.astype(jnp.int32) << 13))
-        (wf,), rel, ev_ok, ev_total = sj._expand_fill(
-            ln, [w], lip_cap, widths=[14]
+    def to_words(y):
+        # matrices + word fold only: run the emission with a tiny piece
+        # budget and consume the word-level outputs via the pack result
+        r = to_items(y)
+        ll, mags, s, e, num_bp, sgn = r[:6]
+        P = num_bp_cap
+        pidx = jnp.arange(P, dtype=jnp.int32)[:, None]
+        npad_ = -(-nelems // 128) * 128
+        s_p = wp._pad_cols(s[None, :], npad_, 0x7FFF)[0]
+        m_p = wp._pad_cols(mags.astype(jnp.int32)[None, :], npad_, 0)[0]
+        ref_v = ((s_p[None, :] < pidx) & (pidx <= num_bp - 1)).astype(
+            jnp.uint8
         )
-        return r, wf, rel, ev_ok, ev_total
-
-    def to_lip_pack(y):
-        r, wf, rel, ev_ok, ev_total = to_lip_expand(y)
-        num_bp = r[4]
-        lo_e = wf & 63
-        hi_e = (wf >> 6) & 63
-        hs_e = (wf >> 12) & 1
-        sg_e = (wf >> 13) & 1
-        p_raw = lo_e + rel
-        is_sign = (hs_e == 1) & (p_raw == hi_e)
-        p_ev = jnp.where(is_sign, p_raw - 1, p_raw)
-        bit_ev = jnp.where(is_sign, sg_e == 1,
-                           (hs_e == 1) & (p_raw == hi_e - 1))
-        p_key = jnp.where(ev_ok, p_ev, num_bp_cap)
-        lip = sj.events_to_segments(p_key, None, bit_ev, num_bp_cap, cap_total)
-        return r, lip
-
-    def to_ref(y):
-        r, lip = to_lip_pack(y)
-        _, _, _, _, num_bp, _, s_c, e_c, m_c, g_c = r
-        rlo = jnp.minimum(s_c + 1, 63)
-        rhi = jnp.broadcast_to(num_bp - 1, rlo.shape)
-        rln = jnp.where(rlo <= rhi, rhi - rlo + 1, 0)
-        (rlo_f, m_f), rrel, rok, rtotal = sj._expand_fill(
-            rln, [rlo, m_c], ref_cap, widths=[6, 31]
-        )
-        rp = rlo_f + rrel
-        shift = jnp.clip(num_bp - 1 - rp, 0, 31).astype(jnp.uint32)
-        rbit = ((m_f.astype(jnp.uint32) >> shift) & jnp.uint32(1)).astype(bool)
-        rp_key = jnp.where(rok, rp, num_bp_cap)
-        ref = sj.events_to_segments(rp_key, None, rbit, num_bp_cap, cap_total)
-        return r, lip, ref
+        shift = jnp.clip(num_bp - 1 - pidx, 0, 31).astype(jnp.uint32)
+        ref_b = (
+            (m_p[None, :].astype(jnp.uint32) >> shift) & jnp.uint32(1)
+        ).astype(jnp.uint8)
+        vw = pe.cells_to_words(ref_v)
+        bw = pe.cells_to_words(ref_b)
+        cw = pe.pext32(bw, vw)
+        c = jax.lax.population_count(vw).astype(jnp.int32)
+        return r, cw, c
 
     def to_full(y):
-        r, lip, ref = to_ref(y)
-        ll, s, e, nm, num_bp, sgn = r[:6]
+        # schedule + the public emission entry (which runs its own walk):
+        # both this chain and to_items contain exactly ONE walk, so the
+        # (full - lis_items) delta isolates matrices + masked pack
+        ll, mags, s, e, nm, num_bp = to_sched(y)
+        sgn = ll >= 0
         node_s = jnp.where(nm > 0, num_bp - nm, _W_NEVER).astype(jnp.int32)
-        lis = sl.lis_segments_device(
-            node_s, s, sgn, num_bp, li, num_bp_cap, node_cap, lis_cap,
-            cap_total,
+        em = wp.wave_emit_3d(
+            mags, sgn, s, e, node_s, num_bp, li, num_bp_cap, node_cap,
+            evb_cap, out_cap,
         )
-        return r, lip, ref, lis
+        return em.seg, em.counts, em.total_bytes, em.n_sig
 
     chains = {
         "quantize": to_ll,
         "schedule": to_sched,
-        "exposed_compact": to_compact,
-        "lip_expand": to_lip_expand,
-        "lip_pack": to_lip_pack,
-        "ref_events": to_ref,
-        "lis_walk": to_full,
+        "lis_items": to_items,
+        "full_pack": to_full,
     }
     out: Dict[str, float] = {"n": n}
     prev = 0.0
@@ -316,6 +297,9 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         out[name + "_cum_s"] = round(secs, 5)
         out[name + "_s"] = round(secs - prev, 5)
         prev = secs
+    # absolute cost of one class's word fold (matrices + packbits + pext),
+    # outside the cumulative chain
+    out["ref_words_abs_s"] = round(time_stage(to_words, x, iters=iters), 5)
     return out
 
 
@@ -350,11 +334,8 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     regime instead: a white-noise field at the widest tier's caps (what a
     retried cap-overflowing chunk costs on device)."""
     from ..parallel.batched import (
-        DEFAULT_WAVE_TIERS, _dense_encode_sparse, _dense_encode_wave,
-        _ev_caps3,
+        _dense_encode_sparse, _dense_encode_wave, wave_tiers_for,
     )
-    from ..ops import speck_jax as sj
-    from ..ops import speck_lis_jax as sl
 
     if noisy:
         rng = np.random.default_rng(11)
@@ -366,20 +347,20 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     cap = max(1024, nelems // 4)
     out_cap = max(256, nelems // 64)
     num_bp_cap = 34
+    tier = wave_tiers_for(nelems)[-1 if noisy else 0]
+    # pre-build the walk index outside any jit trace (tracer safety)
+    from ..ops import speck_jax as sj
+    from ..ops import speck_lis_jax as sl
     from ..ops import speck_virtual as svirt
 
     if svirt._is_pow2_cube((n, n, n)):
-        li = svirt.virtual_lis_index((n, n, n))
+        svirt.virtual_lis_index((n, n, n))
     else:
         try:
             sj.pyramid_index((n, n, n))
         except ValueError:
             sj.tree_index((n, n, n))
-        li = sl.lis_index((n, n, n))
-    nf, em, wf = DEFAULT_WAVE_TIERS[-1 if noisy else 0]
-    node_cap = li.nn if nf >= 1.0 else max(512, min(li.nn, int(li.nn * nf)))
-    ev_caps = _ev_caps3(em, nelems)
-    wave_cap = nelems if wf >= 1.0 else max(1024, int(nelems * wf))
+        sl.lis_index((n, n, n))
 
     def sparse(y):
         return _dense_encode_sparse(y, "pwe", float(tol), cap, out_cap, "dual")
@@ -387,7 +368,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     def wave(y):
         return _dense_encode_wave(
             y, "pwe", float(tol), cap, out_cap, num_bp_cap, (n, n, n),
-            "dual", node_cap, ev_caps, wave_cap,
+            "dual", *tier,
         )
 
     ts = time_stage(sparse, x, iters=iters)
