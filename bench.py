@@ -158,6 +158,17 @@ def run_device_stages():
 
     n = int(os.environ.get("BENCH_STAGE_N", "256"))
     out = pipeline_stages(n=n, batch=1, tol=TOL, iters=4)
+    if os.environ.get("BENCH_DECODE_TOTAL", "1") != "0":
+        # honest container decode: host SPECK parse (wall) + device
+        # reconstruction (stage-timed) — consumes every stream byte
+        from sperr_tpu.runtime.device_bench import container_decode_stages
+
+        try:
+            cd = container_decode_stages(n=n, tol=TOL)
+            out["container_decode"] = cd
+            out["decode_total_s"] = cd["decode_total_s"]
+        except Exception as e:  # pragma: no cover
+            out["container_decode"] = {"error": f"{type(e).__name__}: {e}"}
     wn = int(os.environ.get("BENCH_WAVE_N", "64"))
     try:
         out["wave_entropy"] = wave_entropy_stage(n=wn, batch=1, tol=TOL)

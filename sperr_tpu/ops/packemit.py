@@ -222,6 +222,7 @@ class PackResult(NamedTuple):
     counts: jnp.ndarray       # i32[nrows]  per-row bit counts (part order)
     total_bytes: jnp.ndarray  # i32  sum of per-row byte sizes
     overflow: jnp.ndarray     # bool  piece cap or byte cap exceeded
+    n_nz: jnp.ndarray         # i32  non-empty pieces (tier-sizing signal)
 
 
 def masked_pack(
@@ -336,7 +337,7 @@ def masked_pack(
     buf = buf.at[jnp.concatenate(pos_list)].add(
         jnp.concatenate(sh_list), mode="drop"
     )
-    return PackResult(buf, counts, total_bytes, overflow)
+    return PackResult(buf, counts, total_bytes, overflow, n_nz)
 
 
 def words_to_bytes(out_words: jnp.ndarray) -> jnp.ndarray:

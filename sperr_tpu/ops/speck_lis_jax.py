@@ -241,59 +241,67 @@ def lis_segments_device(
 
     # ---- anchors + transitive anchor ranks ---------------------------------
     # A node's chain anchor is its topmost ancestor reachable through nodes
-    # partitioning at the SAME pass.  Instead of walking parents depth_max
-    # times per row, build the per-node same-pass pointer once and
-    # pointer-double it (log2(depth) gathers over the node table); the
-    # rows' anchors are then one gather.
-    ids = jnp.arange(nn, dtype=jnp.int32)
-    par = li.parents_of(ids)                    # -1 at roots
-    is_root = par < 0
-    par_c = jnp.maximum(par, 0)
-    ns_par = node_s[par_c]
-    J = jnp.where((~is_root) & (ns_par == node_s), par_c, ids)
-    for _ in range(max(1, li.depth_max.bit_length())):
-        J = J[J]
-    anchor = jnp.where(svalid, J[q], q)
-
-    # Transitive anchor RANKS: the insertion-rank recursion O(x) =
-    # rank_within_level(bn, alev, O(anchor), path) unrolls along the anchor
-    # chain x -> a1 -> a2 -> ... (a_{i+1} = same-pass anchor of parent(a_i),
-    # ending at a root) into the lexicographic order of the chain's hop-word
-    # string  [u(a1), u(a2), ..., u(root)]  followed by path(x):
+    # partitioning at the SAME pass; born entries tie-break by the
+    # lexicographic order of the chain's hop-word string
     #   u(z) = (0 | O0(z))                    for roots
     #        = (1 | bn(z) | 31 - lev(next(z))) for born nodes
-    # (every intermediate path(a_i) is a prefix of path(x) and a_i, a_i'
-    # compared at the same slot share a level, so comparing path(x) alone is
-    # sign-identical; roots order before born nodes at the same level exactly
-    # as their pre-assigned O0 < every born rank).  The strings are ranked
-    # with suffix-array doubling — ceil(log2(depth)) two-key sorts over the
-    # node table — replacing the old per-sweep refinement loop (depth_max+1
-    # five-operand sorts) with ONE final ranking sort below.
-    nxt = jnp.where(is_root, nn, J[par_c])
-    nxt = jnp.concatenate([nxt, jnp.full(1, nn, jnp.int32)])  # terminal pad
-    lev_all = li.levels_of(ids)
-    lev_nxt = lev_all[jnp.minimum(nxt[:nn], nn - 1)]
-    u = jnp.where(
-        is_root,
-        li.O0_full()[:nn],
-        (1 << 11) | (jnp.clip(ns_par, 0, 63) << 5) | (31 - lev_nxt),
-    )
-    R_rank = jnp.concatenate([u, jnp.zeros(1, jnp.int32)])
-    iota_n1 = jnp.arange(nn + 1, dtype=jnp.int32)
-    for _ in range(max(1, li.depth_max.bit_length())):
-        r1s, r2s, idx_s = jax.lax.sort(
-            (R_rank, R_rank[nxt], iota_n1), num_keys=2, is_stable=False
+    # with next(z) = J(parent(z)) (every intermediate path(a_i) is a prefix
+    # of path(x), so comparing path(x) alone stays sign-identical; roots
+    # order before born nodes at the same level exactly as their
+    # pre-assigned O0 < every born rank).  Ranks are only ever compared
+    # between anchors of the SAME level (the O-sort keys anchor level
+    # first), which admits two executions:
+    #   * virtual forest: dense per-depth/per-level computation
+    #     (speck_virtual.dense_anchor_ranks) — parent->child propagation
+    #     is a suffix slice + repeat, ranking is per-level sorts summing
+    #     to nn; no nn-scale gathers (73M elem/s — they dominated the
+    #     256^3 walk at ~0.5 s);
+    #   * table-backed trees (non-pow2 remainder chunks): the original
+    #     pointer-doubling (J = J[J]) + suffix-array doubling ladder.
+    if getattr(li, "uniform_children", False):
+        from . import speck_virtual as _svirt
+
+        J_full, R_full = _svirt.dense_anchor_ranks(node_s, li)
+        anchor = jnp.where(svalid, J_full[q], q)
+        R_rank = jnp.concatenate([R_full, jnp.zeros(1, jnp.int32)])
+    else:
+        ids = jnp.arange(nn, dtype=jnp.int32)
+        par = li.parents_of(ids)                    # -1 at roots
+        is_root = par < 0
+        par_c = jnp.maximum(par, 0)
+        ns_par = node_s[par_c]
+        J = jnp.where((~is_root) & (ns_par == node_s), par_c, ids)
+        for _ in range(max(1, li.depth_max.bit_length())):
+            J = J[J]
+        anchor = jnp.where(svalid, J[q], q)
+
+        nxt = jnp.where(is_root, nn, J[par_c])
+        nxt = jnp.concatenate([nxt, jnp.full(1, nn, jnp.int32)])
+        lev_all = li.levels_of(ids)
+        lev_nxt = lev_all[jnp.minimum(nxt[:nn], nn - 1)]
+        u = jnp.where(
+            is_root,
+            li.O0_full()[:nn],
+            (1 << 11) | (jnp.clip(ns_par, 0, 63) << 5) | (31 - lev_nxt),
         )
-        diff = jnp.concatenate(
-            [
-                jnp.zeros(1, jnp.int32),
-                ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(
-                    jnp.int32
-                ),
-            ]
-        )
-        R_rank = jnp.zeros(nn + 1, jnp.int32).at[idx_s].set(jnp.cumsum(diff))
-        nxt = nxt[nxt]
+        R_rank = jnp.concatenate([u, jnp.zeros(1, jnp.int32)])
+        iota_n1 = jnp.arange(nn + 1, dtype=jnp.int32)
+        for _ in range(max(1, li.depth_max.bit_length())):
+            r1s, r2s, idx_s = jax.lax.sort(
+                (R_rank, R_rank[nxt], iota_n1), num_keys=2, is_stable=False
+            )
+            diff = jnp.concatenate(
+                [
+                    jnp.zeros(1, jnp.int32),
+                    ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(
+                        jnp.int32
+                    ),
+                ]
+            )
+            R_rank = (
+                jnp.zeros(nn + 1, jnp.int32).at[idx_s].set(jnp.cumsum(diff))
+            )
+            nxt = nxt[nxt]
 
     # ---- O: per-level insertion order of born nodes (roots pre-assigned) --
     R = C * MC

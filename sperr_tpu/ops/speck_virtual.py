@@ -265,6 +265,153 @@ class VirtualLisIndex:
         )
 
 
+def _repeat8(x: jnp.ndarray) -> jnp.ndarray:
+    """Each element 8x, flat (parent slice -> child-aligned slice)."""
+    return jnp.repeat(x, 8, total_repeat_length=8 * x.shape[0])
+
+
+def dense_anchor_ranks(
+    node_s: jnp.ndarray, vf: VirtualLisIndex
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same-pass chain anchors and their string ranks, computed DENSELY on
+    the forest's per-depth slices — no pointer-doubling.
+
+    Replaces the walk's two suffix-doubling loops
+    (ops/speck_lis_jax.py: J = J[J] and the R_rank two-key-sort ladder),
+    whose nn-scale gathers/scatters cost ~500 ms at 256^3 (gathers run at
+    ~73M elem/s on this chip; examples/prim_bench2.py).  Here every
+    parent->child propagation is a suffix-slice + repeat (pure reshape
+    traffic), and the string ranking runs as per-LEVEL sorts whose sizes
+    sum to nn:
+
+      J(z)    = topmost ancestor reachable through nodes with the same
+                node_s (the chain anchor);
+      R(z)    = lexicographic rank, AMONG NODES OF z's LEVEL, of the
+                hop-word string [u(z), u(next z), ...] with
+                next(z) = J(parent(z)) — the exact order the walk's
+                R_rank encodes.  Ranks are only ever compared within a
+                level (the born-order sort keys anchor level first), and
+                u embeds lev(next), so the per-level recursion
+                key = (u(z), R(next z)) is well-founded: level(next) <
+                level(z), equal u => equal next level.  Equal strings get
+                equal ranks (ties must fall through to the path keys).
+
+    Returns (J [nn] i32 node ids, R [nn] i32 per-level string ranks).
+    """
+    D = vf.depth_max
+    db = vf.h_depth_base
+    r0 = vf.h_r0
+    R = vf.nroots
+    rlev_np = np.asarray(vf.r_level)
+
+    # --- structural passes, depth-major ---------------------------------
+    s_d: List[jnp.ndarray] = []
+    J_d: List[jnp.ndarray] = []
+    AJL_d: List[jnp.ndarray] = []   # level of J(z)
+    same_d: List[jnp.ndarray] = []
+    u_d: List[jnp.ndarray] = []
+    lev_np_d: List[np.ndarray] = []
+    for d in range(D + 1):
+        lo, hi = int(db[d]), int(db[d + 1])
+        if hi <= lo:
+            for lst in (s_d, J_d, AJL_d, same_d, u_d):
+                lst.append(jnp.zeros(0, jnp.int32))
+            lev_np_d.append(np.zeros(0, np.int64))
+            continue
+        sz = hi - lo
+        sd = jax.lax.slice(node_s, (lo,), (hi,))
+        own = lo + jnp.arange(sz, dtype=jnp.int32)
+        lev_np = np.repeat(rlev_np[int(r0[d]) :], 8**d) + 3 * d
+        lev = jnp.asarray(lev_np.astype(np.int32))
+        if d == 0:
+            same = jnp.zeros(sz, bool)
+            J = own
+            AJL = lev
+            u = vf.O0_head.astype(jnp.int32)
+        else:
+            skip = (int(r0[d]) - int(r0[d - 1])) * 8 ** (d - 1)
+            par_s = _repeat8(s_d[d - 1][skip:])
+            par_J = _repeat8(J_d[d - 1][skip:])
+            par_AJL = _repeat8(AJL_d[d - 1][skip:])
+            same = par_s == sd
+            J = jnp.where(same, par_J, own)
+            AJL = jnp.where(same, par_AJL, lev)
+            # u(z): non-root hop word — birth pass (parent's node_s) and
+            # the level of next(z) = J(parent), matching the walk's u
+            u = (
+                (1 << 11)
+                | (jnp.clip(par_s, 0, 63) << 5)
+                | (31 - par_AJL)
+            )
+        s_d.append(sd)
+        J_d.append(J)
+        AJL_d.append(AJL)
+        same_d.append(same)
+        u_d.append(u)
+        lev_np_d.append(lev_np)
+
+    # --- per-level ranking, levels ascending ----------------------------
+    # spans: level -> [(d, elem_lo, elem_hi)] within each depth slice;
+    # root levels are contiguous runs, so spans are contiguous slices
+    spans: Dict[int, List[Tuple[int, int, int]]] = {}
+    for d in range(D + 1):
+        lev_np = lev_np_d[d]
+        if lev_np.size == 0:
+            continue
+        for L in np.unique(lev_np):
+            idx = np.nonzero(lev_np == L)[0]
+            spans.setdefault(int(L), []).append(
+                (d, int(idx[0]), int(idx[-1]) + 1)
+            )
+
+    RSTR_d = [jnp.zeros(x.shape[0], jnp.int32) for x in s_d]
+    ARV_d = [jnp.zeros(x.shape[0], jnp.int32) for x in s_d]
+    for L in sorted(spans):
+        sp = spans[L]
+        u_parts, k2_parts = [], []
+        for d, a, b in sp:
+            u_parts.append(jax.lax.slice(u_d[d], (a,), (b,)))
+            if d == 0:
+                k2_parts.append(jnp.full(b - a, -1, jnp.int32))
+            else:
+                skip = (int(r0[d]) - int(r0[d - 1])) * 8 ** (d - 1)
+                k2_parts.append(
+                    _repeat8(ARV_d[d - 1][skip:])[a:b]
+                )
+        u_all = jnp.concatenate(u_parts) if len(u_parts) > 1 else u_parts[0]
+        k2_all = jnp.concatenate(k2_parts) if len(k2_parts) > 1 else k2_parts[0]
+        m = u_all.shape[0]
+        iota = jnp.arange(m, dtype=jnp.int32)
+        us, ks, idx_s = jax.lax.sort(
+            (u_all, k2_all, iota), num_keys=2, is_stable=False
+        )
+        diff = jnp.concatenate(
+            [
+                jnp.zeros(1, jnp.int32),
+                ((us[1:] != us[:-1]) | (ks[1:] != ks[:-1])).astype(jnp.int32),
+            ]
+        )
+        rank_s = jnp.cumsum(diff)
+        # inverse permutation by a second sort (scatters are ~10x slower)
+        _, rank = jax.lax.sort((idx_s, rank_s), num_keys=1, is_stable=False)
+        off = 0
+        for d, a, b in sp:
+            rpart = jax.lax.slice(rank, (off,), (off + (b - a),))
+            RSTR_d[d] = jax.lax.dynamic_update_slice(RSTR_d[d], rpart, (a,))
+            if d == 0:
+                arv = rpart
+            else:
+                skip = (int(r0[d]) - int(r0[d - 1])) * 8 ** (d - 1)
+                par_arv = _repeat8(ARV_d[d - 1][skip:])[a:b]
+                arv = jnp.where(same_d[d][a:b], par_arv, rpart)
+            ARV_d[d] = jax.lax.dynamic_update_slice(ARV_d[d], arv, (a,))
+            off += b - a
+
+    J_full = jnp.concatenate([x for x in J_d if x.shape[0]])
+    R_full = jnp.concatenate([x for x in RSTR_d if x.shape[0]])
+    return J_full, R_full
+
+
 _VIRTUAL: Dict[Tuple[int, int, int], VirtualLisIndex] = {}
 
 

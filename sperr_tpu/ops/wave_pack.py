@@ -43,6 +43,7 @@ class WaveEmit(NamedTuple):
     total_bytes: jnp.ndarray  # i32
     n_sig: jnp.ndarray        # i32 (poisoned past node_cap on overflow)
     overflow: jnp.ndarray     # bool (piece or byte cap exceeded)
+    n_nz: jnp.ndarray         # i32 non-empty pieces (occupancy signal)
 
 
 def _pad_cols(a: jnp.ndarray, cols: int, fill) -> jnp.ndarray:
@@ -157,7 +158,7 @@ def wave_emit_3d(
     seg = pe.words_to_bytes(res.out_words)
     return WaveEmit(
         num_bp.astype(jnp.int32), seg, res.counts, res.total_bytes,
-        n_sig, res.overflow,
+        n_sig, res.overflow, res.n_nz,
     )
 
 

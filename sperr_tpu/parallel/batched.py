@@ -51,11 +51,17 @@ _WAVE_NEVER = 0x7FFF  # matches codec.speck_wave._NEVER
 # carries ~1.8 bits/voxel) while big chunks are sparse (~0.06 bpp at
 # 256^3), so the first-tier fractions scale down with chunk size;
 # mis-sizing only costs a batched retry, never bytes.
-DEFAULT_WAVE_TIERS = ((0.5, 0.25, 0.25), (1.0, 1.0, 1.0))
+# The 4th element is the tier's BITPLANE cap: every emission matrix is
+# [bp_cap, ...], so the whole stage scales linearly with it.  Error-bounded
+# compression runs shallow ladders (num_bp ~ 9-14 at PWE 1e-2); chunks
+# needing more bitplanes retry at a deeper tier (the 34 ceiling matches
+# num_bp_cap, the host-fallback bound).
+DEFAULT_WAVE_TIERS = ((0.5, 0.25, 0.25, 16), (1.0, 1.0, 1.0, 34))
 DEFAULT_WAVE_TIERS_BIG = (
-    (1.0 / 16, 1.0 / 24, 1.0 / 24),
-    (0.25, 0.25, 0.25),
-    (1.0, 1.0, 1.0),
+    (1.0 / 64, 1.0 / 64, 1.0 / 24, 14),
+    (1.0 / 16, 1.0 / 16, 1.0 / 16, 22),
+    (0.25, 0.25, 0.25, 34),
+    (1.0, 1.0, 1.0, 34),
 )
 
 
@@ -120,15 +126,35 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
     nnz = jnp.sum(ll != 0, axis=1).astype(jnp.int32)
     maxmag = jnp.max(jnp.abs(ll), axis=1)
 
-    def compact(row):
-        # payload-carrying sort: the sorted prefix is the nonzero
-        # compaction in ascending-index order (no n-scale gathers)
-        key = jnp.where(row != 0, jnp.arange(n, dtype=jnp.int32), n)
-        key_s, val_s = jax.lax.sort((key, row), num_keys=1, is_stable=False)
-        idx = key_s[:cap]
-        return idx, jnp.where(idx < n, val_s[:cap], 0)
+    # Payload-carrying sort compaction, ONE FLAT sort over the whole batch
+    # with composite keys b*(n+1)+idx: a batched/vmapped sort runs ~6x
+    # slower than a flat sort of the same elements on TPU (measured
+    # [1, 16.7M]: 195 vs 32 ms — examples/prim_bench*.py), and since every
+    # chunk contributes exactly n elements, chunk b's compacted prefix
+    # lands at fixed flat positions [b*n, b*n+cap).
+    def _compact_batch(flatv, valid):
+        base = (jnp.arange(B, dtype=jnp.int32) * (n + 1))[:, None]
+        key = jnp.where(valid, base + jnp.arange(n, dtype=jnp.int32)[None, :], base + n)
+        key_s, val_s = jax.lax.sort(
+            (key.reshape(-1), flatv.reshape(-1)), num_keys=1, is_stable=False
+        )
+        kk = key_s.reshape(B, n)[:, :cap] - base
+        vv = val_s.reshape(B, n)[:, :cap]
+        return kk, jnp.where(kk < n, vv, jnp.zeros_like(vv))
 
-    idx, vals = jax.vmap(compact)(ll)
+    if B * (n + 1) < 2**31:
+        idx, vals = _compact_batch(ll, ll != 0)
+    else:  # composite keys would overflow i32; fall back to the vmap form
+
+        def compact(row):
+            key = jnp.where(row != 0, jnp.arange(n, dtype=jnp.int32), n)
+            key_s, val_s = jax.lax.sort(
+                (key, row), num_keys=1, is_stable=False
+            )
+            idx = key_s[:cap]
+            return idx, jnp.where(idx < n, val_s[:cap], 0)
+
+        idx, vals = jax.vmap(compact)(ll)
 
     out = dict(
         is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
@@ -188,15 +214,33 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
         omask = jnp.abs(diff) > thr
         n_out = jnp.sum(omask, axis=1).astype(jnp.int32)
 
-        def compact_out(m, d):
-            key = jnp.where(m, jnp.arange(n, dtype=jnp.int32), n)
-            key_s, d_s = jax.lax.sort((key, d), num_keys=1, is_stable=False)
-            oi = key_s[:out_cap]
-            return oi, jnp.where(oi < n, d_s[:out_cap], 0.0)
+        if B * (n + 1) < 2**31:
+            base = (jnp.arange(B, dtype=jnp.int32) * (n + 1))[:, None]
+            okey = jnp.where(
+                omask, base + jnp.arange(n, dtype=jnp.int32)[None, :], base + n
+            )
+            k_s, d_s = jax.lax.sort(
+                (okey.reshape(-1), diff.reshape(-1)), num_keys=1,
+                is_stable=False,
+            )
+            oi = k_s.reshape(B, n)[:, :out_cap] - base
+            ov = d_s.reshape(B, n)[:, :out_cap]
+            out["n_out"] = n_out
+            out["out_idx"] = oi
+            out["out_vals"] = jnp.where(oi < n, ov, jnp.zeros_like(ov))
+        else:
 
-        out["n_out"], (out["out_idx"], out["out_vals"]) = n_out, jax.vmap(compact_out)(
-            omask, diff
-        )
+            def compact_out(m, d):
+                key = jnp.where(m, jnp.arange(n, dtype=jnp.int32), n)
+                key_s, d_s = jax.lax.sort(
+                    (key, d), num_keys=1, is_stable=False
+                )
+                oi = key_s[:out_cap]
+                return oi, jnp.where(oi < n, d_s[:out_cap], 0.0)
+
+            out["n_out"], (out["out_idx"], out["out_vals"]) = (
+                n_out, jax.vmap(compact_out)(omask, diff)
+            )
     return out, ll
 
 
@@ -222,13 +266,14 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
     jax.jit,
     static_argnames=(
         "mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3", "residual",
-        "node_frac", "evb_frac", "out_frac",
+        "node_frac", "evb_frac", "out_frac", "bp_cap",
     ),
 )
 def _dense_encode_wave(
     batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
     dims3: Tuple[int, int, int], residual: str = "f32",
     node_frac: float = 1.0, evb_frac: float = 1.0, out_frac: float = 1.0,
+    bp_cap: int = 0,
 ):
     """Device stages + the complete prefix-pack entropy stage
     (ops/wave_pack.py): dense [pass, position] emission matrices for
@@ -242,7 +287,9 @@ def _dense_encode_wave(
     non-empty 256-cell pieces; ``out_frac`` sizes the output buffer.  At
     1.0 the node cap is exact and the piece/byte caps are generous
     realistic bounds (~n/2 pieces, 8n bytes) — data dense beyond that
-    falls back to the host engine."""
+    falls back to the host engine.  ``bp_cap`` (<= num_bp_cap) sizes the
+    emission matrices' bitplane axis; chunks with num_bp above it retry
+    at a deeper tier."""
     from ..ops import speck_jax as sj
     from ..ops import speck_lis_jax as sl
     from ..ops import speck_virtual as svirt
@@ -270,11 +317,12 @@ def _dense_encode_wave(
 
     nn = int(li.nn)
     node_cap = nn if node_frac >= 1.0 else max(2048, min(nn, int(nn * node_frac)))
+    P = bp_cap if bp_cap else num_bp_cap
     # static emission-matrix geometry (mirrors ops/wave_pack.wave_emit_3d)
     T = sl.lis_item_count(li, node_cap)
     Tp = -(-T // 128) * 128
     npad = -(-n // 128) * 128
-    cells = num_bp_cap * (2 * npad + 2 * Tp + npad)
+    cells = P * (2 * npad + 2 * Tp + npad)
     np_pieces = cells // 256
     # widest tier: generous realistic bounds, not the astronomically padded
     # exact cell bound — truly pathological chunks (beyond ~8 n output
@@ -304,19 +352,27 @@ def _dense_encode_wave(
             s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
         node_s = jnp.where(nm > 0, num_bp - nm, _WAVE_NEVER).astype(jnp.int32)
         em = wp.wave_emit_3d(
-            mags, sgn_row, s, e, node_s, num_bp, li, num_bp_cap,
+            mags, sgn_row, s, e, node_s, num_bp, li, P,
             node_cap, evb_cap, out_cap_bytes,
         )
-        fits = (em.n_sig <= node_cap) & ~em.overflow
+        fits = (em.n_sig <= node_cap) & ~em.overflow & (em.num_bp <= P)
         return (
             em.num_bp, em.seg, em.counts, em.total_bytes, fits, em.n_sig,
+            em.n_nz,
         )
 
     signs = ll >= 0
-    res = jax.vmap(one)(ll, signs)
+    if B == 1:
+        # bypass vmap for the single-chunk (production 256^3) case: a
+        # batched sort over [1, m] rows runs ~6x slower than the flat sort
+        # the unbatched trace emits (measured; examples/prim_bench*.py)
+        res1 = one(ll[0], signs[0])
+        res = tuple(x[None] for x in res1)
+    else:
+        res = jax.vmap(one)(ll, signs)
     out["wave"] = dict(
         num_bp=res[0], seg=res[1], counts=res[2], total_bytes=res[3],
-        fits=res[4], n_sig=res[5],
+        fits=res[4], n_sig=res[5], n_nz=res[6],
     )
     return out
 
@@ -742,15 +798,16 @@ class TpuCompressor3D:
                         sj.tree_index((lx, ly, lz))
                     sl.lis_index((lx, ly, lz))
 
-                def fetch_wave(wdev):
+                def fetch_wave(wdev, bp_cap):
                     # scalars first, then a total-trimmed fetch of the
                     # packed segment buffer: the device->host entropy
                     # traffic is stream-sized.
                     w = {
                         k: np.asarray(jax.device_get(wdev[k]))
                         for k in ("num_bp", "counts", "total_bytes",
-                                  "fits", "n_sig")
+                                  "fits", "n_sig", "n_nz")
                     }
+                    w["bp_cap"] = bp_cap
                     tot = w["total_bytes"]
                     b = int(tot.max()) if tot.size else 0
                     b = min(b, wdev["seg"].shape[1])
@@ -766,7 +823,7 @@ class TpuCompressor3D:
                     dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
                     (lx, ly, lz), resid_mode, *tiers[0],
                 )
-                wave = fetch_wave(res.pop("wave"))
+                wave = fetch_wave(res.pop("wave"), tiers[0][3])
                 # retry ladder: chunks that overflowed a cap (exact device
                 # flags) re-run BATCHED at the next, wider tier; only
                 # num_bp > num_bp_cap ever falls back to host entropy (the
@@ -791,7 +848,7 @@ class TpuCompressor3D:
                             cap, out_cap, self.num_bp_cap, (lx, ly, lz),
                             resid_mode, *tier,
                         )
-                        wv = fetch_wave(res_r.pop("wave"))
+                        wv = fetch_wave(res_r.pop("wave"), tier[3])
                         for j, k in enumerate(grp):
                             wave_alt[k] = (wv, j)
             elif force_dense:
@@ -1002,7 +1059,7 @@ class TpuCompressor3D:
 
         # packed buffer layout (ops/wave_pack.py): CLASS-major rows — all
         # LIP passes, then LIS, then refinement — each row byte-aligned
-        P = self.num_bp_cap
+        P = int(wave["bp_cap"])
         counts = wave["counts"][k].astype(np.int64)  # [3 * num_bp_cap]
         buf = wave["seg"][k]
         bc = (counts + 7) // 8
