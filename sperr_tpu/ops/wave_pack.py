@@ -81,12 +81,20 @@ def wave_emit_3d(
     node_cap: int,
     evb_cap: int,
     out_cap_bytes: int,
+    wexp_cap: int = 0,
 ) -> WaveEmit:
     """Full SPECK bit emission for one chunk, prefix-pack form.
 
     Inputs are the per-pixel schedule (s, e from pixel_schedule*), the
     per-node significance passes (node_s), and the walk index ``li``
     (LisIndex / VirtualLisIndex).  All shapes static except data.
+
+    ``wexp_cap`` > 0 compacts the EXPOSED pixels (e < num_bp — the only
+    ones that ever emit LIP or refinement bits) before building the
+    emission matrices: one flat 3-operand sort in ascending-index
+    (emission) order shrinks the [P, n]-scale matrices to the exposed
+    neighborhood (~2-6% of n at production tolerance on 256^3 chunks).
+    Exposure overflow sets the overflow flag (tier retry).
     """
     from .speck_lis_jax import lis_segments_device
 
@@ -127,12 +135,38 @@ def wave_emit_3d(
     lis_v1 = sign_valid.astype(jnp.uint8)
     lis_b1 = jnp.broadcast_to(sgn_i[None, :], (P, Tp))
 
-    # --- LIP matrices [P, 2n] (interleaved decision, sign cells) ---------
-    npad = -(-n // 128) * 128
-    s_p = _pad_cols(s[None, :], npad, _NEVER)[0]
-    e_p = _pad_cols(e[None, :], npad, _NEVER)[0]
-    g_p = _pad_cols(signs[None, :].astype(jnp.uint8), npad, 0)[0]
-    m_p = _pad_cols(mags.astype(jnp.int32)[None, :], npad, 0)[0]
+    # --- exposed-pixel compaction (optional) ------------------------------
+    exp_over = jnp.zeros((), bool)
+    if wexp_cap and wexp_cap < n:
+        exposed = e < num_bp
+        key = jnp.where(exposed, jnp.arange(n, dtype=jnp.int32), n)
+        pay = (
+            jnp.clip(s, 0, 127)
+            | (jnp.clip(e, 0, 127) << 7)
+            | (signs.astype(jnp.int32) << 14)
+        )
+        _, pay_c, mag_c = jax.lax.sort(
+            (key, pay, mags.astype(jnp.int32)), num_keys=1, is_stable=False
+        )
+        n_exp = jnp.sum(exposed)
+        exp_over = n_exp > wexp_cap
+        npad = -(-wexp_cap // 128) * 128
+        okm = jnp.arange(npad, dtype=jnp.int32) < n_exp
+        pc = _pad_cols(pay_c[None, :wexp_cap], npad, 0)[0]
+        s_p = jnp.where(okm, pc & 127, _NEVER)
+        e_p = jnp.where(okm, (pc >> 7) & 127, _NEVER)
+        g_p = jnp.where(okm, (pc >> 14) & 1, 0).astype(jnp.uint8)
+        m_p = jnp.where(
+            okm, _pad_cols(mag_c[None, :wexp_cap], npad, 0)[0], 0
+        )
+    else:
+        npad = -(-n // 128) * 128
+        s_p = _pad_cols(s[None, :], npad, _NEVER)[0]
+        e_p = _pad_cols(e[None, :], npad, _NEVER)[0]
+        g_p = _pad_cols(signs[None, :].astype(jnp.uint8), npad, 0)[0]
+        m_p = _pad_cols(mags.astype(jnp.int32)[None, :], npad, 0)[0]
+
+    # --- LIP matrices [P, 2*npad] (interleaved decision, sign cells) -----
 
     exposed = e_p[None, :] < pidx
     dec_v = (
@@ -158,7 +192,7 @@ def wave_emit_3d(
     seg = pe.words_to_bytes(res.out_words)
     return WaveEmit(
         num_bp.astype(jnp.int32), seg, res.counts, res.total_bytes,
-        n_sig, res.overflow, res.n_nz,
+        n_sig, res.overflow | exp_over, res.n_nz,
     )
 
 

@@ -56,12 +56,15 @@ _WAVE_NEVER = 0x7FFF  # matches codec.speck_wave._NEVER
 # compression runs shallow ladders (num_bp ~ 9-14 at PWE 1e-2); chunks
 # needing more bitplanes retry at a deeper tier (the 34 ceiling matches
 # num_bp_cap, the host-fallback bound).
-DEFAULT_WAVE_TIERS = ((0.5, 0.25, 0.25, 16), (1.0, 1.0, 1.0, 34))
+# The 5th element caps the exposed-pixel compaction (fraction of n);
+# only exposed pixels (e < num_bp) emit LIP/refinement bits, so the
+# emission matrices shrink to the exposed neighborhood.
+DEFAULT_WAVE_TIERS = ((0.5, 0.25, 0.25, 16, 0.75), (1.0, 1.0, 1.0, 34, 1.0))
 DEFAULT_WAVE_TIERS_BIG = (
-    (1.0 / 64, 1.0 / 64, 1.0 / 24, 14),
-    (1.0 / 16, 1.0 / 16, 1.0 / 16, 22),
-    (0.25, 0.25, 0.25, 34),
-    (1.0, 1.0, 1.0, 34),
+    (1.0 / 64, 1.0 / 64, 1.0 / 24, 14, 1.0 / 16),
+    (1.0 / 16, 1.0 / 16, 1.0 / 16, 22, 0.25),
+    (0.25, 0.25, 0.25, 34, 1.0),
+    (1.0, 1.0, 1.0, 34, 1.0),
 )
 
 
@@ -266,14 +269,14 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
     jax.jit,
     static_argnames=(
         "mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3", "residual",
-        "node_frac", "evb_frac", "out_frac", "bp_cap",
+        "node_frac", "evb_frac", "out_frac", "bp_cap", "wexp_frac",
     ),
 )
 def _dense_encode_wave(
     batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
     dims3: Tuple[int, int, int], residual: str = "f32",
     node_frac: float = 1.0, evb_frac: float = 1.0, out_frac: float = 1.0,
-    bp_cap: int = 0,
+    bp_cap: int = 0, wexp_frac: float = 1.0,
 ):
     """Device stages + the complete prefix-pack entropy stage
     (ops/wave_pack.py): dense [pass, position] emission matrices for
@@ -318,10 +321,13 @@ def _dense_encode_wave(
     nn = int(li.nn)
     node_cap = nn if node_frac >= 1.0 else max(2048, min(nn, int(nn * node_frac)))
     P = bp_cap if bp_cap else num_bp_cap
+    wexp_cap = (
+        0 if wexp_frac >= 1.0 else max(8192, min(n, int(n * wexp_frac)))
+    )
     # static emission-matrix geometry (mirrors ops/wave_pack.wave_emit_3d)
     T = sl.lis_item_count(li, node_cap)
     Tp = -(-T // 128) * 128
-    npad = -(-n // 128) * 128
+    npad = -(-(wexp_cap or n) // 128) * 128
     cells = P * (2 * npad + 2 * Tp + npad)
     np_pieces = cells // 256
     # widest tier: generous realistic bounds, not the astronomically padded
@@ -353,7 +359,7 @@ def _dense_encode_wave(
         node_s = jnp.where(nm > 0, num_bp - nm, _WAVE_NEVER).astype(jnp.int32)
         em = wp.wave_emit_3d(
             mags, sgn_row, s, e, node_s, num_bp, li, P,
-            node_cap, evb_cap, out_cap_bytes,
+            node_cap, evb_cap, out_cap_bytes, wexp_cap,
         )
         fits = (em.n_sig <= node_cap) & ~em.overflow & (em.num_bp <= P)
         return (

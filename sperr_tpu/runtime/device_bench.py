@@ -271,13 +271,14 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         except ValueError:
             ti = sj.tree_index((n, n, n))
     li = vfi if vfi is not None else sl.lis_index((n, n, n))
-    nf, ef, of, bp0 = wave_tiers_for(nelems)[0]
+    nf, ef, of, bp0, wf0 = wave_tiers_for(nelems)[0]
     nn = int(li.nn)
     node_cap = nn if nf >= 1.0 else max(2048, min(nn, int(nn * nf)))
     num_bp_cap = bp0
+    wexp_cap = 0 if wf0 >= 1.0 else max(8192, min(nelems, int(nelems * wf0)))
     T = sl.lis_item_count(li, node_cap)
     Tp = -(-T // 128) * 128
-    npad = -(-nelems // 128) * 128
+    npad = -(-(wexp_cap or nelems) // 128) * 128
     cells = num_bp_cap * (2 * npad + 2 * Tp + npad)
     np_pieces = cells // 256
     evb_cap = max(8192, min(np_pieces, int(np_pieces * ef)))
@@ -346,7 +347,7 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         node_s = jnp.where(nm > 0, num_bp - nm, _W_NEVER).astype(jnp.int32)
         em = wp.wave_emit_3d(
             mags, sgn, s, e, node_s, num_bp, li, num_bp_cap, node_cap,
-            evb_cap, out_cap,
+            evb_cap, out_cap, wexp_cap,
         )
         return em.seg, em.counts, em.total_bytes, em.n_sig
 
