@@ -266,8 +266,13 @@ class VirtualLisIndex:
 
 
 def _repeat8(x: jnp.ndarray) -> jnp.ndarray:
-    """Each element 8x, flat (parent slice -> child-aligned slice)."""
-    return jnp.repeat(x, 8, total_repeat_length=8 * x.shape[0])
+    """Each element 8x, flat (parent slice -> child-aligned slice).
+
+    broadcast_to + reshape, NOT jnp.repeat: repeat lowers through a
+    gather (~73M elem/s on this chip) while the broadcast form is a pure
+    relayout pass."""
+    n = x.shape[0]
+    return jnp.broadcast_to(x[:, None], (n, 8)).reshape(8 * n)
 
 
 def dense_anchor_ranks(

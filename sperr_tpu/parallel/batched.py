@@ -61,9 +61,11 @@ _WAVE_NEVER = 0x7FFF  # matches codec.speck_wave._NEVER
 # emission matrices shrink to the exposed neighborhood.
 DEFAULT_WAVE_TIERS = ((0.5, 0.25, 0.25, 16, 0.75), (1.0, 1.0, 1.0, 34, 1.0))
 DEFAULT_WAVE_TIERS_BIG = (
-    (1.0 / 64, 1.0 / 64, 1.0 / 24, 14, 1.0 / 16),
-    (1.0 / 16, 1.0 / 16, 1.0 / 16, 22, 0.25),
-    (0.25, 0.25, 0.25, 34, 1.0),
+    # calibrated on the 256^3 production regime (PWE 1e-2 smooth field:
+    # num_bp 14, n_sig 84K of 2.4M nodes, 38K non-empty pieces, 517K
+    # exposed pixels — examples output in docs/PALLAS.md)
+    (1.0 / 16, 1.0 / 8, 1.0 / 24, 14, 1.0 / 16),
+    (1.0 / 4, 1.0 / 4, 1.0 / 16, 22, 1.0 / 4),
     (1.0, 1.0, 1.0, 34, 1.0),
 )
 
@@ -842,9 +844,18 @@ class TpuCompressor3D:
                     ]
                     if not bad:
                         break
+                    # Sub-batch sizing (ADVICE r3): round DOWN to a power
+                    # of two within the memory budget so a padded retry
+                    # batch never exceeds wave_elem_budget//4, and keep
+                    # mesh divisibility like the primary grouping.
                     bmax_r = max(
                         1, (self.wave_elem_budget // 4) // max(1, n)
                     )
+                    bmax_r = 1 << max(0, bmax_r.bit_length() - 1)
+                    if self.mesh is not None:
+                        ndev = self.mesh.devices.size
+                        while bmax_r > ndev and bmax_r % ndev:
+                            bmax_r >>= 1
                     for s0 in range(0, len(bad), bmax_r):
                         grp = bad[s0 : s0 + bmax_r]
                         Bp = 1 << (len(grp) - 1).bit_length()

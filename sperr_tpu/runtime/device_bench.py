@@ -129,8 +129,11 @@ def pipeline_stages(n: int = 256, batch: int = 1, tol: float = 1e-2,
     q = jnp.full((batch,), 1.5 * tol, dtype=jnp.float32)
 
     def quant(y):
+        # the backend-best dispatcher (Mosaic kernel on TPU) — the r03
+        # bench silently measured the plain XLA form here, which read as a
+        # 20x "quantize regression" between rounds (VERDICT r3 weak #6)
         flat = y.reshape(batch, -1)
-        return qzj.midtread_quantize_batched(flat, q)
+        return qzj.midtread_quantize_batched_best(flat, q)
 
     def enc_dense(y):
         # the transfer="dense" encode: condition -> DWT -> quantize ->
@@ -169,6 +172,10 @@ def pipeline_stages(n: int = 256, batch: int = 1, tol: float = 1e-2,
         out[name + "_gbps"] = round(nbytes / secs / 1e9, 3)
     out["device_encode_gbps"] = out["encode_core_dense_gbps"]
     out["device_decode_gbps"] = out["decode_core_gbps"]
+    # pin the quantizer dispatch path in the artifact (VERDICT r3 weak #6)
+    out["quantize_kernel"] = (
+        "mosaic" if jax.default_backend() == "tpu" else "xla"
+    )
     return out
 
 
