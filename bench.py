@@ -357,18 +357,21 @@ def main():
         total_gbps = dev_num
         # name what was measured, in the metric string itself (ADVICE r3)
         dec_label = (
-            "full decode" if full_dec else "partial decode (invquant+IDWT)"
+            "full container decode" if full_dec
+            else "partial decode (invquant+IDWT)"
         )
         metric = (
-            f"{stages['n']}^3-chunk device encode + {dec_label}, on-chip "
+            f"{stages['n']}^3-chunk device encode + {dec_label}, "
             f"stage-timed, PWE({TOL})"
         )
         headline_source = (
-            "tpu_device: encode = full device SPECK wave pipeline; decode = "
+            "tpu_device: encode = full device SPECK wave pipeline (on-chip); "
             + (
-                "device SPECK decode offload + invquant + IDWT"
+                "decode = host SPECK parse (wall, 1 core) + device "
+                "invquant+IDWT (on-chip) — every stream byte consumed"
                 if full_dec
-                else "device invquant+IDWT core only, SPECK parse host-side"
+                else "decode = device invquant+IDWT core only, SPECK parse "
+                "excluded"
             )
         )
 
