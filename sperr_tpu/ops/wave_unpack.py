@@ -1,0 +1,175 @@
+"""Device half of the hybrid SPECK decode: refinement distribution +
+magnitude reconstruction (the inverse of ops/wave_pack.py's emission).
+
+The host's control-only parse (runtime/native/__init__.py
+NativeEngine.decode3d_control) walks the LIP/LIS control bits and SKIPS
+refinement segments — their lengths are the LSP population, a pure
+function of the significance history.  This module consumes its outputs
+(per-pixel significance pass, per-pass refinement bit offset and
+availability) plus the raw stream body and rebuilds the exact decoded
+magnitudes as array ops:
+
+  * pass-p refinement members are {i : s_i < p} in ascending index —
+    the same dense-matrix structure the encoder packs, so the member
+    ranks come from popcounts + one blocked cumsum;
+  * each 32-pixel word gathers its (<= 2) source stream words, funnels
+    to alignment, and PDEP-scatters the bits to its member lanes; only
+    non-empty words move (one flat 1-key sort);
+  * decoded value = init(s) + sum_p (2 b_p - avail_p) * T_p/2 (+ the
+    T_p == 1 bit), the closed form of the reference's refinement ladder
+    (SPECK_INT.cpp:360-469: init 2T - T/2 - 1, then +-T/2 per bit),
+    truncation-aware via the per-pass availability cutoffs.
+
+Byte-for-byte stream compatibility is inherited from the host parse;
+tests assert exact magnitude equality with the full native decode on
+random and truncated streams.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import packemit as pe
+
+_U32 = jnp.uint32
+
+
+def pdep32(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """PDEP via the compress-of-masks construction (Hacker's Delight
+    'expand'): precompute the move masks exactly as pext32 does, then
+    apply them in reverse with left shifts."""
+    x = x.astype(_U32)
+    m = m.astype(_U32)
+    mk = (~m) << jnp.uint32(1)
+    mv_list = []
+    mm = m
+    for i in range(5):
+        mp = mk ^ (mk << jnp.uint32(1))
+        mp = mp ^ (mp << jnp.uint32(2))
+        mp = mp ^ (mp << jnp.uint32(4))
+        mp = mp ^ (mp << jnp.uint32(8))
+        mp = mp ^ (mp << jnp.uint32(16))
+        mv = mp & mm
+        sh = jnp.uint32(1 << i)
+        mm = (mm ^ mv) | (mv >> sh)
+        mv_list.append(mv)
+        mk = mk & ~mp
+    for i in range(4, -1, -1):
+        mv = mv_list[i]
+        sh = jnp.uint32(1 << i)
+        x = (x & ~mv) | ((x << sh) & mv)
+    return x & m
+
+
+def _ones_low(k: jnp.ndarray) -> jnp.ndarray:
+    """(1 << k) - 1 for k in [0, 32], u32-safe."""
+    k1 = jnp.minimum(k, jnp.uint32(31)).astype(_U32)
+    base = (jnp.uint32(1) << k1) - jnp.uint32(1)
+    return jnp.where(k >= 32, jnp.uint32(0xFFFFFFFF), base)
+
+
+@partial(jax.jit, static_argnames=("p_cap", "evw_cap"))
+def reconstruct_mags(
+    spass: jnp.ndarray,       # u8/i32 [n], 255 = never significant
+    body_words: jnp.ndarray,  # u32 [W] stream body (LSB-first bits)
+    ref_off: jnp.ndarray,     # i32 [p_cap] refinement bit offsets
+    ref_avail: jnp.ndarray,   # i32 [p_cap] refinement bits present
+    num_bp: jnp.ndarray,      # i32 scalar
+    p_cap: int,
+    evw_cap: int,
+) -> jnp.ndarray:
+    """Decoded magnitudes i32[n], exactly matching the native full parse.
+
+    ``p_cap`` must be >= num_bp (host dispatches by bucket — no retries:
+    num_bp is known from the stream header before tracing)."""
+    n = spass.shape[0]
+    npad = -(-n // 128) * 128
+    s_p = jnp.concatenate(
+        [spass.astype(jnp.int32), jnp.full(npad - n, 255, jnp.int32)]
+    ) if npad != n else spass.astype(jnp.int32)
+    P = p_cap
+    pidx = jnp.arange(P, dtype=jnp.int32)[:, None]
+
+    # member matrix + packed words
+    memb = ((s_p[None, :] < pidx) & (s_p[None, :] != 255)).astype(jnp.uint8)
+    sv = pe.cells_to_words(memb)                       # [P, Wn] u32
+    Wn = sv.shape[1]
+    c = jax.lax.population_count(sv).astype(jnp.int32)
+    rank = pe.blocked_cumsum_excl(c.reshape(-1)).reshape(P, Wn)
+    row0 = rank[:, :1]
+    rank = rank - row0                                  # per-row ranks
+    src_off = ref_off[:, None] + rank                   # bit offset per word
+    cutoff = jnp.clip(ref_avail[:, None] - rank, 0, 32).astype(_U32)
+    active = (c > 0) & (cutoff > 0) & (pidx < num_bp)
+
+    # compact active words; gather their stream words; align; deposit
+    flat_act = active.reshape(-1)
+    Nw = flat_act.shape[0]
+    key = jnp.where(flat_act, jnp.arange(Nw, dtype=jnp.int32), Nw)
+    (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    take = min(evw_cap, Nw)
+    sidx = jnp.minimum(skey[:take], Nw - 1)
+    wok = skey[:take] < Nw
+    n_act = jnp.sum(flat_act)
+    overflow = n_act > take
+
+    off_c = jnp.where(wok, src_off.reshape(-1)[sidx], 0)
+    sv_c = jnp.where(wok, sv.reshape(-1)[sidx], 0)
+    cut_c = jnp.where(wok, cutoff.reshape(-1)[sidx], 0)
+    W = body_words.shape[0]
+    w0 = jnp.clip(off_c >> 5, 0, W - 1)
+    rho = (off_c & 31).astype(_U32)
+    lo = body_words[w0]
+    hi = body_words[jnp.clip(w0 + 1, 0, W - 1)]
+    aligned = pe._safe_rsh(lo, rho) | pe._safe_lsh(hi, jnp.uint32(32) - rho)
+    avail_m = pdep32(_ones_low(cut_c), sv_c)
+    bits_w = pdep32(aligned, sv_c) & avail_m
+
+    planes = jnp.zeros(Nw, _U32)
+    avails = jnp.zeros(Nw, _U32)
+    tgt = jnp.where(wok, sidx, Nw)
+    planes = planes.at[tgt].set(bits_w, mode="drop").reshape(P, Wn)
+    avails = avails.at[tgt].set(avail_m, mode="drop").reshape(P, Wn)
+
+    # ---- closed-form value reconstruction -------------------------------
+    # init(s) = 2T - T/2 - 1 with T = 2^(nb-1-s) (integer halving); the
+    # per-bit ladder sums to (2A - M)/2 where A = sum of received one-bit
+    # weights, M = sum of available-bit weights (both over T >= 2 passes),
+    # plus the T == 1 final-pass bit.
+    sig = (s_p != 255) & (s_p < num_bp)
+    sc = jnp.minimum(s_p, 63)
+    Ts = jnp.where(
+        sig, jnp.int32(1) << jnp.clip(num_bp - 1 - sc, 0, 30), 0
+    )
+    init = jnp.where(sig, 2 * Ts - (Ts >> 1) - 1, 0)
+
+    A = jnp.zeros(npad, jnp.int32)
+    M = jnp.zeros(npad, jnp.int32)
+    last = jnp.zeros(npad, jnp.int32)
+    for p in range(P):
+        # expand plane words to per-pixel bits: [Wn] u32 -> [npad] lanes
+        bw = planes[p]
+        aw = avails[p]
+        j = jnp.arange(32, dtype=jnp.uint32)[None, :]
+        pb = ((bw[:, None] >> j) & jnp.uint32(1)).astype(jnp.int32)
+        pa = ((aw[:, None] >> j) & jnp.uint32(1)).astype(jnp.int32)
+        pb = pb.reshape(-1)
+        pa = pa.reshape(-1)
+        Tp = jnp.where(
+            p < num_bp, jnp.int32(1) << jnp.clip(num_bp - 1 - p, 0, 30), 0
+        )
+        is_last = Tp == 1
+        A = A + jnp.where(is_last, 0, pb * Tp)
+        M = M + jnp.where(is_last, 0, pa * Tp)
+        last = last + jnp.where(is_last, pb, 0)
+
+    val = init + ((2 * A - M) >> 1) + last
+    return jnp.where(sig, val, 0)[:n], overflow
+
+
+__all__ = ["pdep32", "reconstruct_mags"]

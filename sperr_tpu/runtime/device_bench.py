@@ -233,7 +233,7 @@ def container_decode_stages(n: int = 256, tol: float = 1e-2,
     core_s = time_stage(dec, x, iters=iters)
     nbytes = n * n * n * 4
     total = parse_s + core_s
-    return {
+    out = {
         "n": n,
         "stream_bytes": len(body),
         "parse_s": round(parse_s, 5),
@@ -242,6 +242,67 @@ def container_decode_stages(n: int = 256, tol: float = 1e-2,
         "decode_total_gbps": round(nbytes / total / 1e9, 3),
         "host_cores_for_parse": 1,
     }
+
+    # Hybrid split (the production decoder's): host parses ONLY the
+    # LIP/LIS control bits (refinement segments skipped — lengths are the
+    # LSP population), the device distributes refinement bits (PDEP) and
+    # reconstructs magnitudes + invquant + IDWT.  Exact-equality with the
+    # full parse is asserted in tests/test_wave_unpack.py.
+    try:
+        if hasattr(eng, "decode3d_control"):
+            from ..ops import wave_unpack as wup
+
+            ct_t = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                ctrl = eng.decode3d_control(body, (n, n, n), width)
+                ct_t.append(_time.perf_counter() - t0)
+            ctrl_s = min(ct_t)
+            spass, sg, roff, ravail, nbp, avail = ctrl
+            p_cap = 16 if nbp <= 16 else 34
+            pad = np.zeros(p_cap - nbp, np.int32)
+            words = np.frombuffer(
+                bytes(body[9:]) + b"\0" * ((-(len(body) - 9)) % 4 + 8),
+                dtype="<u4",
+            ).astype(np.uint32)
+            dev = dict(
+                words=jax.device_put(jnp.asarray(words)),
+                roff=jax.device_put(jnp.asarray(
+                    np.concatenate([roff.astype(np.int64), pad]).astype(np.int32))),
+                ravail=jax.device_put(jnp.asarray(
+                    np.concatenate([ravail.astype(np.int64), pad]).astype(np.int32))),
+                sgn=jax.device_put(jnp.asarray(sg)),
+            )
+            nelems = n * n * n
+            evw_cap = max(1 << 16, nelems // 64)
+
+            def dec_hybrid(sp):
+                m, _ovf = wup.reconstruct_mags(
+                    sp, dev["words"], dev["roff"], dev["ravail"],
+                    jnp.int32(nbp), p_cap, evw_cap,
+                )
+                rec = qzj.midtread_inv_quantize_batched(
+                    m[None, :], dev["sgn"][None, :], qf[None]
+                )
+                rec = cdfj.idwt3d(rec.reshape(1, n, n, n))
+                return rec + jnp.float32(mean)
+
+            hyb_core = time_stage(
+                dec_hybrid, jnp.asarray(spass.astype(np.int32)), iters=iters
+            )
+            hyb_total = ctrl_s + hyb_core
+            out["hybrid"] = {
+                "control_parse_s": round(ctrl_s, 5),
+                "device_s": round(hyb_core, 5),
+                "decode_total_s": round(hyb_total, 5),
+                "decode_total_gbps": round(nbytes / hyb_total / 1e9, 3),
+            }
+            if hyb_total < total:
+                out["decode_total_s"] = round(hyb_total, 5)
+                out["decode_total_gbps"] = round(nbytes / hyb_total / 1e9, 3)
+    except Exception as e:  # pragma: no cover
+        out["hybrid"] = {"error": f"{type(e).__name__}: {e}"}
+    return out
 
 
 def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,

@@ -66,6 +66,13 @@ def _load():
         ct.c_int, ct.c_int, ct.c_void_p, ct.c_uint64,
         ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_void_p, ct.c_void_p,
     ]
+    lib.st_speck_decode3d_control.restype = ct.c_int64
+    lib.st_speck_decode3d_control.argtypes = [
+        ct.c_int, ct.c_void_p, ct.c_uint64,
+        ct.c_uint64, ct.c_uint64, ct.c_uint64,
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_uint64),
+    ]
     lib.st_free.argtypes = [ct.c_void_p]
     lib.st_compress_chunk.restype = ct.c_int64
     lib.st_compress_chunk.argtypes = [
@@ -252,6 +259,45 @@ class NativeEngine:
 
     def decode_1d(self, stream, total_len, width):
         return self.decode(1, stream, (total_len, 1, 1), width)
+
+    def decode3d_control(self, stream, dims, width):
+        """Control-only 3D parse (the hybrid device-decode split): walks
+        LIP/LIS control bits, SKIPS refinement segments, and returns what
+        the device needs to reconstruct magnitudes —
+
+          (spass u8[n]  — pass each pixel became significant, 255 never,
+           signs bool[n],
+           ref_off u64[num_bp]   — refinement bit offsets into the body,
+           ref_avail u64[num_bp] — refinement bits actually present,
+           num_bp, avail_bits)
+
+        Reference decode hot loop being split: SPECK_INT.cpp:166-228 (the
+        set walk stays host-serial; value reconstruction moves on device).
+        """
+        nx, ny, nz = dims
+        n = nx * ny * nz
+        spass = np.empty(n, dtype=np.uint8)
+        signs = np.empty(n, dtype=np.uint8)
+        ref_off = np.zeros(64, dtype=np.uint64)
+        ref_avail = np.zeros(64, dtype=np.uint64)
+        nbp = ct.c_uint8(0)
+        avail = ct.c_uint64(0)
+        buf = bytes(stream)
+        rtn = self._lib.st_speck_decode3d_control(
+            width, buf, len(buf), nx, ny, nz,
+            spass.ctypes.data_as(ct.c_void_p),
+            signs.ctypes.data_as(ct.c_void_p),
+            ref_off.ctypes.data_as(ct.c_void_p),
+            ref_avail.ctypes.data_as(ct.c_void_p),
+            ct.byref(nbp), ct.byref(avail),
+        )
+        if rtn < 0:
+            raise RuntimeError(f"native control decode failed: {rtn}")
+        P = int(nbp.value)
+        return (
+            spass, signs.astype(bool), ref_off[:P], ref_avail[:P],
+            P, int(avail.value),
+        )
 
 
 _MODE_CODES = {"rate": 1, "psnr": 2, "pwe": 3, "directq": 4}

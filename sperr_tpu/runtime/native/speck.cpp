@@ -279,6 +279,16 @@ struct Codec3D {
   U threshold = 0;
   unsigned thr_msbp1 = 0;  // msb(threshold)+1
   uint8_t num_bitplanes = 0;
+  // DEC control-only mode (hybrid device decode): parse LIP/LIS control
+  // bits, SKIP refinement segments (their lengths are the LSP population,
+  // known from state), and record per-pixel significance passes + each
+  // pass's refinement bit offset/availability — the device reconstructs
+  // magnitudes from these (reference decode loop: SPECK_INT.cpp:166-228;
+  // here only the set walk stays bit-serial).
+  uint8_t* spass_out = nullptr;       // 255 = never significant
+  uint64_t* ref_off_out = nullptr;    // [num_bitplanes] bit offsets
+  uint64_t* ref_avail_out = nullptr;  // [num_bitplanes] bits present
+  unsigned cur_bp = 0;
 
   // ---- initialization ----------------------------------------------------
   void init_lists() {
@@ -530,6 +540,7 @@ struct Codec3D {
 
   // Returns false when available bits were exhausted mid-pass.
   bool refinement_decode() {
+    if (spass_out) return refinement_skip();
     size_t read_pos = src.pos;
     bool exhausted = false;
     const U half = threshold / U(2);
@@ -556,6 +567,23 @@ struct Codec3D {
     }
     U init_val = U(threshold + threshold - threshold / U(2) - U(1));
     for (uint64_t i : lsp_new) cf[i] = init_val;
+    for (uint64_t i : lsp_new) lsp.set(i);
+    lsp_new.clear();
+    return !exhausted;
+  }
+
+  // Control-only refinement: advance past the pass's bits (the LSP
+  // population) without touching values; record offset + availability.
+  bool refinement_skip() {
+    size_t cnt = 0;
+    for (uint64_t w : lsp.w) cnt += size_t(__builtin_popcountll(w));
+    size_t remain = avail_bits - src.pos;
+    size_t take = cnt < remain ? cnt : remain;
+    ref_off_out[cur_bp] = src.pos;
+    ref_avail_out[cur_bp] = take;
+    src.pos += take;
+    bool exhausted = take < cnt;
+    for (uint64_t i : lsp_new) spass_out[i] = uint8_t(cur_bp);
     for (uint64_t i : lsp_new) lsp.set(i);
     lsp_new.clear();
     return !exhausted;
@@ -613,12 +641,13 @@ struct Codec3D {
     lip.init(n);
     lsp.init(n);
     lsp_new.clear();
-    std::memset(cf, 0, n * sizeof(U));
+    if (!spass_out) std::memset(cf, 0, n * sizeof(U));
     init_lists();
     if (num_bitplanes == 0) return;
     threshold = 1;
     for (unsigned i = 1; i < num_bitplanes; i++) threshold = U(threshold * U(2));
     for (unsigned bp = 0; bp < num_bitplanes; bp++) {
+      cur_bp = bp;
       sorting_pass();
       if (src.pos >= avail_bits) break;
       if (!refinement_decode()) break;
@@ -627,8 +656,12 @@ struct Codec3D {
       clean_lis();
     }
     if (!lsp_new.empty()) {
-      U init_val = U(threshold + threshold - threshold / U(2) - U(1));
-      for (uint64_t i : lsp_new) cf[i] = init_val;
+      if (spass_out) {
+        for (uint64_t i : lsp_new) spass_out[i] = uint8_t(cur_bp);
+      } else {
+        U init_val = U(threshold + threshold - threshold / U(2) - U(1));
+        for (uint64_t i : lsp_new) cf[i] = init_val;
+      }
       lsp_new.clear();
     }
   }
@@ -1685,6 +1718,45 @@ int64_t decode_any(int ndim, const uint8_t* stream, uint64_t len, uint64_t nx,
   return 0;
 }
 
+template <typename U>
+int64_t decode3d_control_any(const uint8_t* stream, uint64_t len, uint64_t nx,
+                             uint64_t ny, uint64_t nz, uint8_t* spass_out,
+                             uint8_t* signs_out, uint64_t* ref_off,
+                             uint64_t* ref_avail, uint8_t* num_bp_out,
+                             uint64_t* avail_out) {
+  if (len < 9) return -2;
+  size_t n = size_t(nx) * ny * nz;
+  uint8_t nbp = stream[0];
+  uint64_t total_bits;
+  std::memcpy(&total_bits, stream + 1, 8);
+  size_t avail = (len - 9) * 8;
+  if (avail > total_bits) avail = total_bits;
+  *num_bp_out = nbp;
+  *avail_out = avail;
+
+  std::memset(spass_out, 255, n);
+  std::memset(signs_out, 1, n);
+  std::memset(ref_off, 0, 64 * sizeof(uint64_t));
+  std::memset(ref_avail, 0, 64 * sizeof(uint64_t));
+
+  Codec3D<false, U> c;
+  c.nx = nx;
+  c.ny = ny;
+  c.nz = nz;
+  c.n = n;
+  c.cf = nullptr;  // never touched in control mode
+  c.num_bitplanes = nbp;
+  c.total_bits = total_bits;
+  c.avail_bits = avail;
+  c.signs_out = signs_out;
+  c.spass_out = spass_out;
+  c.ref_off_out = ref_off;
+  c.ref_avail_out = ref_avail;
+  c.src.load(stream + 9, avail, total_bits);
+  c.decode();
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1717,6 +1789,37 @@ int64_t st_speck_decode(int ndim, int width, const uint8_t* stream, uint64_t len
       return decode_any<uint32_t>(ndim, stream, len, nx, ny, nz, mags_out, signs_out);
     case 64:
       return decode_any<uint64_t>(ndim, stream, len, nx, ny, nz, mags_out, signs_out);
+  }
+  return -3;
+}
+
+// Control-only 3D decode: LIP/LIS control bits parsed, refinement
+// segments skipped; outputs per-pixel significance pass (255 = never),
+// signs, and per-bitplane refinement (bit offset, bits present) pairs
+// (arrays of 64) — the device half reconstructs magnitudes from these.
+int64_t st_speck_decode3d_control(int width, const uint8_t* stream,
+                                  uint64_t len, uint64_t nx, uint64_t ny,
+                                  uint64_t nz, uint8_t* spass_out,
+                                  uint8_t* signs_out, uint64_t* ref_off,
+                                  uint64_t* ref_avail, uint8_t* num_bp_out,
+                                  uint64_t* avail_out) {
+  switch (width) {
+    case 8:
+      return decode3d_control_any<uint8_t>(stream, len, nx, ny, nz, spass_out,
+                                           signs_out, ref_off, ref_avail,
+                                           num_bp_out, avail_out);
+    case 16:
+      return decode3d_control_any<uint16_t>(stream, len, nx, ny, nz, spass_out,
+                                            signs_out, ref_off, ref_avail,
+                                            num_bp_out, avail_out);
+    case 32:
+      return decode3d_control_any<uint32_t>(stream, len, nx, ny, nz, spass_out,
+                                            signs_out, ref_off, ref_avail,
+                                            num_bp_out, avail_out);
+    case 64:
+      return decode3d_control_any<uint64_t>(stream, len, nx, ny, nz, spass_out,
+                                            signs_out, ref_off, ref_avail,
+                                            num_bp_out, avail_out);
   }
   return -3;
 }
