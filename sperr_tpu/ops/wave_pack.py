@@ -150,7 +150,9 @@ def wave_emit_3d(
         )
         n_exp = jnp.sum(exposed)
         exp_over = n_exp > wexp_cap
-        npad = -(-wexp_cap // 128) * 128
+        # 256-cell padding: every part's word count must be a multiple
+        # of masked_pack's piece_words (the ref part is npad/32 words)
+        npad = -(-wexp_cap // 256) * 256
         okm = jnp.arange(npad, dtype=jnp.int32) < n_exp
         pc = _pad_cols(pay_c[None, :wexp_cap], npad, 0)[0]
         s_p = jnp.where(okm, pc & 127, _NEVER)
@@ -160,7 +162,7 @@ def wave_emit_3d(
             okm, _pad_cols(mag_c[None, :wexp_cap], npad, 0)[0], 0
         )
     else:
-        npad = -(-n // 128) * 128
+        npad = -(-n // 256) * 256
         s_p = _pad_cols(s[None, :], npad, _NEVER)[0]
         e_p = _pad_cols(e[None, :], npad, _NEVER)[0]
         g_p = _pad_cols(signs[None, :].astype(jnp.uint8), npad, 0)[0]

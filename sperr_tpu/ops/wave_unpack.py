@@ -107,16 +107,36 @@ def reconstruct_mags(
     cutoff = jnp.clip(ref_avail[:, None] - rank, 0, 32).astype(_U32)
     active = (c > 0) & (cutoff > 0) & (pidx < num_bp)
 
-    # compact active words; gather their stream words; align; deposit
+    # compact active words: two-level (batched-256 sort + block assembly)
+    # — a flat 1-key sort at Nw scale costs ~9 ms at 256^3 while the
+    # batched form is ~0.5 ms (examples/prim_bench*.py)
     flat_act = active.reshape(-1)
     Nw = flat_act.shape[0]
-    key = jnp.where(flat_act, jnp.arange(Nw, dtype=jnp.int32), Nw)
-    (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
-    take = min(evw_cap, Nw)
-    sidx = jnp.minimum(skey[:take], Nw - 1)
-    wok = skey[:take] < Nw
+    NB = -(-Nw // 256)
+    actp = jnp.concatenate(
+        [flat_act, jnp.zeros(NB * 256 - Nw, bool)]
+    ) if NB * 256 != Nw else flat_act
+    local = jnp.broadcast_to(
+        jnp.arange(256, dtype=jnp.int32)[None, :], (NB, 256)
+    )
+    fkey = jnp.where(actp.reshape(NB, 256), local, 256)
+    fs = jax.lax.sort((fkey,), dimension=1, num_keys=1, is_stable=False)[0]
+    bcnt = jnp.sum(actp.reshape(NB, 256), axis=1).astype(jnp.int32)
+    boff = jnp.cumsum(bcnt) - bcnt
     n_act = jnp.sum(flat_act)
+    take = min(evw_cap, Nw)
     overflow = n_act > take
+    # block-of-slot via scatter-max of starts + cummax fill
+    grid = jnp.zeros(take, jnp.int32)
+    bpos = jnp.where((bcnt > 0) & (boff < take), boff, take)
+    grid = grid.at[bpos].max(
+        jnp.arange(NB, dtype=jnp.int32), mode="drop"
+    )
+    bofslot = jax.lax.cummax(grid, axis=0)
+    rel = jnp.arange(take, dtype=jnp.int32) - boff[bofslot]
+    wok = jnp.arange(take, dtype=jnp.int32) < jnp.minimum(n_act, take)
+    lidx = fs[jnp.minimum(bofslot, NB - 1), jnp.clip(rel, 0, 255)]
+    sidx = jnp.minimum(bofslot * 256 + jnp.minimum(lidx, 255), Nw - 1)
 
     off_c = jnp.where(wok, src_off.reshape(-1)[sidx], 0)
     sv_c = jnp.where(wok, sv.reshape(-1)[sidx], 0)
@@ -131,16 +151,19 @@ def reconstruct_mags(
     bits_w = pdep32(aligned, sv_c) & avail_m
 
     planes = jnp.zeros(Nw, _U32)
-    avails = jnp.zeros(Nw, _U32)
     tgt = jnp.where(wok, sidx, Nw)
     planes = planes.at[tgt].set(bits_w, mode="drop").reshape(P, Wn)
-    avails = avails.at[tgt].set(avail_m, mode="drop").reshape(P, Wn)
 
     # ---- closed-form value reconstruction -------------------------------
     # init(s) = 2T - T/2 - 1 with T = 2^(nb-1-s) (integer halving); the
     # per-bit ladder sums to (2A - M)/2 where A = sum of received one-bit
     # weights, M = sum of available-bit weights (both over T >= 2 passes),
-    # plus the T == 1 final-pass bit.
+    # plus the T == 1 final-pass bit.  A needs the data bits (expanded per
+    # plane below, already availability-masked at deposit); M is CLOSED
+    # FORM: refinement availability is full for a leading run of passes
+    # (p <= pF), partial for at most one pass p* = pF + 1, zero after —
+    # so the full-run sum telescopes to 2^(nb-1-s) - 2^(nb-2-F) and only
+    # the single partial pass needs its availability mask expanded.
     sig = (s_p != 255) & (s_p < num_bp)
     sc = jnp.minimum(s_p, 63)
     Ts = jnp.where(
@@ -148,24 +171,52 @@ def reconstruct_mags(
     )
     init = jnp.where(sig, 2 * Ts - (Ts >> 1) - 1, 0)
 
+    mc = jnp.sum(c, axis=1)  # members per pass
+    pvec = jnp.arange(P, dtype=jnp.int32)
+    fullp = (ref_avail >= mc) & (pvec < num_bp)
+    notfull = jnp.cumsum((~fullp).astype(jnp.int32))
+    pF = jnp.sum((notfull == 0).astype(jnp.int32)) - 1  # last fully-avail
+    # full-run M: sum of 2^(nb-1-p) for p in [s+1, F], F = min(pF, nb-2)
+    F = jnp.minimum(pF, num_bp - 2)
+    has_full = F >= sc + 1
+    # geometric sum: sum_{p=s+1}^{F} 2^(nb-1-p) = 2^(nb-1-s) - 2^(nb-1-F)
+    M_full = jnp.where(
+        sig & has_full,
+        (jnp.int32(1) << jnp.clip(num_bp - 1 - sc, 0, 30))
+        - (jnp.int32(1) << jnp.clip(num_bp - 1 - F, 0, 30)),
+        0,
+    )
+    # the single partial pass p* = pF + 1 (if it carries any bits and is
+    # not the T == 1 pass): expand just its availability mask
+    pstar = pF + 1
+    has_star = (pstar < num_bp - 1) & (pstar >= 0)
+    star_avail = jnp.where(
+        has_star, ref_avail[jnp.clip(pstar, 0, P - 1)], 0
+    )
+    rank_star = rank[jnp.clip(pstar, 0, P - 1)]
+    sv_star = sv[jnp.clip(pstar, 0, P - 1)]
+    cut_star = jnp.clip(star_avail - rank_star, 0, 32).astype(_U32)
+    am_star = pdep32(_ones_low(cut_star), sv_star)
+    j = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    pa_star = ((am_star[:, None] >> j) & jnp.uint32(1)).astype(jnp.int32)
+    T_star = jnp.where(
+        has_star, jnp.int32(1) << jnp.clip(num_bp - 1 - pstar, 0, 30), 0
+    )
+    M = M_full + jnp.where(
+        (star_avail > 0) & has_star, pa_star.reshape(-1) * T_star, 0
+    )
+
     A = jnp.zeros(npad, jnp.int32)
-    M = jnp.zeros(npad, jnp.int32)
     last = jnp.zeros(npad, jnp.int32)
-    for p in range(P):
-        # expand plane words to per-pixel bits: [Wn] u32 -> [npad] lanes
+    for p in range(1, P):  # pass 0 never refines (s >= 0)
         bw = planes[p]
-        aw = avails[p]
-        j = jnp.arange(32, dtype=jnp.uint32)[None, :]
         pb = ((bw[:, None] >> j) & jnp.uint32(1)).astype(jnp.int32)
-        pa = ((aw[:, None] >> j) & jnp.uint32(1)).astype(jnp.int32)
         pb = pb.reshape(-1)
-        pa = pa.reshape(-1)
         Tp = jnp.where(
             p < num_bp, jnp.int32(1) << jnp.clip(num_bp - 1 - p, 0, 30), 0
         )
         is_last = Tp == 1
         A = A + jnp.where(is_last, 0, pb * Tp)
-        M = M + jnp.where(is_last, 0, pa * Tp)
         last = last + jnp.where(is_last, pb, 0)
 
     val = init + ((2 * A - M) >> 1) + last

@@ -329,7 +329,7 @@ def _dense_encode_wave(
     # static emission-matrix geometry (mirrors ops/wave_pack.wave_emit_3d)
     T = sl.lis_item_count(li, node_cap)
     Tp = -(-T // 128) * 128
-    npad = -(-(wexp_cap or n) // 128) * 128
+    npad = -(-(wexp_cap or n) // 256) * 256
     cells = P * (2 * npad + 2 * Tp + npad)
     np_pieces = cells // 256
     # widest tier: generous realistic bounds, not the astronomically padded

@@ -346,7 +346,7 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
     wexp_cap = 0 if wf0 >= 1.0 else max(8192, min(nelems, int(nelems * wf0)))
     T = sl.lis_item_count(li, node_cap)
     Tp = -(-T // 128) * 128
-    npad = -(-(wexp_cap or nelems) // 128) * 128
+    npad = -(-(wexp_cap or nelems) // 256) * 256
     cells = num_bp_cap * (2 * npad + 2 * Tp + npad)
     np_pieces = cells // 256
     evb_cap = max(8192, min(np_pieces, int(np_pieces * ef)))
@@ -390,7 +390,7 @@ def wave_entropy_breakdown(n: int = 64, tol: float = 1e-2,
         ll, mags, s, e, num_bp, sgn = r[:6]
         P = num_bp_cap
         pidx = jnp.arange(P, dtype=jnp.int32)[:, None]
-        npad_ = -(-nelems // 128) * 128
+        npad_ = -(-nelems // 256) * 256
         s_p = wp._pad_cols(s[None, :], npad_, 0x7FFF)[0]
         m_p = wp._pad_cols(mags.astype(jnp.int32)[None, :], npad_, 0)[0]
         ref_v = ((s_p[None, :] < pidx) & (pidx <= num_bp - 1)).astype(
