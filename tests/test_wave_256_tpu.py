@@ -22,7 +22,7 @@ import json
 import numpy as np
 import sys
 
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "__REPO__")
 from sperr_tpu.parallel.batched import TpuCompressor3D
 from sperr_tpu.runtime.device_bench import _smooth_field
 
@@ -69,7 +69,7 @@ def test_wave_256_device_coverage_and_byte_identity():
         pytest.skip("no TPU reachable (tunnel down or CPU-only host)")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
-        [sys.executable, "-c", _SCRIPT.format(repo=repo)],
+        [sys.executable, "-c", _SCRIPT.replace("__REPO__", repo)],
         capture_output=True, timeout=3000, env=_tpu_env(), text=True,
     )
     assert r.returncode == 0, f"device run failed:\n{r.stderr[-2000:]}"
