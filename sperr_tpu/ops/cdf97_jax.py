@@ -180,12 +180,13 @@ def _set_corner2(x, sub, lx: int, ly: int):
     ny, nx = x.shape[-2], x.shape[-1]
     if (lx, ly) == (nx, ny):
         return sub
-    if ly == ny:
-        return _cat([sub, _sl(x, -1, lx, None)], -1)
-    if lx == nx:
-        return _cat([sub, _sl(x, -2, ly, None)], -2)
-    top = _cat([sub, _sl(_sl(x, -2, 0, ly), -1, lx, None)], -1)
-    return _cat([top, _sl(x, -2, ly, None)], -2)
+    # dynamic_update_slice instead of slice+concat: XLA performs the
+    # corner write in place when the operand buffer is otherwise dead,
+    # where the concat form re-materialized the FULL array once per level
+    # (~0.34 GB of pure copy per 256^3 dwt3d; docs/PALLAS.md roofline)
+    import jax as _jax
+
+    return _jax.lax.dynamic_update_slice(x, sub, (0,) * x.ndim)
 
 
 def _dwt2d_level(x, lx: int, ly: int):
@@ -203,10 +204,11 @@ def _idwt2d_level(x, lx: int, ly: int):
 
 
 def _set_corner3(x, sub, lx: int, ly: int, lz: int):
-    slab = _set_corner2(_sl(x, -3, 0, lz), sub, lx, ly)
-    if lz == x.shape[-3]:
-        return slab
-    return _cat([slab, _sl(x, -3, lz, None)], -3)
+    if (lx, ly, lz) == (x.shape[-1], x.shape[-2], x.shape[-3]):
+        return sub
+    import jax as _jax
+
+    return _jax.lax.dynamic_update_slice(x, sub, (0,) * x.ndim)
 
 
 def _dwt3d_level(x, lx: int, ly: int, lz: int):
