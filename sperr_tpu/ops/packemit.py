@@ -70,6 +70,103 @@ def pext32(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+_TR_MASKS = (
+    (16, 0x0000FFFF),
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def transpose_bits32(x: jnp.ndarray) -> jnp.ndarray:
+    """32x32 bit-matrix transpose over consecutive 32-element blocks.
+
+    ``x``: flat u32[M] (M % 32 == 0) where x[i] bit p is cell (p, i).
+    Returns u32[32, M // 32] planes: out[p, w] bit l == x[32w + l] bit p.
+
+    This is THE bitplane<->position pivot of the codec: a per-item pass
+    mask (one u32, bits = passes) becomes packed per-pass emission words
+    without ever materializing a [P, M] cell matrix.  Hacker's Delight
+    transpose32 vectorized over blocks; pairs (k, k+j) never cross a
+    32-block, so the shifted operands are plain rolls of the flat array
+    (wraparound lanes are always discarded by the in-block selector).
+    ~5 stages x 8 elementwise ops; traffic ~10 passes over M words.
+    """
+    M = x.shape[0]
+    assert M % 32 == 0
+    x = _tr32_stages(x.astype(_U32))
+    return x.reshape(M // 32, 32).T
+
+
+def untranspose_bits32(planes: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of transpose_bits32: u32[32, W] planes -> flat u32[32 * W]
+    per-item words (item i's bit p == planes[p, i // 32] bit (i % 32))."""
+    return _tr32_stages(planes.T.reshape(-1).astype(_U32))
+
+
+def _tr32_stages(x: jnp.ndarray) -> jnp.ndarray:
+    """The 5 masked-swap stages over flat u32[M] (blocks of 32): exchange
+    element (l, p) with (l ^ j, p ^ j) when l bit j == 0, p bit j == 1."""
+    lane = jnp.arange(x.shape[0], dtype=jnp.int32) & 31
+    for j, mval in _TR_MASKS:
+        m = jnp.uint32(mval)
+        sel = (lane & j) == 0
+        fwd = jnp.roll(x, -j)                        # x[i + j]
+        t = ((x >> jnp.uint32(j)) ^ fwd) & m         # valid at sel positions
+        tb = jnp.roll(t, j)                          # t[i - j]
+        x = jnp.where(sel, x ^ (t << jnp.uint32(j)), x ^ tb)
+    return x
+
+
+def repeat2(x: jnp.ndarray) -> jnp.ndarray:
+    """Each element twice, flat: out[2i] = out[2i+1] = x[i].  broadcast_to +
+    reshape (a pure relayout), NOT jnp.repeat (lowers through a gather)."""
+    n = x.shape[0]
+    return jnp.broadcast_to(x[:, None], (n, 2)).reshape(2 * n)
+
+
+def ones_low32(k: jnp.ndarray) -> jnp.ndarray:
+    """(1 << k) - 1 for k in [0, 32] (u32-safe at k == 32)."""
+    kc = jnp.clip(k, 0, 32)
+    k1 = jnp.minimum(kc, 31).astype(_U32)
+    base = (jnp.uint32(1) << k1) - jnp.uint32(1)
+    return jnp.where(kc >= 32, jnp.uint32(0xFFFFFFFF), base)
+
+
+def ones_span32(lo: jnp.ndarray, hi: jnp.ndarray, base: int = 0) -> jnp.ndarray:
+    """u32 mask with bits [lo - base, hi - base] set (window-clipped);
+    empty when hi < lo.  lo/hi are i32 arrays of arbitrary range."""
+    return ones_low32(hi - base + 1) & ~ones_low32(lo - base)
+
+
+def bit_at32(p: jnp.ndarray, base: int = 0) -> jnp.ndarray:
+    """u32 with bit (p - base) set when in [0, 32), else 0."""
+    r = p - base
+    ok = (r >= 0) & (r < 32)
+    return jnp.where(
+        ok, jnp.uint32(1) << jnp.clip(r, 0, 31).astype(_U32), jnp.uint32(0)
+    )
+
+
+def bitrev32(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the 32 bits of each u32 element (classic swap ladder)."""
+    x = x.astype(_U32)
+    x = ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555)) | (
+        (x & jnp.uint32(0x55555555)) << jnp.uint32(1)
+    )
+    x = ((x >> jnp.uint32(2)) & jnp.uint32(0x33333333)) | (
+        (x & jnp.uint32(0x33333333)) << jnp.uint32(2)
+    )
+    x = ((x >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F)) | (
+        (x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)
+    )
+    x = ((x >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF)) | (
+        (x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)
+    )
+    return (x >> jnp.uint32(16)) | (x << jnp.uint32(16))
+
+
 _W16 = None
 _W16I = None
 
@@ -128,6 +225,7 @@ def _halves_to_words(h: jnp.ndarray, n_words: int) -> jnp.ndarray:
 def pack_cells_flat(cells_u8: jnp.ndarray) -> jnp.ndarray:
     """Flat [M] 0/1 u8 cells -> flat [M//32] u32 words, LSB-first."""
     M = cells_u8.shape[0]
+    assert M % 32 == 0, "pack_cells_flat drops trailing cells unless M % 32 == 0"
     h = _mm_pack(cells_u8, _half_weight())
     return _halves_to_words(h, M // 32)
 
@@ -136,6 +234,7 @@ def pack_cells_interleaved(a_u8: jnp.ndarray, b_u8: jnp.ndarray) -> jnp.ndarray:
     """Flat [M] cell pairs -> flat [2M//32] u32 words of the interleaved
     stream a_0 b_0 a_1 b_1 ..., via two stride-2 selector matmuls."""
     M = a_u8.shape[0]
+    assert (2 * M) % 32 == 0, "pack_cells_interleaved requires 2M % 32 == 0"
     ha = _mm_pack(a_u8, _half_weight_interleaved()[0])
     hb = _mm_pack(b_u8, _half_weight_interleaved()[1])
     return _halves_to_words(ha + hb, 2 * M // 32)

@@ -157,6 +157,198 @@ def lis_item_count(li, node_cap: int) -> int:
     return CB + int(li.nroots) + R
 
 
+def _bcast8(x: jnp.ndarray, mc: int) -> jnp.ndarray:
+    """[C] -> [C * mc] flat broadcast (pure relayout, no gather)."""
+    c = x.shape[0]
+    return jnp.broadcast_to(x[:, None], (c, mc)).reshape(c * mc)
+
+
+def _tiny_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for a TINY traced table (<= ~32 entries) by compare-sum —
+    guaranteed elementwise, never a gather at idx scale."""
+    out = jnp.zeros_like(idx)
+    for k in range(int(table.shape[0])):
+        out = out + jnp.where(idx == k, table[k].astype(jnp.int32), 0)
+    return out
+
+
+def _lis_items_virtual(node_s, s_lin, signs, num_bp, vf, node_cap):
+    """Walk-ordered emission items for the virtual (pow-2 cube) forest —
+    the round-5 streamlined path behind return_events="items".
+
+    Byte-order-identical to the generic walk below; the cost structure is
+    rebuilt around the round-4 measurements (walk = 110 ms of the 222 ms
+    256^3 entropy stage):
+      * child values arrive as [C] ROW gathers from an 8-aligned table
+        (ops/speck_virtual.build_vtab) instead of [C, 8] element gathers;
+      * anchor string ranks skip the leaf levels (~3/4 of nn) and are
+        gathered per PARENT, broadcast to rows;
+      * the insertion-rank sort carries its payloads, so rank inversion,
+        the O scatter, the walk-order lexsort and the bincount all vanish:
+        w(entry) = suffix-level-total + O is arithmetic because per-level
+        O ranks are dense (roots 0.., born off0..);
+      * paths are single-word 4-bit keys (depth <= 6), shrinking the two
+        big sorts to 4 and 3 operands.
+    The one remaining nn-scale scatter maps born entries to their walk
+    rank for anchor lookups (w_buf)."""
+    nn = vf.nn
+    MC = 8
+    C = node_cap
+    nlev = vf.nlev
+    n_sig = jnp.sum(node_s < _NEVER).astype(jnp.int32)
+
+    # ---- compacted significant parents ---------------------------------
+    sig_key = jnp.where(node_s < _NEVER, jnp.arange(nn, dtype=jnp.int32), nn)
+    (sid_s,) = jax.lax.sort((sig_key,), num_keys=1, is_stable=False)
+    if C > nn:
+        sid_s = jnp.concatenate([sid_s, jnp.full(C - nn, nn, jnp.int32)])
+    sid = sid_s[:C]
+    svalid = sid < nn
+    q = jnp.minimum(sid, nn - 1)
+    slot = jnp.arange(MC, dtype=jnp.int32)
+
+    vtab = vf.build_vtab(s_lin | (signs.astype(jnp.int32) << 15), node_s)
+    cnt, rvalid, ispx, isnd, vidx, v = vf.children_rows(q, svalid, slot, vtab)
+    rowpass = jnp.where(svalid, node_s[q], _NEVER)
+    row_s = jnp.where(rvalid, v & _NEVER, _NEVER)
+    row_sign = ((v >> 15) & 1) == 1
+
+    sig_now = (row_s == rowpass[:, None]) & rvalid
+    prev_any = jnp.cumsum(sig_now, axis=1) - sig_now
+    last = slot[None, :] == cnt[:, None] - 1
+    emitted = ((prev_any > 0) | ~last) & rvalid
+
+    # ---- anchors (dense, leaf levels unranked) --------------------------
+    from . import speck_virtual as _svirt
+
+    J_full, R_full = _svirt.dense_anchor_ranks(node_s, vf)
+    anchor = jnp.where(svalid, J_full[q], q)           # [C]
+    a_rank_par = R_full[jnp.minimum(anchor, nn - 1)]   # [C] gather
+    alev_par = vf.levels_of(jnp.minimum(anchor, nn - 1))
+
+    # ---- born rows (parent-form; compaction only when the cap bites) ----
+    eligible = isnd[:, 0] & svalid
+    C2 = min(C, int(vf.nn_inner))
+    if C2 < C:
+        key2 = jnp.where(eligible, jnp.arange(C, dtype=jnp.int32), C)
+        key2_s, bn2_s, an_r, ar2_s, al2_s = jax.lax.sort(
+            (key2, rowpass, anchor, a_rank_par, alev_par),
+            num_keys=1, is_stable=False,
+        )
+        bok2 = key2_s[:C2] < C
+        qidx = jnp.minimum(key2_s[:C2], C - 1)
+        bid2 = (jnp.minimum(vidx, vf.n + nn - 1) - vf.n)[qidx]
+        sval2 = (v & _NEVER)[qidx]
+        bn2, ar2, al2 = bn2_s[:C2], ar2_s[:C2], al2_s[:C2]
+    else:
+        bok2 = eligible
+        qidx = None
+        bid2 = jnp.minimum(vidx, vf.n + nn - 1) - vf.n
+        sval2 = v & _NEVER
+        bn2, ar2, al2 = rowpass, a_rank_par, alev_par
+    CB = C2 * MC
+    bok = _bcast8(bok2.astype(jnp.int32), MC) == 1
+    c_bid = jnp.where(bok, bid2.reshape(CB), nn)
+    c_bn = jnp.where(bok, _bcast8(bn2, MC), _BIG)
+    c_arank = jnp.where(bok, _bcast8(ar2, MC), 0)
+    c_alev5 = jnp.where(bok, _bcast8(31 - al2, MC), 0)
+    c_s = jnp.where(bok, sval2.reshape(CB), _NEVER)
+    bidc = jnp.minimum(c_bid, nn - 1)
+    c_lev = vf.levels_of(bidc)
+    c_pw = vf.sort_paths_of(bidc)
+
+    # ---- insertion ranks: ONE payload-carrying sort ---------------------
+    k_lba = jnp.where(
+        bok,
+        (c_lev << 11) | (jnp.clip(c_bn, 0, 63) << 5) | c_alev5,
+        _BIG,
+    )
+    ops_o = (k_lba, c_arank, *c_pw, c_bid, c_s)
+    out_o = jax.lax.sort(ops_o, num_keys=len(ops_o) - 2, is_stable=False)
+    k_s, bid_s, s_s = out_o[0], out_o[-2], out_o[-1]
+    bok_s = k_s < _BIG
+    iota_cb = jnp.arange(CB, dtype=jnp.int32)
+    ls_lev = jnp.where(bok_s, k_s >> 11, nlev)
+    newblk = jnp.concatenate(
+        [jnp.ones(1, bool), ls_lev[1:] != ls_lev[:-1]]
+    )
+    bstart = jax.lax.cummax(jnp.where(newblk, iota_cb, 0), axis=0)
+    lev_c = jnp.minimum(ls_lev, nlev - 1)
+    o_val = _tiny_lookup(vf.off0, lev_c) + (iota_cb - bstart)
+
+    # per-level totals -> suffix-above -> arithmetic walk ranks: O ranks
+    # are DENSE per level (roots 0.., born off0..), so the walk position
+    # (levels desc, O asc) is suffix_total(level) + O — no lexsort
+    counts_lev = jnp.stack(
+        [jnp.sum((ls_lev == L).astype(jnp.int32)) for L in range(nlev)]
+    )
+    totals = vf.off0.astype(jnp.int32) + counts_lev
+    rev = jnp.cumsum(totals[::-1])
+    suffix_above = jnp.concatenate(
+        [rev[::-1][1:], jnp.zeros(1, jnp.int32)]
+    )  # sum of totals at levels > L
+    w_born = jnp.where(
+        bok_s, _tiny_lookup(suffix_above, lev_c) + o_val, _BIG
+    )
+    rlev = vf.root_levels.astype(jnp.int32)
+    w_roots = suffix_above[rlev] + vf.O0_head.astype(jnp.int32)
+
+    # ---- anchor walk-rank lookup (the one nn-scale scatter) -------------
+    w_buf = (
+        jnp.full(nn + 1, _BIG, jnp.int32)
+        .at[jnp.where(bok_s, bid_s, nn)]
+        .set(w_born, mode="drop")
+    )
+    w_buf = w_buf.at[vf.root_ids].set(w_roots)
+    w_top = _bcast8(w_buf[jnp.minimum(anchor, nn - 1)], MC)  # [C]->[R]
+
+    # ---- items: entries (born sorted-order ++ roots) ++ child rows ------
+    R = C * MC
+    ent_id = jnp.concatenate([bid_s, vf.root_ids])
+    ent_ok = jnp.concatenate([bok_s, jnp.ones(vf.nroots, bool)])
+    ent_from = jnp.concatenate(
+        [((k_s >> 5) & 63) + 1, vf.root_from]
+    )
+    ent_s = jnp.concatenate([s_s, node_s[vf.root_ids]])
+    # paths from ids, arithmetic (roots are depth-0 -> empty words)
+    ent_pw = vf.sort_paths_of(jnp.minimum(ent_id, nn - 1))
+    kw_ent = jnp.concatenate([w_born, w_roots])
+
+    qb = _bcast8(q, MC)
+    slotb = jnp.broadcast_to(slot[None, :], (C, MC)).reshape(R)
+    rp = vf.sort_child_paths(qb, slotb)
+    rowpassf = _bcast8(rowpass, MC)
+    sig_nowf = sig_now.reshape(R)
+    emittedf = emitted.reshape(R)
+    ispxf = ispx.reshape(R)
+    row_signf = (row_sign & ispx).reshape(R)
+
+    ent_lo = jnp.clip(ent_from, 0, 63)
+    ent_s6 = jnp.clip(ent_s, 0, 63)
+    pay_ent = (
+        1
+        | (ent_lo << 1)
+        | (ent_s6 << 7)
+        | (ent_ok.astype(jnp.int32) << 17)
+    )
+    row_hs = ispxf & sig_nowf
+    pay_row = (
+        (jnp.clip(rowpassf, 0, 63) << 1)
+        | (row_signf.astype(jnp.int32) << 13)
+        | (sig_nowf.astype(jnp.int32) << 14)
+        | (row_hs.astype(jnp.int32) << 15)
+        | (emittedf.astype(jnp.int32) << 16)
+    )
+    kw_all = jnp.concatenate([kw_ent, w_top])
+    kpath = [
+        jnp.concatenate([e_w, r_w]) for e_w, r_w in zip(ent_pw, rp)
+    ]
+    pay = jnp.concatenate([pay_ent, pay_row])
+    ops = (kw_all, *kpath, pay)
+    out = jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=False)
+    return out[-1], n_sig
+
+
 _LIS_INDEXES = {}
 
 
@@ -201,6 +393,11 @@ def lis_segments_device(
     a table-backed LisIndex or a speck_virtual.VirtualLisIndex (arithmetic
     child/anchor/path resolution, no per-node tables)."""
     from .speck_jax import _expand_fill, events_to_segments
+
+    if return_events == "items" and getattr(li, "uniform_children", False):
+        return _lis_items_virtual(
+            node_s, s_lin, signs, num_bp, li, node_cap
+        )
 
     nn = li.nn
     MC = li.max_ch

@@ -67,6 +67,8 @@ class VirtualLisIndex:
         "root_ids", "root_levels", "root_from", "off0", "O0_head",
         # host copies for schedule construction
         "h_slog", "h_org", "h_depth_base", "h_r0",
+        # 8-aligned child value table geometry (children_rows/build_vtab)
+        "h_A8", "A8", "nt", "h_slog_starts",
     )
 
     # every node's children are uniformly pixels or uniformly nodes (full
@@ -155,19 +157,60 @@ class VirtualLisIndex:
         self.off0 = jnp.asarray(off0)
         self.O0_head = jnp.asarray(O0_head)
 
+        # 8-aligned combined child-value table (build_vtab/children_rows):
+        # [0, n) = pixel section in 2x2x2-box-major order (box slot order
+        # dz dy dx, x fastest — children()'s slot order), then one node_s
+        # section per depth, each 8-aligned so every child octet is ONE
+        # table row — the [C, 8] element gathers of the walk become row
+        # gathers (ROADMAP r4 #1).
+        A8 = np.zeros(D + 2, dtype=np.int64)
+        off = self.n
+        for d in range(D + 1):
+            cnt = int(depth_base[d + 1] - depth_base[d])
+            A8[d] = off // 8
+            off += cnt + ((-cnt) % 8)
+        self.nt = int(off)
+        self.h_A8 = A8
+        self.A8 = jnp.asarray(A8.astype(np.int32))
+        # slog[r] as a run-start sum: slog[r] = base + sum_v (r >= start_v)
+        # over the <= K distinct slog run boundaries (slog nondecreasing) —
+        # a tiny static loop instead of a root-table gather
+        starts = []
+        for v in range(int(slog[0]) + 1, int(slog[-1]) + 1):
+            starts.append(int(np.argmax(slog >= v)))
+        self.h_slog_starts = (int(slog[0]), tuple(starts))
+
     # -- id <-> (root, depth, morton) ---------------------------------------
+    def _decode_sums(self, ids):
+        """(d, depth_base[d], r0[d]) by static compare-sum over the tiny
+        depth table — guaranteed elementwise (no gather lowering)."""
+        db = self.h_depth_base
+        r0 = self.h_r0
+        d = jnp.zeros_like(ids)
+        dbase = jnp.zeros_like(ids)
+        rbase = jnp.full_like(ids, int(r0[0]))
+        for k in range(1, self.depth_max + 2):
+            ge = ids >= int(db[k])
+            d = d + ge
+            dbase = dbase + jnp.where(ge, jnp.int32(int(db[k] - db[k - 1])), 0)
+            rbase = rbase + jnp.where(ge, jnp.int32(int(r0[k] - r0[k - 1])), 0)
+        return d, dbase, rbase
+
     def decode(self, ids):
         """ids (any shape, values in [0, nn)) -> (r, d, m), elementwise."""
-        d = (
-            jnp.searchsorted(self.depth_base, ids, side="right").astype(
-                jnp.int32
-            )
-            - 1
-        )
-        rem = ids - self.depth_base[d]
-        r = self.r0[d] + (rem >> (3 * d))
+        d, dbase, rbase = self._decode_sums(ids)
+        rem = ids - dbase
+        r = rbase + (rem >> (3 * d))
         m = rem & ((jnp.int32(1) << (3 * d)) - 1)
         return r, d, m
+
+    def slog_of_roots(self, r):
+        """slog[r] elementwise via the static run-start sum (no gather)."""
+        base, starts = self.h_slog_starts
+        v = jnp.full_like(r, base)
+        for s0 in starts:
+            v = v + (r >= s0)
+        return v
 
     def nid(self, r, d, m):
         """(r, d, m) -> id; d is clamped into range (callers mask misuse)."""
@@ -227,6 +270,21 @@ class VirtualLisIndex:
         vidx = jnp.where(ispx, lin, self.n + cid)
         return cnt, rvalid, ispx, isnd, vidx
 
+    def org_of_roots(self, r):
+        """Root origin (ox, oy, oz) elementwise (no table gather): split
+        root r of split level i is octant k with h = N >> (i+1)."""
+        N = self.dims[0]
+        slog = self.slog_of_roots(r)
+        xf = self.K - int(self.h_slog[0])
+        i = self.K - slog - 1
+        g0 = 1 + 7 * (xf - 1 - i)
+        k = r - g0 + 1  # octant index runs 1..7 within a split level
+        h = N >> jnp.clip(self.K - slog, 0, 30)
+        ox = jnp.where(r > 0, (k & 1) * h, 0)
+        oy = jnp.where(r > 0, ((k >> 1) & 1) * h, 0)
+        oz = jnp.where(r > 0, (k >> 2) * h, 0)
+        return ox, oy, oz
+
     def parents_of(self, ids):
         """Parent node id per node (-1 at roots), arithmetically."""
         r, d, m = self.decode(ids)
@@ -235,7 +293,118 @@ class VirtualLisIndex:
 
     def levels_of(self, ids):
         r, d, _ = self.decode(ids)
-        return self.r_level[r] + 3 * d
+        return 3 * (self.K - self.slog_of_roots(r) + d)
+
+    # -- streamlined walk support (ops/speck_lis_jax._lis_items_virtual) ----
+    def build_vtab(self, pixel_vals, node_s):
+        """Combined 8-aligned child value table: pixel section (2x2x2 boxes
+        in box-major order) ++ per-depth node_s sections.  One relayout
+        pass over n plus nn of slice copies."""
+        N = self.dims[0]
+        Nh = N // 2
+        pix = (
+            pixel_vals.reshape(Nh, 2, Nh, 2, Nh, 2)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(-1)
+        )
+        parts = [pix]
+        db = self.h_depth_base
+        for d in range(self.depth_max + 1):
+            lo, hi = int(db[d]), int(db[d + 1])
+            seg = jax.lax.slice(node_s, (lo,), (hi,))
+            pad = (-(hi - lo)) % 8
+            if pad:
+                seg = jnp.concatenate(
+                    [seg, jnp.full(pad, _NEVER, node_s.dtype)]
+                )
+            parts.append(seg)
+        return jnp.concatenate(parts)
+
+    def children_rows(self, q, svalid, slot, vtab):
+        """Child resolution with the values fetched as ROW gathers from the
+        8-aligned table: returns (cnt, rvalid, ispx, isnd, vidx, v) where
+        v[c, k] is child k's table value (s|sign<<15 for pixels, node_s for
+        sets)."""
+        N = self.dims[0]
+        Nh = N // 2
+        D = self.depth_max
+        r, d, m = self.decode(q)
+        side_log = self.slog_of_roots(r) - d
+        cnt = jnp.where(svalid, 8, 0)
+        rvalid = slot[None, :] < cnt[:, None]
+        px_parent = side_log == 1
+        ispx = px_parent[:, None] & rvalid
+        isnd = (~px_parent)[:, None] & rvalid
+        # node child octet: table row A8[d+1] + (r - r0[d+1]) * 8^d + m
+        dc = jnp.minimum(d + 1, D)
+        A8c = jnp.zeros_like(d)
+        r0c = jnp.zeros_like(d)
+        for k in range(D + 1):
+            hit = dc == k
+            A8c = A8c + jnp.where(hit, jnp.int32(int(self.h_A8[k])), 0)
+            r0c = r0c + jnp.where(hit, jnp.int32(int(self.h_r0[k])), 0)
+        tb_node = A8c + ((r - r0c) << jnp.clip(3 * d, 0, 30)) + m
+        # pixel octet: half-grid box row
+        bx, by, bz = self._unmorton(m)
+        ox, oy, oz = self.org_of_roots(r)
+        oxh = (ox >> 1) + bx
+        oyh = (oy >> 1) + by
+        ozh = (oz >> 1) + bz
+        tb_pix = (ozh * Nh + oyh) * Nh + oxh
+        tb8 = jnp.where(svalid, jnp.where(px_parent, tb_pix, tb_node), 0)
+        v = vtab.reshape(-1, 8)[tb8]
+        # combined value index (pixel linear id or n + node id) — still
+        # needed arithmetically for born ids; tiny tables resolved by
+        # per-parent compare-sums (no gather lowering)
+        mc = (m[:, None] << 3) + slot[None, :]
+        d1 = d + 1
+        db1 = jnp.zeros_like(d)
+        r01 = jnp.zeros_like(d)
+        for k in range(D + 2):
+            hit = d1 == k
+            db1 = db1 + jnp.where(
+                hit, jnp.int32(int(self.h_depth_base[k])), 0
+            )
+            r01 = r01 + jnp.where(hit, jnp.int32(int(self.h_r0[k])), 0)
+        cid = (
+            db1[:, None]
+            + ((r - r01)[:, None] << jnp.clip(3 * d1, 0, 30)[:, None])
+            + mc
+        )
+        px = (oxh[:, None] << 1) + (slot[None, :] & 1)
+        py = (oyh[:, None] << 1) + ((slot[None, :] >> 1) & 1)
+        pz = (ozh[:, None] << 1) + (slot[None, :] >> 2)
+        lin = (pz * N + py) * N + px
+        vidx = jnp.where(ispx, lin, self.n + cid)
+        return cnt, rvalid, ispx, isnd, vidx, v
+
+    def sort_paths_of(self, ids):
+        """Walk-key path words: a SINGLE 4-bit-digit word when the forest
+        is shallow (depth_max <= 6, 28 bits) — digit values 1..8 compare
+        identically to the 5-bit host layout, and one sort operand
+        replaces two.  Falls back to the parity layout otherwise."""
+        if self.depth_max > 6:
+            return self.paths_of(ids)
+        _, d, m = self.decode(ids)
+        return [self._path_word4(d, m)]
+
+    def _path_word4(self, d, m):
+        S = self.depth_max + 1
+        w = jnp.zeros_like(m)
+        for j in range(S):
+            sh = jnp.maximum(3 * (d - 1 - j), 0)
+            dig = jnp.where(j < d, ((m >> sh) & 7) + 1, 0)
+            w = w | (dig << (4 * (S - 1 - j)))
+        return w
+
+    def sort_child_paths(self, q, rslot):
+        if self.depth_max > 6:
+            return self.child_paths(q, rslot)
+        _, d, m = self.decode(q)
+        w = self._path_word4(d, m)
+        S = self.depth_max + 1
+        sh = (4 * (S - 1 - d)).astype(jnp.int32)
+        return [w + ((rslot + 1) << sh)]
 
     def paths_of(self, ids):
         _, d, m = self.decode(ids)
@@ -372,6 +541,13 @@ def dense_anchor_ranks(
     RSTR_d = [jnp.zeros(x.shape[0], jnp.int32) for x in s_d]
     ARV_d = [jnp.zeros(x.shape[0], jnp.int32) for x in s_d]
     for L in sorted(spans):
+        # Leaf levels (side-2 nodes: slog - d == 1, i.e. K - L/3 == 1) are
+        # never anchors of BORN rows (a born row's anchor is an ancestor of
+        # an inner parent, hence inner) and their ARV is never propagated
+        # (the skip slice drops leaf parents) — skipping their ranking
+        # removes the dominant finest-level sorts (~3/4 of nn at 256^3).
+        if vf.K - L // 3 == 1:
+            continue
         sp = spans[L]
         u_parts, k2_parts = [], []
         for d, a, b in sp:

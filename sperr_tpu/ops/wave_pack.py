@@ -39,7 +39,9 @@ _NEVER = 0x7FFF
 class WaveEmit(NamedTuple):
     num_bp: jnp.ndarray       # i32
     seg: jnp.ndarray          # u8[out_cap_bytes] packed class-major buffer
-    counts: jnp.ndarray       # i32[3 * num_bp_cap] bit counts, class-major
+    counts: jnp.ndarray       # i32[3 * P], P = the num_bp_cap ARGUMENT
+                              # passed to wave_emit_3d (the tier's bp_cap);
+                              # consumers must index with that same P
     total_bytes: jnp.ndarray  # i32
     n_sig: jnp.ndarray        # i32 (poisoned past node_cap on overflow)
     overflow: jnp.ndarray     # bool (piece or byte cap exceeded)
@@ -54,19 +56,23 @@ def _pad_cols(a: jnp.ndarray, cols: int, fill) -> jnp.ndarray:
     return jnp.concatenate([a, pad], axis=-1)
 
 
-def _pack_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """[P, L] u8 cell matrices -> [P, 2L//32] u32 words of the
-    interleaved stream a0 b0 a1 b1 ... per row, via stride-2 selector
-    matmuls — NEVER materializes a [..., 2]-minor array (which the TPU
-    layout pads 64x; see ops/packemit.py's layout rule)."""
-    P, L = a.shape
-    w = pe.pack_cells_interleaved(a.reshape(-1), b.reshape(-1))
-    return w.reshape(P, 2 * L // 32)
-
-
-def _pack_one(a: jnp.ndarray) -> jnp.ndarray:
-    P, L = a.shape
-    return pe.pack_cells_flat(a.reshape(-1)).reshape(P, L // 32)
+def _emit_words(masks_fn, P: int):
+    """Packed (valid, bit) emission words [P, M//32] from per-cell pass
+    masks: ``masks_fn(base)`` returns (mask_v, mask_b) u32[M] for the pass
+    window [base, base+32) — bit (p - base) of cell i's mask is the cell's
+    (valid, bit) value at pass p.  One 32x32 bit transpose per window
+    replaces the [P, M] u8 cell matrices + MXU packs of the round-4 form:
+    the construction cost is O(M) elementwise + ~10 relayout passes,
+    independent of P."""
+    vws, bws = [], []
+    for base in range(0, P, 32):
+        mv, mb = masks_fn(base)
+        take = min(32, P - base)
+        vws.append(pe.transpose_bits32(mv)[:take])
+        bws.append(pe.transpose_bits32(mb)[:take])
+    v = jnp.concatenate(vws) if len(vws) > 1 else vws[0]
+    b = jnp.concatenate(bws) if len(bws) > 1 else bws[0]
+    return v, b
 
 
 def wave_emit_3d(
@@ -100,7 +106,8 @@ def wave_emit_3d(
 
     n = mags.shape[0]
     P = num_bp_cap
-    pidx = jnp.arange(P, dtype=jnp.int32)[:, None]
+    U0 = jnp.uint32(0)
+    U1 = jnp.uint32(0xFFFFFFFF)
 
     # --- LIS items: the set walk, stopping at the walk-ordered payloads --
     pay_s, n_sig = lis_segments_device(
@@ -111,29 +118,31 @@ def wave_emit_3d(
     Tp = -(-T // 128) * 128
     pay_p = _pad_cols(pay_s[None, :], Tp, 0)[0]
 
-    is_ent = (pay_p & 1) == 1
-    lo = (pay_p >> 1) & 63
-    s6 = (pay_p >> 7) & 63
-    sgn_i = ((pay_p >> 13) & 1).astype(jnp.uint8)
-    signow = ((pay_p >> 14) & 1).astype(jnp.uint8)
-    hs = (pay_p >> 15) & 1
-    dec = (pay_p >> 16) & 1
-    ok = (pay_p >> 17) & 1
-
+    # interleaved (decision, sign) cell sequence: each payload twice (a
+    # pure relayout), odd cells are the sign lane
+    pay2 = pe.repeat2(pay_p)
+    odd2 = (jnp.arange(2 * Tp, dtype=jnp.int32) & 1) == 1
+    is_ent = (pay2 & 1) == 1
+    lo = (pay2 >> 1) & 63
+    s6 = (pay2 >> 7) & 63
+    sgn_i = (pay2 >> 13) & 1
+    signow = (pay2 >> 14) & 1
+    hs = (pay2 >> 15) & 1
+    dec = (pay2 >> 16) & 1
+    ok = (pay2 >> 17) & 1
     ent_hi = jnp.minimum(s6, num_bp - 1)
-    ent_valid = (
-        is_ent[None, :] & (ok == 1)[None, :]
-        & (lo[None, :] <= pidx) & (pidx <= ent_hi[None, :])
-    )
-    row_at = (~is_ent)[None, :] & (lo[None, :] == pidx)
-    dec_valid = row_at & (dec == 1)[None, :]
-    sign_valid = row_at & (hs == 1)[None, :]
-    lis_v0 = (ent_valid | dec_valid).astype(jnp.uint8)
-    lis_b0 = jnp.where(
-        is_ent[None, :], (s6[None, :] == pidx), (signow == 1)[None, :]
-    ).astype(jnp.uint8)
-    lis_v1 = sign_valid.astype(jnp.uint8)
-    lis_b1 = jnp.broadcast_to(sgn_i[None, :], (P, Tp))
+
+    def lis_masks(base):
+        ent_v = jnp.where(ok == 1, pe.ones_span32(lo, ent_hi, base), U0)
+        row_v0 = jnp.where(dec == 1, pe.bit_at32(lo, base), U0)
+        row_v1 = jnp.where(hs == 1, pe.bit_at32(lo, base), U0)
+        even_v = jnp.where(is_ent, ent_v, row_v0)
+        mv = jnp.where(odd2, jnp.where(is_ent, U0, row_v1), even_v)
+        even_b = jnp.where(
+            is_ent, pe.bit_at32(s6, base), jnp.where(signow == 1, U1, U0)
+        )
+        mb = jnp.where(odd2, jnp.where(sgn_i == 1, U1, U0), even_b)
+        return mv, mb
 
     # --- exposed-pixel compaction (optional) ------------------------------
     exp_over = jnp.zeros((), bool)
@@ -168,27 +177,41 @@ def wave_emit_3d(
         g_p = _pad_cols(signs[None, :].astype(jnp.uint8), npad, 0)[0]
         m_p = _pad_cols(mags.astype(jnp.int32)[None, :], npad, 0)[0]
 
-    # --- LIP matrices [P, 2*npad] (interleaved decision, sign cells) -----
+    # --- LIP masks (interleaved decision, sign cells over 2*npad) --------
+    s2 = pe.repeat2(s_p)
+    e2 = pe.repeat2(e_p)
+    g2 = pe.repeat2(g_p.astype(jnp.int32))
+    oddp = (jnp.arange(2 * npad, dtype=jnp.int32) & 1) == 1
+    lip_hi = jnp.minimum(s2, num_bp - 1)
 
-    exposed = e_p[None, :] < pidx
-    dec_v = (
-        exposed & (pidx <= s_p[None, :]) & (pidx <= num_bp - 1)
-    ).astype(jnp.uint8)
-    dec_b = (s_p[None, :] == pidx).astype(jnp.uint8)
-    sign_v = (exposed & (s_p[None, :] == pidx)).astype(jnp.uint8)
-    sign_b = jnp.broadcast_to(g_p[None, :], (P, npad))
+    def lip_masks(base):
+        dv = pe.ones_span32(e2 + 1, lip_hi, base)
+        sv = jnp.where(e2 < s2, pe.bit_at32(s2, base), U0)
+        mv = jnp.where(oddp, sv, dv)
+        db = pe.bit_at32(s2, base)
+        sb = jnp.where(g2 == 1, U1, U0)
+        mb = jnp.where(oddp, sb, db)
+        return mv, mb
 
-    # --- refinement matrices [P, n] --------------------------------------
-    ref_v = ((s_p[None, :] < pidx) & (pidx <= num_bp - 1)).astype(jnp.uint8)
-    shift = jnp.clip(num_bp - 1 - pidx, 0, 31).astype(jnp.uint32)
-    ref_b = (
-        (m_p[None, :].astype(jnp.uint32) >> shift) & jnp.uint32(1)
-    ).astype(jnp.uint8)
+    # --- refinement masks (npad cells): bit p of the mask is magnitude
+    # bit (num_bp-1-p), i.e. a bit reversal of m shifted to the ladder --
+    mrev = pe.bitrev32(m_p.astype(jnp.uint32))
+    nb_sh = (jnp.int32(32) - num_bp).astype(jnp.uint32)
+    ref_bits = pe._safe_rsh(mrev, nb_sh)
+
+    def ref_masks(base):
+        mv = pe.ones_span32(s_p + 1, num_bp - 1, base)
+        mb = (
+            pe._safe_rsh(ref_bits, jnp.uint32(base))
+            if base
+            else ref_bits
+        )
+        return mv, mb
 
     parts = [
-        (_pack_pair(dec_v, sign_v), _pack_pair(dec_b, sign_b)),
-        (_pack_pair(lis_v0, lis_v1), _pack_pair(lis_b0, lis_b1)),
-        (_pack_one(ref_v), _pack_one(ref_b)),
+        _emit_words(lip_masks, P),
+        _emit_words(lis_masks, P),
+        _emit_words(ref_masks, P),
     ]
     res = pe.masked_pack(parts, evb_cap, out_cap_bytes)
     seg = pe.words_to_bytes(res.out_words)

@@ -83,7 +83,10 @@ def reconstruct_mags(
     p_cap: int,
     evw_cap: int,
 ) -> jnp.ndarray:
-    """Decoded magnitudes i32[n], exactly matching the native full parse.
+    """Returns (mags i32[n], overflow bool): decoded magnitudes exactly
+    matching the native full parse, plus the active-refinement-word cap
+    flag — the magnitudes are valid ONLY when overflow is False (callers
+    must check it or size evw_cap to the exact bound p_cap * Nw).
 
     ``p_cap`` must be >= num_bp (host dispatches by bucket — no retries:
     num_bp is known from the stream header before tracing)."""
@@ -176,10 +179,8 @@ def reconstruct_mags(
     fullp = (ref_avail >= mc) & (pvec < num_bp)
     notfull = jnp.cumsum((~fullp).astype(jnp.int32))
     pF = jnp.sum((notfull == 0).astype(jnp.int32)) - 1  # last fully-avail
-    # full-run M: sum of 2^(nb-1-p) for p in [s+1, F], F = min(pF, nb-2)
-    F = jnp.minimum(pF, num_bp - 2)
-    has_full = F >= sc + 1
-    # geometric sum: sum_{p=s+1}^{F} 2^(nb-1-p) = 2^(nb-1-s) - 2^(nb-1-F)
+    # full-run M: sum of 2^(nb-1-p) for p in [s+1, F], F = min(pF, nb-2);
+    # the geometric sum telescopes to 2^(nb-1-s) - 2^(nb-1-F)
     M_full = jnp.where(
         sig & has_full,
         (jnp.int32(1) << jnp.clip(num_bp - 1 - sc, 0, 30))

@@ -243,11 +243,11 @@ def container_decode_stages(n: int = 256, tol: float = 1e-2,
         "host_cores_for_parse": 1,
     }
 
-    # Hybrid split (the production decoder's): host parses ONLY the
-    # LIP/LIS control bits (refinement segments skipped — lengths are the
-    # LSP population), the device distributes refinement bits (PDEP) and
-    # reconstructs magnitudes + invquant + IDWT.  Exact-equality with the
-    # full parse is asserted in tests/test_wave_unpack.py.
+    # Hybrid split (TpuDecompressor3D's hybrid=True path): host parses ONLY
+    # the LIP/LIS control bits (refinement segments skipped — lengths are
+    # the LSP population), the device distributes refinement bits (PDEP)
+    # and reconstructs magnitudes + invquant + IDWT.  Exact-equality with
+    # the full parse is asserted in tests/test_wave_unpack.py.
     try:
         if hasattr(eng, "decode3d_control"):
             from ..ops import wave_unpack as wup
@@ -285,7 +285,18 @@ def container_decode_stages(n: int = 256, tol: float = 1e-2,
                     m[None, :], dev["sgn"][None, :], qf[None]
                 )
                 rec = cdfj.idwt3d(rec.reshape(1, n, n, n))
-                return rec + jnp.float32(mean)
+                return rec + jnp.float32(mean), _ovf
+
+            # the hybrid number may substitute into the headline decode
+            # total below, so an active-word overflow (which would make the
+            # reconstruction silently wrong) must block, not pass (ADVICE
+            # r4): verify the cap holds before timing
+            _, ovf0 = jax.jit(dec_hybrid)(jnp.asarray(spass.astype(np.int32)))
+            if bool(ovf0):
+                raise RuntimeError(
+                    "hybrid decode active-word cap overflow (evw_cap "
+                    f"{evw_cap}) — refusing to report a wrong-answer timing"
+                )
 
             hyb_core = time_stage(
                 dec_hybrid, jnp.asarray(spass.astype(np.int32)), iters=iters
