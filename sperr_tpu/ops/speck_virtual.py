@@ -620,32 +620,36 @@ def _morton_flatten(box: jnp.ndarray, d: int) -> jnp.ndarray:
 
 
 def pixel_schedule_virtual(mags: jnp.ndarray, vf: VirtualLisIndex, num_bp):
-    """(s, e, node_max-in-BFS-id-order) for a power-of-two cube, from plain
-    max-pool pyramids — no gather tables, no host tree build.  Matches
-    pixel_schedule / pixel_schedule_pyramid outputs exactly."""
+    """(s, e, node_max-in-BFS-id-order) for a power-of-two cube, from ONE
+    morton pyramid — no gather tables, no host tree build.  Matches
+    pixel_schedule / pixel_schedule_pyramid outputs exactly.
+
+    Round-5 assembly: the 8 morton children of a cell are CONSECUTIVE in
+    the finer grid's morton order, so the whole pyramid is one
+    morton_flatten of the half-grid box maxima followed by contiguous
+    reshape(-1, 8).max reductions; and every root's depth-d node block is
+    a morton-ALIGNED subcube (origins are 0 or the root side), hence a
+    CONTIGUOUS slice [k*8^d, (k+1)*8^d) of its grid's morton array, k the
+    root's octant.  This replaces the per-(run, depth) flatten fragments
+    that measured ~25 ms of the 256^3 entropy stage with ~2 ms of
+    reductions + slices."""
     from .speck_jax import msbp1_device
 
     N = vf.dims[0]
     K = vf.K
     pm = msbp1_device(mags)
     vol = pm.reshape(N, N, N)
-    levels = [None] * (K + 1)
-    levels[K] = vol
-    cur = vol
-    for g in range(K - 1, -1, -1):
-        sz = cur.shape[0]
-        cur = cur.reshape(sz // 2, 2, sz // 2, 2, sz // 2, 2).max(
-            axis=(1, 3, 5)
-        )
-        levels[g] = cur
+    # half-grid box maxima: feeds both the e schedule and the morton
+    # pyramid root (nodes never live below grid K-1 — side-2 nodes are
+    # its cells)
+    h = N // 2
+    pmax = vol.reshape(h, 2, h, 2, h, 2).max(axis=(1, 3, 5))
 
-    # Grouped assembly: roots sharing a side log at a depth are the 8
-    # morton sub-boxes of one [2L]^3 region of the same grid (the big
-    # root IS sub (0,0,0) of the finest group; later groups drop that
-    # corner — it belongs to deeper roots).  One flatten per (run, depth)
-    # replaces one per (root, depth): ~40 ops instead of ~300, which
-    # removes the slice/transpose fragmentation this assembly measured at
-    # ~26 ms per 256^3 chunk (docs/PALLAS.md).
+    M = [None] * K  # M[g] = morton-ordered grid-g maxima (g <= K-1)
+    M[K - 1] = _morton_flatten(pmax, K - 1)
+    for g in range(K - 2, -1, -1):
+        M[g] = M[g + 1].reshape(-1, 8).max(axis=1)
+
     parts = []
     for d in range(vf.depth_max + 1):
         r = int(vf.h_r0[d])
@@ -655,31 +659,21 @@ def pixel_schedule_virtual(mags: jnp.ndarray, vf: VirtualLisIndex, num_bp):
             while r_end < vf.nroots and int(vf.h_slog[r_end]) == s_log:
                 r_end += 1
             g = K - (s_log - d)  # grid whose cells are the depth-d boxes
-            L = 1 << d
-            if (r_end - r) in (7, 8):
-                region = jax.lax.slice(
-                    levels[g], (0, 0, 0), (2 * L, 2 * L, 2 * L)
-                )
-                flat = _morton_flatten(region, d + 1).reshape(8, L * L * L)
-                first = 0 if (r_end - r) == 8 else 1  # big = sub (0,0,0)
-                parts.append(flat[first:].reshape(-1))
-            else:  # xf == 0 degenerate forest: the big root alone
-                cell = 1 << (s_log - d)
-                for rr in range(r, r_end):
-                    ox, oy, oz = (int(v) // cell for v in vf.h_org[rr])
-                    box = jax.lax.slice(
-                        levels[g], (oz, oy, ox), (oz + L, oy + L, ox + L)
-                    )
-                    parts.append(_morton_flatten(box, d))
+            blk = 1 << (3 * d)
+            run = r_end - r
+            # run of 8 = big + 7 finest octants (octants 0..7); run of 7
+            # drops the (0,0,0) corner (it belongs to deeper roots); a
+            # single big root (xf == 0) is octant 0 alone
+            lo = blk if run == 7 else 0
+            hi = 8 * blk if run in (7, 8) else blk
+            parts.append(jax.lax.slice(M[g], (lo,), (hi,)))
             r = r_end
     nm = jnp.concatenate(parts).astype(jnp.int32)
 
     s = jnp.where(pm > 0, num_bp - pm, _NEVER).astype(jnp.int32)
     # every pixel's parent set is its aligned 2x2x2 box (all roots have
     # side >= 2): broadcast the box max back over its 8 pixels
-    pmax = levels[K - 1]
     e_cell = jnp.where(pmax > 0, num_bp - pmax.astype(jnp.int32), _NEVER)
-    h = N // 2
     e = jnp.broadcast_to(
         e_cell[:, None, :, None, :, None], (h, 2, h, 2, h, 2)
     ).reshape(-1)
