@@ -263,6 +263,60 @@ def blocked_cumsum_excl(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     return excl.reshape(-1)[:n]
 
 
+def compact_flags_rows(
+    flags: jnp.ndarray, take: int, block: int = 256
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ascending indices of set flags per row, two-level form.
+
+    ``flags``: bool[B, n] (n % block == 0).  Returns (idx i32[B, take]
+    with sentinel n at unused slots, count i32[B]).  One batched
+    [B*n/block, block] sort (the fast sort shape on TPU) + take-scale
+    gathers replace a flat n-scale sort — ~20x cheaper when take << n.
+    Rows whose count exceeds ``take`` return the first ``take`` indices
+    (callers check count for overflow).
+    """
+    B, n = flags.shape
+    pad = (-n) % block
+    if pad:
+        flags = jnp.concatenate(
+            [flags, jnp.zeros((B, pad), flags.dtype)], axis=1
+        )
+    nb = (n + pad) // block
+    fb = flags.reshape(B * nb, block)
+    local = jnp.broadcast_to(
+        jnp.arange(block, dtype=jnp.int32)[None, :], (B * nb, block)
+    )
+    fkey = jnp.where(fb, local, block)
+    fs = jax.lax.sort((fkey,), dimension=1, num_keys=1, is_stable=False)[0]
+    bcnt = jnp.sum(fb, axis=1).astype(jnp.int32).reshape(B, nb)
+    boff = jnp.cumsum(bcnt, axis=1) - bcnt
+    count = boff[:, -1] + bcnt[:, -1]
+    # owner block per output slot: scatter-max of block start slots, then
+    # a running max fills the runs
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, nb))
+    bpos = jnp.where((bcnt > 0) & (boff < take), boff, take)
+    flatpos = (rows * (take + 1) + bpos).reshape(-1)
+    blk_ids = jnp.broadcast_to(
+        jnp.arange(nb, dtype=jnp.int32)[None, :], (B, nb)
+    ).reshape(-1)
+    grid = (
+        jnp.zeros(B * (take + 1), jnp.int32)
+        .at[flatpos]
+        .max(blk_ids, mode="drop")
+        .reshape(B, take + 1)[:, :take]
+    )
+    bslot = jax.lax.cummax(grid, axis=1)
+    it = jnp.broadcast_to(jnp.arange(take, dtype=jnp.int32)[None, :], (B, take))
+    rel = it - jnp.take_along_axis(boff, bslot, axis=1)
+    fsf = fs.reshape(-1)
+    rowsb = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, take))
+    gpos = (rowsb * nb + bslot) * block + jnp.clip(rel, 0, block - 1)
+    lidx = fsf[gpos]
+    wok = it < jnp.minimum(count, take)[:, None]
+    idx = jnp.where(wok & (lidx < block), bslot * block + lidx, n)
+    return idx, count
+
+
 def _safe_rsh(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """Logical x >> k with k allowed to reach 32 (yields 0 there)."""
     k1 = jnp.minimum(k, jnp.uint32(31)).astype(_U32)

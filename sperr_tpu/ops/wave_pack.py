@@ -46,6 +46,13 @@ class WaveEmit(NamedTuple):
     n_sig: jnp.ndarray        # i32 (poisoned past node_cap on overflow)
     overflow: jnp.ndarray     # bool (piece or byte cap exceeded)
     n_nz: jnp.ndarray         # i32 non-empty pieces (occupancy signal)
+    # sparse coefficient view from the exposure compaction (wexp_cap > 0;
+    # empty arrays otherwise): nonzero coefficients are a subset of the
+    # exposed pixels, so these replace a separate nonzero compaction for
+    # the host's PWE f64 residual scan.  idx ascending, sentinel n.
+    exp_idx: jnp.ndarray      # i32[wexp_cap] pixel indices
+    exp_ll: jnp.ndarray       # i32[wexp_cap] signed quantized values
+    n_exp: jnp.ndarray        # i32 exposed-pixel count
 
 
 def _pad_cols(a: jnp.ndarray, cols: int, fill) -> jnp.ndarray:
@@ -146,7 +153,80 @@ def wave_emit_3d(
 
     # --- exposed-pixel compaction (optional) ------------------------------
     exp_over = jnp.zeros((), bool)
-    if wexp_cap and wexp_cap < n:
+    exp_idx = jnp.zeros(0, jnp.int32)
+    exp_ll = jnp.zeros(0, jnp.int32)
+    n_exp = jnp.zeros((), jnp.int32)
+    if wexp_cap and wexp_cap < n and getattr(li, "uniform_children", False):
+        # Exposure is a 2x2x2-BOX property in the uniform forest (every
+        # pixel's parent is its aligned box, so e is box-constant): compact
+        # exposed BOXES with the two-level form at n/8 scale, row-gather
+        # the 8 pixels of each from box-major relayouts, and restore
+        # ascending-pixel emission order with one wexp-scale sort — ~6x
+        # cheaper than the n-scale 3-operand sort it replaces.
+        N = li.dims[0]
+        Nh = N // 2
+        nbox = n // 8
+
+        def box_major(x):
+            return (
+                x.reshape(Nh, 2, Nh, 2, Nh, 2)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(-1)
+            )
+
+        e_cell = jax.lax.slice(
+            e.reshape(N, N, N), (0, 0, 0), (N, N, N), (2, 2, 2)
+        ).reshape(-1)
+        take_b = max(1, wexp_cap // 8)
+        idx_box, n_box = pe.compact_flags_rows(
+            (e_cell < num_bp)[None, :], take_b
+        )
+        idx_box = idx_box[0]
+        n_exp = (8 * n_box[0]).astype(jnp.int32)
+        exp_over = n_box[0] > take_b
+        sv_bm = box_major(
+            jnp.clip(s, 0, 127)
+            | (jnp.clip(e, 0, 127) << 7)
+            | (signs.astype(jnp.int32) << 14)
+        )
+        mg_bm = box_major(mags.astype(jnp.int32))
+        bok = idx_box < nbox
+        bc = jnp.minimum(idx_box, nbox - 1)
+        rows_p = sv_bm.reshape(-1, 8)[bc]     # [take_b, 8] row gathers
+        rows_m = mg_bm.reshape(-1, 8)[bc]
+        # linear pixel index per (box, slot): box (zb, yb, xb), slot dz dy dx
+        bz = bc >> (2 * (N.bit_length() - 2))
+        rem = bc & ((1 << (2 * (N.bit_length() - 2))) - 1)
+        by = rem >> (N.bit_length() - 2)
+        bx = rem & ((1 << (N.bit_length() - 2)) - 1)
+        slot8 = jnp.arange(8, dtype=jnp.int32)
+        pz = (bz[:, None] << 1) + (slot8[None, :] >> 2)
+        py = (by[:, None] << 1) + ((slot8[None, :] >> 1) & 1)
+        px = (bx[:, None] << 1) + (slot8[None, :] & 1)
+        lin = (pz * N + py) * N + px
+        W8 = take_b * 8
+        key = jnp.where(
+            jnp.broadcast_to(bok[:, None], (take_b, 8)), lin, n
+        ).reshape(W8)
+        key_s, pay_c, mag_c = jax.lax.sort(
+            (key, rows_p.reshape(W8), rows_m.reshape(W8)),
+            num_keys=1, is_stable=False,
+        )
+        npad = -(-wexp_cap // 256) * 256
+        okm = jnp.arange(npad, dtype=jnp.int32) < n_exp
+        pc = _pad_cols(pay_c[None, :wexp_cap], npad, 0)[0]
+        s_p = jnp.where(okm, pc & 127, _NEVER)
+        e_p = jnp.where(okm, (pc >> 7) & 127, _NEVER)
+        g_p = jnp.where(okm, (pc >> 14) & 1, 0).astype(jnp.uint8)
+        m_p = jnp.where(
+            okm, _pad_cols(mag_c[None, :wexp_cap], npad, 0)[0], 0
+        )
+        # sparse coefficient view for the host (f64 residual scan): the
+        # nonzero coefficients are a subset of the exposed pixels
+        exp_idx = key_s[:wexp_cap]
+        sgn_c = ((pc >> 14) & 1) == 1
+        exp_ll = jnp.where(okm, jnp.where(sgn_c, m_p, -m_p), 0)[:wexp_cap]
+    elif wexp_cap and wexp_cap < n:
         exposed = e < num_bp
         key = jnp.where(exposed, jnp.arange(n, dtype=jnp.int32), n)
         pay = (
@@ -154,10 +234,10 @@ def wave_emit_3d(
             | (jnp.clip(e, 0, 127) << 7)
             | (signs.astype(jnp.int32) << 14)
         )
-        _, pay_c, mag_c = jax.lax.sort(
+        key_s, pay_c, mag_c = jax.lax.sort(
             (key, pay, mags.astype(jnp.int32)), num_keys=1, is_stable=False
         )
-        n_exp = jnp.sum(exposed)
+        n_exp = jnp.sum(exposed).astype(jnp.int32)
         exp_over = n_exp > wexp_cap
         # 256-cell padding: every part's word count must be a multiple
         # of masked_pack's piece_words (the ref part is npad/32 words)
@@ -170,6 +250,9 @@ def wave_emit_3d(
         m_p = jnp.where(
             okm, _pad_cols(mag_c[None, :wexp_cap], npad, 0)[0], 0
         )
+        exp_idx = key_s[:wexp_cap]
+        sgn_c = ((pc >> 14) & 1) == 1
+        exp_ll = jnp.where(okm, jnp.where(sgn_c, m_p, -m_p), 0)[:wexp_cap]
     else:
         npad = -(-n // 256) * 256
         s_p = _pad_cols(s[None, :], npad, _NEVER)[0]
@@ -218,6 +301,7 @@ def wave_emit_3d(
     return WaveEmit(
         num_bp.astype(jnp.int32), seg, res.counts, res.total_bytes,
         n_sig, res.overflow | exp_over, res.n_nz,
+        exp_idx, exp_ll, n_exp,
     )
 
 

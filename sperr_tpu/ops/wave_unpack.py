@@ -10,15 +10,20 @@ availability) plus the raw stream body and rebuilds the exact decoded
 magnitudes as array ops:
 
   * pass-p refinement members are {i : s_i < p} in ascending index —
-    the same dense-matrix structure the encoder packs, so the member
-    ranks come from popcounts + one blocked cumsum;
-  * each 32-pixel word gathers its (<= 2) source stream words, funnels
-    to alignment, and PDEP-scatters the bits to its member lanes; only
-    non-empty words move (one flat 1-key sort);
-  * decoded value = init(s) + sum_p (2 b_p - avail_p) * T_p/2 (+ the
-    T_p == 1 bit), the closed form of the reference's refinement ladder
-    (SPECK_INT.cpp:360-469: init 2T - T/2 - 1, then +-T/2 per bit),
-    truncation-aware via the per-pass availability cutoffs.
+    per-pixel membership MASKS (one u32 of passes) pivot to packed
+    per-pass member words via the 32x32 bit transpose
+    (ops/packemit.transpose_bits32); member ranks come from popcounts +
+    one blocked cumsum;
+  * each active (pass, word) gathers its (<= 2) source stream words,
+    funnels to alignment, and PDEP-scatters the bits to its member
+    lanes; only active words move (two-level compaction);
+  * the deposited bit planes pivot BACK to per-pixel refinement words,
+    collapsing the value ladder to a bit reversal:
+    A = sum of received bits * 2^(nb-1-p) = bitrev(word) >> (32 - nb);
+    decoded value = init(s) + (2A - M)/2 (+ the T == 1 bit), the closed
+    form of the reference's refinement ladder (SPECK_INT.cpp:360-469:
+    init 2T - T/2 - 1, then +-T/2 per bit), truncation-aware via the
+    per-pass availability cutoffs.
 
 Byte-for-byte stream compatibility is inherited from the host parse;
 tests assert exact magnitude equality with the full native decode on
@@ -77,69 +82,57 @@ def _ones_low(k: jnp.ndarray) -> jnp.ndarray:
 def reconstruct_mags(
     spass: jnp.ndarray,       # u8/i32 [n], 255 = never significant
     body_words: jnp.ndarray,  # u32 [W] stream body (LSB-first bits)
-    ref_off: jnp.ndarray,     # i32 [p_cap] refinement bit offsets
-    ref_avail: jnp.ndarray,   # i32 [p_cap] refinement bits present
+    ref_off: jnp.ndarray,     # i32 [>= p_cap] refinement bit offsets
+    ref_avail: jnp.ndarray,   # i32 [>= p_cap] refinement bits present
     num_bp: jnp.ndarray,      # i32 scalar
     p_cap: int,
     evw_cap: int,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mags i32[n], overflow bool): decoded magnitudes exactly
     matching the native full parse, plus the active-refinement-word cap
     flag — the magnitudes are valid ONLY when overflow is False (callers
-    must check it or size evw_cap to the exact bound p_cap * Nw).
+    must check it and fall back to the full host parse).
 
-    ``p_cap`` must be >= num_bp (host dispatches by bucket — no retries:
-    num_bp is known from the stream header before tracing)."""
+    ``p_cap`` must be >= num_bp and <= 32 (host dispatches by bucket —
+    num_bp is known from the stream header before tracing; streams
+    deeper than 32 bitplanes take the full host parse)."""
+    assert p_cap <= 32, "hybrid decode covers <= 32 bitplanes"
     n = spass.shape[0]
     npad = -(-n // 128) * 128
     s_p = jnp.concatenate(
         [spass.astype(jnp.int32), jnp.full(npad - n, 255, jnp.int32)]
     ) if npad != n else spass.astype(jnp.int32)
     P = p_cap
-    pidx = jnp.arange(P, dtype=jnp.int32)[:, None]
 
-    # member matrix + packed words
-    memb = ((s_p[None, :] < pidx) & (s_p[None, :] != 255)).astype(jnp.uint8)
-    sv = pe.cells_to_words(memb)                       # [P, Wn] u32
+    # per-pixel membership masks (bit p set iff the pixel refines at
+    # pass p: s < p) -> packed per-pass member words, by bit transpose
+    sig_m = s_p != 255
+    memb_mask = jnp.where(
+        sig_m,
+        pe._safe_lsh(
+            jnp.uint32(0xFFFFFFFF), jnp.clip(s_p + 1, 0, 32).astype(_U32)
+        ),
+        jnp.uint32(0),
+    )
+    sv = pe.transpose_bits32(memb_mask)[:P]            # [P, Wn] u32
     Wn = sv.shape[1]
     c = jax.lax.population_count(sv).astype(jnp.int32)
     rank = pe.blocked_cumsum_excl(c.reshape(-1)).reshape(P, Wn)
     row0 = rank[:, :1]
     rank = rank - row0                                  # per-row ranks
-    src_off = ref_off[:, None] + rank                   # bit offset per word
-    cutoff = jnp.clip(ref_avail[:, None] - rank, 0, 32).astype(_U32)
+    src_off = ref_off[:P, None] + rank                  # bit offset per word
+    cutoff = jnp.clip(ref_avail[:P, None] - rank, 0, 32).astype(_U32)
+    pidx = jnp.arange(P, dtype=jnp.int32)[:, None]
     active = (c > 0) & (cutoff > 0) & (pidx < num_bp)
 
-    # compact active words: two-level (batched-256 sort + block assembly)
-    # — a flat 1-key sort at Nw scale costs ~9 ms at 256^3 while the
-    # batched form is ~0.5 ms (examples/prim_bench*.py)
-    flat_act = active.reshape(-1)
-    Nw = flat_act.shape[0]
-    NB = -(-Nw // 256)
-    actp = jnp.concatenate(
-        [flat_act, jnp.zeros(NB * 256 - Nw, bool)]
-    ) if NB * 256 != Nw else flat_act
-    local = jnp.broadcast_to(
-        jnp.arange(256, dtype=jnp.int32)[None, :], (NB, 256)
-    )
-    fkey = jnp.where(actp.reshape(NB, 256), local, 256)
-    fs = jax.lax.sort((fkey,), dimension=1, num_keys=1, is_stable=False)[0]
-    bcnt = jnp.sum(actp.reshape(NB, 256), axis=1).astype(jnp.int32)
-    boff = jnp.cumsum(bcnt) - bcnt
-    n_act = jnp.sum(flat_act)
+    # compact active (pass, word) slots, ascending
+    Nw = P * Wn
     take = min(evw_cap, Nw)
+    sidx_r, n_act_r = pe.compact_flags_rows(active.reshape(1, Nw), take)
+    sidx = jnp.minimum(sidx_r[0], Nw - 1)
+    n_act = n_act_r[0]
     overflow = n_act > take
-    # block-of-slot via scatter-max of starts + cummax fill
-    grid = jnp.zeros(take, jnp.int32)
-    bpos = jnp.where((bcnt > 0) & (boff < take), boff, take)
-    grid = grid.at[bpos].max(
-        jnp.arange(NB, dtype=jnp.int32), mode="drop"
-    )
-    bofslot = jax.lax.cummax(grid, axis=0)
-    rel = jnp.arange(take, dtype=jnp.int32) - boff[bofslot]
     wok = jnp.arange(take, dtype=jnp.int32) < jnp.minimum(n_act, take)
-    lidx = fs[jnp.minimum(bofslot, NB - 1), jnp.clip(rel, 0, 255)]
-    sidx = jnp.minimum(bofslot * 256 + jnp.minimum(lidx, 255), Nw - 1)
 
     off_c = jnp.where(wok, src_off.reshape(-1)[sidx], 0)
     sv_c = jnp.where(wok, sv.reshape(-1)[sidx], 0)
@@ -156,31 +149,45 @@ def reconstruct_mags(
     planes = jnp.zeros(Nw, _U32)
     tgt = jnp.where(wok, sidx, Nw)
     planes = planes.at[tgt].set(bits_w, mode="drop").reshape(P, Wn)
+    if P < 32:
+        planes = jnp.concatenate([planes, jnp.zeros((32 - P, Wn), _U32)])
+    # per-pixel refinement words: bit p = received bit at pass p
+    apw = pe.untranspose_bits32(planes)
 
     # ---- closed-form value reconstruction -------------------------------
     # init(s) = 2T - T/2 - 1 with T = 2^(nb-1-s) (integer halving); the
     # per-bit ladder sums to (2A - M)/2 where A = sum of received one-bit
     # weights, M = sum of available-bit weights (both over T >= 2 passes),
-    # plus the T == 1 final-pass bit.  A needs the data bits (expanded per
-    # plane below, already availability-masked at deposit); M is CLOSED
-    # FORM: refinement availability is full for a leading run of passes
-    # (p <= pF), partial for at most one pass p* = pF + 1, zero after —
-    # so the full-run sum telescopes to 2^(nb-1-s) - 2^(nb-2-F) and only
-    # the single partial pass needs its availability mask expanded.
-    sig = (s_p != 255) & (s_p < num_bp)
+    # plus the T == 1 final-pass bit.  A is a bit reversal of the
+    # per-pixel word; M is CLOSED FORM: availability is full for a
+    # leading run of passes (p <= pF), partial for at most one pass
+    # p* = pF + 1, zero after — the full-run sum telescopes and only the
+    # single partial pass expands its availability mask.
+    sig = sig_m & (s_p < num_bp)
     sc = jnp.minimum(s_p, 63)
     Ts = jnp.where(
         sig, jnp.int32(1) << jnp.clip(num_bp - 1 - sc, 0, 30), 0
     )
     init = jnp.where(sig, 2 * Ts - (Ts >> 1) - 1, 0)
 
+    nb_sh = jnp.clip(32 - num_bp, 0, 32).astype(_U32)
+    a_mask = _ones_low(jnp.clip(num_bp - 1, 0, 32).astype(_U32))
+    A = pe._safe_rsh(pe.bitrev32(apw & a_mask), nb_sh).astype(jnp.int32)
+    last = (
+        pe._safe_rsh(apw, jnp.clip(num_bp - 1, 0, 31).astype(_U32))
+        & jnp.uint32(1)
+    ).astype(jnp.int32)
+    last = jnp.where(num_bp >= 2, last, 0)
+
     mc = jnp.sum(c, axis=1)  # members per pass
     pvec = jnp.arange(P, dtype=jnp.int32)
-    fullp = (ref_avail >= mc) & (pvec < num_bp)
+    fullp = (ref_avail[:P] >= mc) & (pvec < num_bp)
     notfull = jnp.cumsum((~fullp).astype(jnp.int32))
     pF = jnp.sum((notfull == 0).astype(jnp.int32)) - 1  # last fully-avail
     # full-run M: sum of 2^(nb-1-p) for p in [s+1, F], F = min(pF, nb-2);
     # the geometric sum telescopes to 2^(nb-1-s) - 2^(nb-1-F)
+    F = jnp.minimum(pF, num_bp - 2)
+    has_full = F >= sc + 1
     M_full = jnp.where(
         sig & has_full,
         (jnp.int32(1) << jnp.clip(num_bp - 1 - sc, 0, 30))
@@ -206,19 +213,6 @@ def reconstruct_mags(
     M = M_full + jnp.where(
         (star_avail > 0) & has_star, pa_star.reshape(-1) * T_star, 0
     )
-
-    A = jnp.zeros(npad, jnp.int32)
-    last = jnp.zeros(npad, jnp.int32)
-    for p in range(1, P):  # pass 0 never refines (s >= 0)
-        bw = planes[p]
-        pb = ((bw[:, None] >> j) & jnp.uint32(1)).astype(jnp.int32)
-        pb = pb.reshape(-1)
-        Tp = jnp.where(
-            p < num_bp, jnp.int32(1) << jnp.clip(num_bp - 1 - p, 0, 30), 0
-        )
-        is_last = Tp == 1
-        A = A + jnp.where(is_last, 0, pb * Tp)
-        last = last + jnp.where(is_last, pb, 0)
 
     val = init + ((2 * A - M) >> 1) + last
     return jnp.where(sig, val, 0)[:n], overflow

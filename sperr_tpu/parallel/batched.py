@@ -267,15 +267,95 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
     return out
 
 
+def _encode_core_wave(batch, mode: str, quality: float, out_cap: int,
+                      residual: str = "f32"):
+    """Dense device stages for the wave path: condition -> DWT -> q ->
+    quantize [-> PWE decoder-exact residual + TWO-LEVEL outlier
+    compaction].  No nonzero compaction — the wave path's exposure
+    compaction doubles as the sparse coefficient view — and the outlier
+    compaction is the two-level form (ops/packemit.compact_flags_rows),
+    removing the two n-scale flat sorts that cost ~75 ms of the round-4
+    wave program at 256^3."""
+    from ..ops import packemit as pe
+
+    B = batch.shape[0]
+    n = batch.shape[1] * batch.shape[2] * batch.shape[3]
+    flat = batch.reshape(B, n)
+    dt = batch.dtype
+
+    v0 = flat[:, 0:1]
+    is_const = jnp.all(flat == v0, axis=1)
+    mean = jnp.mean(flat, axis=1)
+    conditioned = flat - mean[:, None]
+
+    coeffs = cdfj.dwt3d(conditioned.reshape(batch.shape)).reshape(B, n)
+
+    if mode == "psnr":
+        rng = jnp.max(conditioned, axis=1) - jnp.min(conditioned, axis=1)
+        q = qzj.estimate_q_psnr_batched(coeffs, rng, quality)
+    elif mode == "pwe":
+        q = jnp.full((B,), quality * 1.5, dtype=dt)
+    else:
+        q = jnp.max(jnp.abs(coeffs), axis=1) / dt.type(qzj.RATE_MAX_MAG_DEVICE)
+
+    ll = jnp.rint(coeffs * (1.0 / q)[:, None]).astype(jnp.int32)
+    maxmag = jnp.max(jnp.abs(ll), axis=1)
+
+    out = dict(
+        is_const=is_const, v0=v0[:, 0], mean=mean, q=q,
+        maxmag=maxmag, absmax=jnp.max(jnp.abs(flat), axis=1),
+    )
+    if mode == "pwe" and residual != "none":
+        signs = ll >= 0
+        mags = jnp.abs(ll)
+        rec = qzj.midtread_inv_quantize_batched(mags, signs, q)
+        rec = cdfj.idwt3d(rec.reshape(batch.shape)).reshape(B, n)
+        if residual == "dual":
+            diff = flat - (rec + mean[:, None])
+            eps32 = jnp.asarray(np.finfo(np.float32).eps, dtype=dt)
+            eta = dt.type(8.0) * eps32 * out["absmax"]
+            kappa = jnp.minimum(
+                dt.type(0.25 * quality),
+                jnp.maximum(dt.type(0.05 * quality), 2.0 * eta),
+            )
+            out["eta_sim"] = eta
+            out["kappa"] = kappa
+            thr = (dt.type(quality) - kappa)[:, None]
+        elif residual == "margin":
+            diff = conditioned - rec
+            eps32 = jnp.asarray(np.finfo(np.float32).eps, dtype=dt)
+            scale = jnp.maximum(
+                jnp.abs(q.astype(dt)) * maxmag.astype(dt),
+                jnp.max(jnp.abs(conditioned), axis=1),
+            )
+            eta = dt.type(256.0) * eps32 * scale
+            out["margin_bad"] = eta > dt.type(quality / 4.0)
+            thr = jnp.maximum(
+                dt.type(quality) - eta, dt.type(0.0)
+            )[:, None]
+        else:
+            diff = conditioned - rec
+            thr = dt.type(quality)
+        omask = jnp.abs(diff) > thr
+        out["n_out"] = jnp.sum(omask, axis=1).astype(jnp.int32)
+        oi, _ = pe.compact_flags_rows(omask, out_cap)
+        ov = jnp.take_along_axis(
+            diff, jnp.minimum(oi, n - 1), axis=1
+        )
+        out["out_idx"] = oi
+        out["out_vals"] = jnp.where(oi < n, ov, jnp.zeros_like(ov))
+    return out, ll
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "mode", "quality", "cap", "out_cap", "num_bp_cap", "dims3", "residual",
+        "mode", "quality", "out_cap", "num_bp_cap", "dims3", "residual",
         "node_frac", "evb_frac", "out_frac", "bp_cap", "wexp_frac",
     ),
 )
 def _dense_encode_wave(
-    batch, mode: str, quality: float, cap: int, out_cap: int, num_bp_cap: int,
+    batch, mode: str, quality: float, out_cap: int, num_bp_cap: int,
     dims3: Tuple[int, int, int], residual: str = "f32",
     node_frac: float = 1.0, evb_frac: float = 1.0, out_frac: float = 1.0,
     bp_cap: int = 0, wexp_frac: float = 1.0,
@@ -300,7 +380,7 @@ def _dense_encode_wave(
     from ..ops import speck_virtual as svirt
     from ..ops import wave_pack as wp
 
-    out, ll = _encode_core(batch, mode, quality, cap, out_cap, residual)
+    out, ll = _encode_core_wave(batch, mode, quality, out_cap, residual)
     B, n = ll.shape
     # index tiers: table-free virtual forest for power-of-two cubes (the
     # production chunk shape), pyramid-form schedule + table walk for other
@@ -366,21 +446,28 @@ def _dense_encode_wave(
         fits = (em.n_sig <= node_cap) & ~em.overflow & (em.num_bp <= P)
         return (
             em.num_bp, em.seg, em.counts, em.total_bytes, fits, em.n_sig,
-            em.n_nz,
+            em.n_nz, em.exp_idx, em.exp_ll, em.n_exp,
         )
 
     signs = ll >= 0
     if B == 1:
-        # bypass vmap for the single-chunk (production 256^3) case: a
-        # batched sort over [1, m] rows runs ~6x slower than the flat sort
-        # the unbatched trace emits (measured; examples/prim_bench*.py)
         res1 = one(ll[0], signs[0])
         res = tuple(x[None] for x in res1)
     else:
-        res = jax.vmap(one)(ll, signs)
+        # scan over chunks, NOT vmap: each iteration traces the flat
+        # (unbatched) sorts — a batched sort over [B, m] rows runs ~6x
+        # slower than B flat sorts at these row lengths (measured;
+        # docs/PALLAS.md) — and the working set stays one chunk's, so a
+        # 512^3 volume (8 x 256^3 chunks) runs as ONE jitted program.
+        def body(carry, xs):
+            row, sgn_row = xs
+            return carry, one(row, sgn_row)
+
+        _, res = jax.lax.scan(body, jnp.int32(0), (ll, signs))
     out["wave"] = dict(
         num_bp=res[0], seg=res[1], counts=res[2], total_bytes=res[3],
         fits=res[4], n_sig=res[5], n_nz=res[6],
+        exp_idx=res[7], exp_ll=res[8], n_exp=res[9],
     )
     return out
 
@@ -789,6 +876,20 @@ class TpuCompressor3D:
             force_dense = self.transfer == "dense" and self.entropy != "wave"
             wave = None
             wave_alt: Dict[int, Tuple[dict, int]] = {}
+            fb_sparse: Dict[int, dict] = {}
+            fb_dense: Dict[int, dict] = {}
+            # wave-program outlier cap: tiny (smooth PWE data has ~0
+            # outliers; the two-level compaction's cost scales with it);
+            # overflowing chunks re-run through the sparse program
+            wave_out_cap = max(1024, n // 1024)
+
+            def _trim_rows(arr_dev, counts, capn):
+                m = int(counts.max()) if counts.size else 0
+                m = min(capn, ((m + 1023) // 1024) * 1024) if m else 0
+                if m == 0:
+                    return np.zeros((arr_dev.shape[0], 0), dtype=np.int32)
+                return np.asarray(jax.device_get(arr_dev[:, :m]))
+
             if self.entropy == "wave":
                 from ..ops import speck_jax as sj
                 from ..ops import speck_lis_jax as sl
@@ -806,10 +907,21 @@ class TpuCompressor3D:
                         sj.tree_index((lx, ly, lz))
                     sl.lis_index((lx, ly, lz))
 
-                def fetch_wave(wdev, bp_cap):
+                def _wexp_for(tier):
+                    # must mirror _dense_encode_wave/wave_emit_3d exactly:
+                    # the compaction (and its coefficient view) is active
+                    # only when the cap actually bites (wexp_cap < n)
+                    wf = tier[4]
+                    w = 0 if wf >= 1.0 else max(8192, min(n, int(n * wf)))
+                    return w if w < n else 0
+
+                def fetch_wave(wdev, bp_cap, wexp_cap):
                     # scalars first, then a total-trimmed fetch of the
                     # packed segment buffer: the device->host entropy
-                    # traffic is stream-sized.
+                    # traffic is stream-sized.  PWE additionally pulls
+                    # the exposure-compacted coefficient view (~n_exp *
+                    # 8 B) — it feeds the host's exact f64 residual scan,
+                    # replacing the old nonzero compaction.
                     w = {
                         k: np.asarray(jax.device_get(wdev[k]))
                         for k in ("num_bp", "counts", "total_bytes",
@@ -820,6 +932,18 @@ class TpuCompressor3D:
                     b = int(tot.max()) if tot.size else 0
                     b = min(b, wdev["seg"].shape[1])
                     w["seg"] = np.asarray(jax.device_get(wdev["seg"][:, :b]))
+                    w["exp_idx"] = None
+                    if mode == "pwe" and wexp_cap:
+                        ne = np.asarray(jax.device_get(wdev["n_exp"]))
+                        w["n_exp"] = ne
+                        w["exp_idx"] = _trim_rows(
+                            wdev["exp_idx"], np.minimum(ne, wexp_cap),
+                            wexp_cap,
+                        )
+                        w["exp_ll"] = _trim_rows(
+                            wdev["exp_ll"], np.minimum(ne, wexp_cap),
+                            wexp_cap,
+                        )
                     return w
 
                 tiers = (
@@ -828,10 +952,12 @@ class TpuCompressor3D:
                     else wave_tiers_for(n)
                 )
                 res = _dense_encode_wave(
-                    dev, mode, float(quality), cap, out_cap, self.num_bp_cap,
-                    (lx, ly, lz), resid_mode, *tiers[0],
+                    dev, mode, float(quality), wave_out_cap,
+                    self.num_bp_cap, (lx, ly, lz), resid_mode, *tiers[0],
                 )
-                wave = fetch_wave(res.pop("wave"), tiers[0][3])
+                wave = fetch_wave(
+                    res.pop("wave"), tiers[0][3], _wexp_for(tiers[0])
+                )
                 # retry ladder: chunks that overflowed a cap (exact device
                 # flags) re-run BATCHED at the next, wider tier; only
                 # num_bp > num_bp_cap ever falls back to host entropy (the
@@ -862,10 +988,12 @@ class TpuCompressor3D:
                         sel = grp + [grp[0]] * (Bp - len(grp))
                         res_r = _dense_encode_wave(
                             dev[jnp.asarray(sel)], mode, float(quality),
-                            cap, out_cap, self.num_bp_cap, (lx, ly, lz),
+                            wave_out_cap, self.num_bp_cap, (lx, ly, lz),
                             resid_mode, *tier,
                         )
-                        wv = fetch_wave(res_r.pop("wave"), tier[3])
+                        wv = fetch_wave(
+                            res_r.pop("wave"), tier[3], _wexp_for(tier)
+                        )
                         for j, k in enumerate(grp):
                             wave_alt[k] = (wv, j)
             elif force_dense:
@@ -874,25 +1002,7 @@ class TpuCompressor3D:
                 res = _dense_encode_sparse(
                     dev, mode, float(quality), cap, out_cap, resid_mode
                 )
-            # When the device entropy path covered every chunk and no host
-            # residual scan is needed (non-PWE modes), the quantized
-            # coefficients never have to leave the device — the sparse
-            # fetch below (~nnz * 8 B/chunk) is only for host-entropy
-            # fallbacks and the PWE f64 scan.
-            wave_all_fit = (
-                wave is not None
-                and mode != "pwe"
-                and all(
-                    self._wave_fits(*wave_alt.get(k, (wave, k)))
-                    for k in range(len(idxs))
-                )
-            )
-            # Pull small per-chunk scalars first; decide dense fallback.
-            nnz = (
-                None
-                if force_dense or wave_all_fit
-                else np.asarray(jax.device_get(res["nnz"]))
-            )
+            # Pull small per-chunk scalars first.
             small_keys = ["is_const", "v0", "mean", "q", "maxmag"]
             if resid_mode == "dual":
                 small_keys += ["eta_sim", "kappa"]
@@ -911,31 +1021,134 @@ class TpuCompressor3D:
             )
             dense = None
             sparse = None
-            if wave_all_fit:
-                pass  # no coefficient fetch at all
+            nnz = None
+            wout_idx = wout_vals = None
+            if wave is not None:
+                # Wave branch: the exposure compaction doubles as the
+                # sparse coefficient view (PWE f64 scan) and the outlier
+                # arrays come from the wave program's two-level
+                # compaction; only chunks that fell off the device path —
+                # cap overflow, num_bp too deep, outlier-cap overflow, or
+                # a winning tier without exposure arrays when the host
+                # needs coefficients — re-run through the sparse program.
+                if mode == "pwe" and dev_resid:
+                    wout_idx = _trim_rows(
+                        res["out_idx"], np.minimum(n_out, wave_out_cap),
+                        wave_out_cap,
+                    )
+                    wout_vals = _trim_rows(
+                        res["out_vals"], np.minimum(n_out, wave_out_cap),
+                        wave_out_cap,
+                    )
+                fb = set()
+                for k in range(len(idxs)):
+                    wv, wk = wave_alt.get(k, (wave, k))
+                    if not self._wave_fits(wv, wk):
+                        fb.add(k)
+                        continue
+                    if mode != "pwe":
+                        continue
+                    if (
+                        dev_resid
+                        and n_out is not None
+                        and int(n_out[k]) > wave_out_cap
+                    ):
+                        fb.add(k)
+                        continue
+                    ll_needed = resid_mode in ("dual", "none") or (
+                        resid_mode == "margin"
+                        and margin_bad is not None
+                        and bool(margin_bad[k])
+                    )
+                    if ll_needed and wv.get("exp_idx") is None:
+                        fb.add(k)
+                if fb:
+                    fb_list = sorted(fb)
+                    out_cap_sp = out_cap
+                    bmax_s = max(
+                        1, self.dense_elem_budget // (8 * max(1, n))
+                    )
+                    for s0 in range(0, len(fb_list), bmax_s):
+                        grp = fb_list[s0 : s0 + bmax_s]
+                        sel = jnp.asarray(grp)
+                        res_s = _dense_encode_sparse(
+                            dev[sel], mode, float(quality), cap,
+                            out_cap_sp, resid_mode,
+                        )
+                        nnz_s = np.asarray(jax.device_get(res_s["nnz"]))
+                        no_s = (
+                            np.asarray(jax.device_get(res_s["n_out"]))
+                            if mode == "pwe" and dev_resid
+                            else None
+                        )
+                        if (nnz_s > cap).any() or (
+                            no_s is not None and (no_s > out_cap_sp).any()
+                        ):
+                            res_d = jax.device_get(
+                                _dense_encode(
+                                    dev[sel], mode, float(quality),
+                                    resid_mode,
+                                )
+                            )
+                            for j, k in enumerate(grp):
+                                fb_dense[k] = {
+                                    key: res_d[key][j] for key in res_d
+                                }
+                        else:
+                            sp = {
+                                "idx": _trim_rows(res_s["idx"], nnz_s, cap),
+                                "vals": _trim_rows(res_s["vals"], nnz_s, cap),
+                            }
+                            if no_s is not None:
+                                sp["out_idx"] = _trim_rows(
+                                    res_s["out_idx"], no_s, out_cap_sp
+                                )
+                                sp["out_vals"] = _trim_rows(
+                                    res_s["out_vals"], no_s, out_cap_sp
+                                )
+                            for j, k in enumerate(grp):
+                                fb_sparse[k] = {
+                                    "nnz": int(nnz_s[j]),
+                                    "idx": sp["idx"][j],
+                                    "vals": sp["vals"][j],
+                                    "n_out": (
+                                        int(no_s[j]) if no_s is not None else 0
+                                    ),
+                                    "out_idx": sp.get(
+                                        "out_idx", np.zeros(0, np.int32)
+                                    )[j]
+                                    if no_s is not None
+                                    else None,
+                                    "out_vals": sp.get(
+                                        "out_vals", np.zeros(0, np.float32)
+                                    )[j]
+                                    if no_s is not None
+                                    else None,
+                                }
             elif force_dense:
                 dense = jax.device_get(res)
-            elif (nnz > cap).any() or (n_out is not None and (n_out > out_cap).any()):
-                dense = jax.device_get(
-                    _dense_encode(dev, mode, float(quality), resid_mode)
-                )
             else:
-                # Slice the compacted arrays to the actual occupancy on the
-                # device before fetching: transfer ~ max(nnz), not cap.
-                def _trim(name, counts, capn):
-                    m = int(counts.max()) if counts.size else 0
-                    m = min(capn, ((m + 1023) // 1024) * 1024) if m else 0
-                    if m == 0:
-                        return np.zeros((len(idxs), 0), dtype=np.int32)
-                    return np.asarray(jax.device_get(res[name][:, :m]))
-
-                sparse = {
-                    "idx": _trim("idx", nnz, cap),
-                    "vals": _trim("vals", nnz, cap),
-                }
-                if mode == "pwe" and dev_resid:
-                    sparse["out_idx"] = _trim("out_idx", n_out, out_cap)
-                    sparse["out_vals"] = _trim("out_vals", n_out, out_cap)
+                nnz = np.asarray(jax.device_get(res["nnz"]))
+                if (nnz > cap).any() or (
+                    n_out is not None and (n_out > out_cap).any()
+                ):
+                    dense = jax.device_get(
+                        _dense_encode(dev, mode, float(quality), resid_mode)
+                    )
+                else:
+                    # Slice the compacted arrays to the actual occupancy
+                    # on the device before fetching: transfer ~ max(nnz)
+                    sparse = {
+                        "idx": _trim_rows(res["idx"], nnz, cap),
+                        "vals": _trim_rows(res["vals"], nnz, cap),
+                    }
+                    if mode == "pwe" and dev_resid:
+                        sparse["out_idx"] = _trim_rows(
+                            res["out_idx"], n_out, out_cap
+                        )
+                        sparse["out_vals"] = _trim_rows(
+                            res["out_vals"], n_out, out_cap
+                        )
 
             budget = int(quality * n) if mode == "rate" else 0
 
@@ -963,11 +1176,20 @@ class TpuCompressor3D:
                     if dense is not None:
                         mags = dense["mags"][k]
                         signs = dense["signs"][k]
+                    elif k in fb_dense:
+                        mags = fb_dense[k]["mags"]
+                        signs = fb_dense[k]["signs"]
                     else:
                         mags = np.zeros(n, dtype=np.int32)
                         signs = np.ones(n, dtype=bool)
-                        m = int(nnz[k])
-                        ki, kv = sparse["idx"][k][:m], sparse["vals"][k][:m]
+                        if sparse is not None:
+                            m = int(nnz[k])
+                            ki = sparse["idx"][k][:m]
+                            kv = sparse["vals"][k][:m]
+                        else:
+                            f = fb_sparse[k]
+                            m = f["nnz"]
+                            ki, kv = f["idx"][:m], f["vals"][:m]
                         mags[ki] = np.abs(kv)
                         signs[ki] = kv >= 0
                     body = self.engine.encode(
@@ -979,9 +1201,23 @@ class TpuCompressor3D:
                         if dense is not None:
                             mg = dense["mags"][k].astype(np.int64)
                             return np.where(dense["signs"][k], mg, -mg)
+                        if k in fb_dense:
+                            mg = fb_dense[k]["mags"].astype(np.int64)
+                            return np.where(fb_dense[k]["signs"], mg, -mg)
                         ll = np.zeros(n, dtype=np.int64)
-                        m = int(nnz[k])
-                        ll[sparse["idx"][k][:m]] = sparse["vals"][k][:m]
+                        if sparse is not None:
+                            m = int(nnz[k])
+                            ll[sparse["idx"][k][:m]] = sparse["vals"][k][:m]
+                        elif k in fb_sparse:
+                            f = fb_sparse[k]
+                            m = f["nnz"]
+                            ll[f["idx"][:m]] = f["vals"][:m]
+                        else:
+                            # wave path: the exposure compaction's sparse
+                            # coefficient view (nonzeros are a subset of
+                            # the exposed pixels)
+                            m = int(wv["n_exp"][wk])
+                            ll[wv["exp_idx"][wk][:m]] = wv["exp_ll"][wk][:m]
                         return ll
 
                     def _orig_row():
@@ -990,18 +1226,38 @@ class TpuCompressor3D:
                         ).ravel()
 
                     def _dev_scan():
-                        if dense is not None:
-                            mask = dense["outlier_mask"][k]
+                        if dense is not None or k in fb_dense:
+                            dd = dense if dense is not None else fb_dense[k]
+                            mask = (
+                                dd["outlier_mask"][k]
+                                if dense is not None
+                                else dd["outlier_mask"]
+                            )
+                            dv = dd["diff"][k] if dense is not None else dd["diff"]
                             p = np.flatnonzero(mask)
-                            return p, np.asarray(
-                                dense["diff"][k][p], dtype=np.float64
+                            return p, np.asarray(dv[p], dtype=np.float64)
+                        if sparse is not None:
+                            m = int(n_out[k])
+                            return (
+                                sparse["out_idx"][k][:m],
+                                np.asarray(
+                                    sparse["out_vals"][k][:m],
+                                    dtype=np.float64,
+                                ),
+                            )
+                        if k in fb_sparse:
+                            f = fb_sparse[k]
+                            m = f["n_out"]
+                            return (
+                                f["out_idx"][:m],
+                                np.asarray(
+                                    f["out_vals"][:m], dtype=np.float64
+                                ),
                             )
                         m = int(n_out[k])
                         return (
-                            sparse["out_idx"][k][:m],
-                            np.asarray(
-                                sparse["out_vals"][k][:m], dtype=np.float64
-                            ),
+                            wout_idx[k][:m],
+                            np.asarray(wout_vals[k][:m], dtype=np.float64),
                         )
 
                     host_resid = resid_mode == "none" or (

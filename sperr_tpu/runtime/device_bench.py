@@ -259,7 +259,9 @@ def container_decode_stages(n: int = 256, tol: float = 1e-2,
                 ct_t.append(_time.perf_counter() - t0)
             ctrl_s = min(ct_t)
             spass, sg, roff, ravail, nbp, avail = ctrl
-            p_cap = 16 if nbp <= 16 else 34
+            if nbp > 32:
+                raise RuntimeError("hybrid decode covers <= 32 bitplanes")
+            p_cap = 16 if nbp <= 16 else 32
             pad = np.zeros(p_cap - nbp, np.int32)
             words = np.frombuffer(
                 bytes(body[9:]) + b"\0" * ((-(len(body) - 9)) % 4 + 8),
@@ -480,7 +482,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     regime instead: a white-noise field at the widest tier's caps (what a
     retried cap-overflowing chunk costs on device)."""
     from ..parallel.batched import (
-        _dense_encode_sparse, _dense_encode_wave, wave_tiers_for,
+        _dense_encode_wave, _encode_core_wave, wave_tiers_for,
     )
 
     if noisy:
@@ -490,8 +492,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
         vol = _smooth_field(n, batch)
     x = jnp.asarray(vol)
     nelems = n * n * n
-    cap = max(1024, nelems // 4)
-    out_cap = max(256, nelems // 64)
+    out_cap = max(1024, nelems // 1024)
     num_bp_cap = 34
     tier = wave_tiers_for(nelems)[-1 if noisy else 0]
     # pre-build the walk index outside any jit trace (tracer safety)
@@ -508,16 +509,21 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
             sj.tree_index((n, n, n))
         sl.lis_index((n, n, n))
 
-    def sparse(y):
-        return _dense_encode_sparse(y, "pwe", float(tol), cap, out_cap, "dual")
+    def core(y):
+        # the wave program's own dense front (condition -> DWT -> quantize
+        # -> PWE dual residual + two-level outlier compaction): the honest
+        # baseline for the entropy-stage delta
+        out, ll = _encode_core_wave(y, "pwe", float(tol), out_cap, "dual")
+        out["ll"] = ll
+        return out
 
     def wave(y):
         return _dense_encode_wave(
-            y, "pwe", float(tol), cap, out_cap, num_bp_cap, (n, n, n),
+            y, "pwe", float(tol), out_cap, num_bp_cap, (n, n, n),
             "dual", *tier,
         )
 
-    ts = time_stage(sparse, x, iters=iters)
+    ts = time_stage(jax.jit(core), x, iters=iters)
     tw = time_stage(wave, x, iters=iters)
     return {
         "n": n, "batch": batch,
