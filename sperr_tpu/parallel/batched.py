@@ -1354,16 +1354,62 @@ class TpuCompressor3D:
         )
 
 
+@partial(jax.jit, static_argnames=("p_cap", "evw_cap"))
+def _hybrid_mags_batched(spass, words, roff, ravail, nbp, p_cap: int,
+                         evw_cap: int):
+    """Vmapped device half of the hybrid SPECK decode (ops/wave_unpack):
+    per-chunk magnitude reconstruction from the control parse's outputs.
+    Returns (mags i32[B, n], overflow bool[B])."""
+    from ..ops import wave_unpack as wup
+
+    def one(sp, w, ro, ra, nb):
+        return wup.reconstruct_mags(sp, w, ro, ra, nb, p_cap, evw_cap)
+
+    return jax.vmap(one)(spass, words, roff, ravail, nbp)
+
+
 class TpuDecompressor3D:
-    """Chunked 3D decompressor: host entropy decode, device-batched IDWT."""
+    """Chunked 3D decompressor: host SPECK parse, device-batched
+    reconstruction.
+
+    ``hybrid``: how the per-chunk SPECK streams are consumed.
+      None (auto) — on a TPU backend, the host runs the native engine's
+        CONTROL-ONLY parse (LIP/LIS bits walked, refinement segments
+        skipped — their lengths are the LSP population) and the device
+        distributes refinement bits + reconstructs magnitudes
+        (ops/wave_unpack.reconstruct_mags), roughly halving the
+        bit-serial host work per chunk (reference hot loop:
+        /root/reference/src/SPECK_INT.cpp:166-228).  Elsewhere the full
+        host parse runs (the device half wins only on real accelerators).
+      True / False — force the split / the full host parse.
+    Streams deeper than 32 bitplanes, engines without the control entry
+    point, and chunks whose active-word count exceeds the device cap all
+    fall back to the full host parse per chunk — outputs are identical
+    either way (asserted in tests/test_wave_unpack.py and the driver
+    equality tests)."""
 
     def __init__(self, mesh: Optional[Mesh] = None, dtype=jnp.float32, engine=None,
-                 num_threads: Optional[int] = None):
+                 num_threads: Optional[int] = None,
+                 hybrid: Optional[bool] = None):
         self.mesh = mesh
         self.dtype = dtype
         self.engine = engine or default_engine()
         self.num_threads = num_threads
+        self.hybrid = hybrid
         self.hierarchy: List[np.ndarray] = []
+        # per-decompress observability: chunks decoded via the hybrid
+        # split vs the full host parse
+        self.last_hybrid_chunks = 0
+
+    def _hybrid_enabled(self) -> bool:
+        if not hasattr(self.engine, "decode3d_control"):
+            return False
+        if self.hybrid is not None:
+            return bool(self.hybrid)
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
 
     def decompress(
         self,
@@ -1445,6 +1491,8 @@ class TpuDecompressor3D:
             means = np.zeros(B, dtype=np.float64)
             consts: List[Optional[float]] = [None] * B
             outliers: List = [None] * B
+            hyb: List[Optional[tuple]] = [None] * B
+            use_hybrid = self._hybrid_enabled()
 
             def decode_one(k: int):
                 import struct
@@ -1466,11 +1514,25 @@ class TpuDecompressor3D:
                 width = sp.uint_width_for_num_bitplanes(num_bp)
                 full_len = sp.speck_int_stream_full_len(cs[pos : pos + 9])
                 speck_len = min(full_len, len(cs) - pos)
-                m, g = self.engine.decode(
-                    3, cs[pos : pos + speck_len], (lx, ly, lz), width
-                )
-                mags[k] = m.astype(np.int32)
-                signs[k] = g
+                sbuf = cs[pos : pos + speck_len]
+                if use_hybrid and num_bp <= 32 and num_bp > 0:
+                    # hybrid split: control-only parse here (refinement
+                    # segments skipped), magnitudes reconstructed on
+                    # device after the pool (_hybrid_mags_batched)
+                    spass, sg, roff, ravail, nbp, _avail = (
+                        self.engine.decode3d_control(
+                            sbuf, (lx, ly, lz), width
+                        )
+                    )
+                    signs[k] = sg
+                    body = bytes(sbuf[9:])
+                    hyb[k] = (spass, roff, ravail, nbp, body, sbuf)
+                else:
+                    m, g = self.engine.decode(
+                        3, sbuf, (lx, ly, lz), width
+                    )
+                    mags[k] = m.astype(np.int32)
+                    signs[k] = g
                 pos += speck_len
                 if pos + 9 <= len(cs):
                     o_len = sp.speck_int_stream_full_len(cs[pos : pos + 9])
@@ -1488,10 +1550,70 @@ class TpuDecompressor3D:
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
                 first_chunk_failure(pool.map(decode_i, range(B)))
 
-            # Narrow the host->device transfer when magnitudes allow it.
-            if mags.size and mags.max() < 32768:
-                mags = mags.astype(np.int16)
-            dev_mags = self._shard(jnp.asarray(mags))
+            orig_hyb = [k for k in range(B) if hyb[k] is not None]
+            rec_m = None
+            live: List[int] = []
+            if orig_hyb:
+                Bh = len(orig_hyb)
+                evw_cap = max(1 << 16, n // 64)
+                spb = np.stack([hyb[k][0] for k in orig_hyb])
+                rof = np.zeros((Bh, 32), np.int32)
+                rav = np.zeros((Bh, 32), np.int32)
+                nbps = np.zeros(Bh, np.int32)
+                Wmax = 8
+                for j, k in enumerate(orig_hyb):
+                    _, roff, ravail, nbp, body, _ = hyb[k]
+                    rof[j, :nbp] = roff.astype(np.int64)
+                    rav[j, :nbp] = ravail.astype(np.int64)
+                    nbps[j] = nbp
+                    Wmax = max(Wmax, (len(body) + 11) // 4)
+                wmat = np.zeros((Bh, Wmax), np.uint32)
+                for j, k in enumerate(orig_hyb):
+                    body = hyb[k][4]
+                    wrd = np.frombuffer(
+                        body + b"\0" * ((-len(body)) % 4 + 8), dtype="<u4"
+                    )
+                    wmat[j, : wrd.size] = wrd
+                rec_m, ovf = _hybrid_mags_batched(
+                    self._shard(jnp.asarray(spb)),
+                    self._shard(jnp.asarray(wmat)),
+                    self._shard(jnp.asarray(rof)),
+                    self._shard(jnp.asarray(rav)),
+                    self._shard(jnp.asarray(nbps)),
+                    32, evw_cap,
+                )
+                ovf_np = np.asarray(jax.device_get(ovf))
+                for j, k in enumerate(orig_hyb):
+                    if bool(ovf_np[j]):
+                        # active-word cap exceeded: full host parse for
+                        # this chunk (identical output, just slower)
+                        num_bp = hyb[k][3]
+                        width = sp.uint_width_for_num_bitplanes(num_bp)
+                        m, g = self.engine.decode(
+                            3, hyb[k][5], (lx, ly, lz), width
+                        )
+                        mags[k] = m.astype(np.int32)
+                        signs[k] = g
+                        hyb[k] = None
+                live = [k for k in orig_hyb if hyb[k] is not None]
+                self.last_hybrid_chunks += len(live)
+
+            if live and len(live) == B:
+                dev_mags = rec_m
+            elif live:
+                # merge: host-parsed rows ship up, device rows stay put
+                # (rec_m rows are in orig_hyb order)
+                slots = [orig_hyb.index(k) for k in live]
+                dev_mags = jnp.asarray(mags)
+                dev_mags = dev_mags.at[jnp.asarray(live)].set(
+                    rec_m[jnp.asarray(slots)]
+                )
+                dev_mags = self._shard(dev_mags)
+            else:
+                # Narrow the host->device transfer when magnitudes allow.
+                if mags.size and mags.max() < 32768:
+                    mags = mags.astype(np.int16)
+                dev_mags = self._shard(jnp.asarray(mags))
             dev_signs = self._shard(jnp.asarray(signs))
             dt = np.dtype(self.dtype)
             hier_dev = None

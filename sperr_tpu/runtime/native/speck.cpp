@@ -573,10 +573,13 @@ struct Codec3D {
   }
 
   // Control-only refinement: advance past the pass's bits (the LSP
-  // population) without touching values; record offset + availability.
+  // population, tracked incrementally — re-popcounting the mask words
+  // every pass cost ~10% of the whole control parse at 256^3) without
+  // touching values; record offset + availability.
+  size_t lsp_cnt = 0;
   bool refinement_skip() {
-    size_t cnt = 0;
-    for (uint64_t w : lsp.w) cnt += size_t(__builtin_popcountll(w));
+    size_t cnt = lsp_cnt;
+    lsp_cnt += lsp_new.size();
     size_t remain = avail_bits - src.pos;
     size_t take = cnt < remain ? cnt : remain;
     ref_off_out[cur_bp] = src.pos;

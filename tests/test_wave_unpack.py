@@ -96,3 +96,40 @@ def test_reconstruct_truncated_streams(trunc):
 
 def test_reconstruct_zero_field():
     _roundtrip((16, 16, 16), 0.0, seed=1)
+
+
+def test_production_decoder_hybrid_path():
+    """TpuDecompressor3D(hybrid=True) must reproduce the full-host-parse
+    decoder exactly — container-level, all modes, including the outlier
+    add-back and a truncated stream."""
+    import numpy as np
+
+    from sperr_tpu.parallel.batched import TpuCompressor3D, TpuDecompressor3D
+    from sperr_tpu.stream import tools as st
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, 32, dtype=np.float32)
+    f = (
+        np.sin(6 * t)[:, None, None]
+        * np.cos(4 * t)[None, :, None]
+        * np.sin(5 * t)[None, None, :]
+    ).astype(np.float32)
+    vol = f + rng.normal(scale=0.002, size=(32, 32, 32)).astype(np.float32)
+    for mode, q in [("pwe", 1e-2), ("psnr", 60.0), ("rate", 1.0)]:
+        s = bytes(
+            TpuCompressor3D((32, 32, 32), (16, 16, 16), entropy="host")
+            .compress(vol, mode, q)
+        )
+        out0, _ = TpuDecompressor3D(hybrid=False).decompress(s)
+        dec = TpuDecompressor3D(hybrid=True)
+        out1, _ = dec.decompress(s)
+        assert (out0 == out1).all()
+        assert dec.last_hybrid_chunks == 8
+    s = bytes(
+        TpuCompressor3D((32, 32, 32), (16, 16, 16), entropy="host")
+        .compress(vol, "pwe", 1e-3)
+    )
+    tr = bytes(st.progressive_truncate(s, 40))
+    o0, _ = TpuDecompressor3D(hybrid=False).decompress(tr)
+    o1, _ = TpuDecompressor3D(hybrid=True).decompress(tr)
+    assert (o0 == o1).all()
