@@ -158,43 +158,56 @@ def run_device_stages():
 
     n = int(os.environ.get("BENCH_STAGE_N", "256"))
     out = pipeline_stages(n=n, batch=1, tol=TOL, iters=4)
+    nch = int(os.environ.get("BENCH_DECODE_CHUNKS", "8"))
     if os.environ.get("BENCH_DECODE_TOTAL", "1") != "0":
-        # honest container decode: host SPECK parse (wall) + device
-        # reconstruction (stage-timed) — consumes every stream byte
+        # honest container decode at the 512^3 flagship shape (8 x 256^3
+        # chunks): host SPECK parse (wall, summed) + device reconstruction
+        # (stage-timed, chunk-batched) — consumes every stream byte; the
+        # hybrid sub-result is the production decoder's split
         from sperr_tpu.runtime.device_bench import container_decode_stages
 
         try:
-            cd = container_decode_stages(n=n, tol=TOL)
+            cd = container_decode_stages(n=n, tol=TOL, chunks=nch)
             out["container_decode"] = cd
             out["decode_total_s"] = cd["decode_total_s"]
         except Exception as e:  # pragma: no cover
             out["container_decode"] = {"error": f"{type(e).__name__}: {e}"}
+    def _wave(key, **kw):
+        try:
+            out[key] = wave_entropy_stage(tol=TOL, **kw)
+        except Exception as e:  # pragma: no cover
+            out[key] = {"error": f"{type(e).__name__}: {e}"}
+
     wn = int(os.environ.get("BENCH_WAVE_N", "64"))
-    try:
-        out["wave_entropy"] = wave_entropy_stage(n=wn, batch=1, tol=TOL)
-    except Exception as e:  # pragma: no cover
-        out["wave_entropy"] = {"error": f"{type(e).__name__}: {e}"}
+    _wave("wave_entropy", n=wn, batch=1)
     wpn = int(os.environ.get("BENCH_WAVE_PROD_N", "256"))
     if wpn:
-        # the production-chunk-dims wave number (VERDICT r2 #1/#3): the
-        # whole SPECK bit computation on device at the reference's default
-        # chunk size (sperr3d.cpp:174)
-        try:
-            out["wave_entropy_256"] = wave_entropy_stage(
-                n=wpn, batch=1, tol=TOL
-            )
-        except Exception as e:  # pragma: no cover
-            out["wave_entropy_256"] = {"error": f"{type(e).__name__}: {e}"}
+        # the production-chunk-dims wave number: the whole SPECK bit
+        # computation on device at the reference's default chunk size
+        # (sperr3d.cpp:174)
+        _wave("wave_entropy_256", n=wpn, batch=1)
+    if os.environ.get("BENCH_WAVE_512", "1") != "0":
+        # the FLAGSHIP number: 512^3 = 8 x 256^3 distinct chunks as ONE
+        # scan-form device program (BASELINE.json's actual config)
+        _wave("wave_entropy_512", n=256, batch=nch)
+    if os.environ.get("BENCH_WAVE_DENSE", "1") != "0":
+        # reference-comparable rate band (~2 bpp: noise at 2.5x tol): the
+        # regime every BASELINE.md timing row ran at
+        _wave("wave_entropy_256_dense", n=wpn or 256, batch=1,
+              regime="dense")
     if os.environ.get("BENCH_WAVE_NOISY", "1") != "0":
-        # the noisy regime: caps saturate, the driver retries at wider
-        # tiers — measured here at the widest tier's caps so the number
-        # bounds the per-chunk cost of adversarial data on device
+        # the adversarial regime: white noise, every cap saturated, at
+        # the tier the retry ladder lands on
+        _wave("wave_entropy_noisy", n=wpn or 256, batch=1, regime="noisy")
+    if os.environ.get("BENCH_WAVE_2D", "1") != "0":
+        # the 2D device pipeline (Turbulence1024-like batch; BASELINE.md
+        # 2D rows are the reference comparison)
+        from sperr_tpu.runtime.device_bench import wave2d_stage
+
         try:
-            out["wave_entropy_noisy"] = wave_entropy_stage(
-                n=wn, batch=1, tol=TOL, noisy=True
-            )
+            out["wave_2d_1024"] = wave2d_stage(tol=TOL)
         except Exception as e:  # pragma: no cover
-            out["wave_entropy_noisy"] = {"error": f"{type(e).__name__}: {e}"}
+            out["wave_2d_1024"] = {"error": f"{type(e).__name__}: {e}"}
     if os.environ.get("BENCH_WAVE_BREAKDOWN", "0") != "0":
         # substage deltas: ~10 extra compiles through the tunnel, opt-in
         from sperr_tpu.runtime.device_bench import wave_entropy_breakdown
@@ -338,41 +351,53 @@ def main():
     headline_source = "host_native_cpu_engine (end-to-end)"
     dev_num = None
     if isinstance(stages, dict) and "error" not in stages:
-        w = stages.get("wave_entropy_256") or {}
-        # prefer the full device decode (SPECK offload included); fall back
-        # to the core-only number with an honest label
-        dec_key = "decode_total_s" if "decode_total_s" in stages else "decode_core_s"
-        full_dec = dec_key == "decode_total_s"
-        # both halves must be measured at the SAME chunk dims or the
-        # throughput formula is meaningless (ADVICE r3)
-        if "wave_total_s" in w and dec_key in stages and int(
-            w.get("n", -1)
-        ) == int(stages.get("n", -2)):
-            cb = float(w["n"]) ** 3 * 4
+        # prefer the flagship 512^3 (8-chunk) measurement; both halves
+        # must cover the SAME chunks x dims or the throughput formula is
+        # meaningless (ADVICE r3)
+        cd = stages.get("container_decode") or {}
+        w = stages.get("wave_entropy_512") or {}
+        vol_desc = None
+        if (
+            "wave_total_s" in w
+            and "decode_total_s" in cd
+            and int(w.get("n", -1)) == int(cd.get("n", -2))
+            and int(w.get("batch", -1)) == int(cd.get("chunks", -2))
+            and w.get("fits", False)
+        ):
+            nb = float(w["n"]) ** 3 * 4 * int(w["batch"])
             dev_num = round(
-                2 * cb / (w["wave_total_s"] + stages[dec_key]) / 1e9, 4
+                2 * nb / (w["wave_total_s"] + cd["decode_total_s"]) / 1e9, 4
             )
+            side = round((int(w["batch"]) ** (1 / 3)) * w["n"])
+            vol_desc = f"{side}^3 ({w['batch']} x {w['n']}^3 chunks)"
+        else:
+            w = stages.get("wave_entropy_256") or {}
+            dec_key = (
+                "decode_total_s" if "decode_total_s" in stages
+                else "decode_core_s"
+            )
+            if "wave_total_s" in w and dec_key in stages and int(
+                w.get("n", -1)
+            ) == int(stages.get("n", -2)):
+                nb = float(w["n"]) ** 3 * 4
+                dev_num = round(
+                    2 * nb / (w["wave_total_s"] + stages[dec_key]) / 1e9, 4
+                )
+                vol_desc = f"{w['n']}^3 chunk"
+        if dev_num is not None:
             stages["device_wave_pipeline_gbps"] = dev_num
     if dev_num is not None and os.environ.get("BENCH_HEADLINE", "device") == "device":
         total_gbps = dev_num
         # name what was measured, in the metric string itself (ADVICE r3)
-        dec_label = (
-            "full container decode" if full_dec
-            else "partial decode (invquant+IDWT)"
-        )
         metric = (
-            f"{stages['n']}^3-chunk device encode + {dec_label}, "
+            f"{vol_desc} device encode + full container decode, "
             f"stage-timed, PWE({TOL})"
         )
         headline_source = (
-            "tpu_device: encode = full device SPECK wave pipeline (on-chip); "
-            + (
-                "decode = host SPECK parse (wall, 1 core) + device "
-                "invquant+IDWT (on-chip) — every stream byte consumed"
-                if full_dec
-                else "decode = device invquant+IDWT core only, SPECK parse "
-                "excluded"
-            )
+            "tpu_device: encode = full device SPECK wave pipeline (on-chip, "
+            "scan over chunks); decode = host control parse (wall, 1 core) "
+            "+ device refinement distribution + invquant + IDWT (on-chip) "
+            "— every stream byte consumed"
         )
 
     baseline = 0.04  # GB/s, reference single-core 512^3 encode (BASELINE.md)

@@ -606,16 +606,22 @@ def virtual_lis_index(dims) -> VirtualLisIndex:
 
 
 def _morton_flatten(box: jnp.ndarray, d: int) -> jnp.ndarray:
-    """(L, L, L) cells, L = 2^d -> flat [L^3] in morton order (x fastest):
-    d rounds of per-axis MSB split + transpose; pure data movement."""
-    out = box[None]
-    l = box.shape[0]
+    """(L, L, L) cells, L = 2^d -> flat [L^3] in morton order (x fastest).
+
+    LSB-first rounds with the already-interleaved digits riding as a
+    GROWING trailing payload axis: every transpose after the first moves
+    large contiguous blocks (the round-4 MSB-first form shrank the minor
+    dims to 1 and paid pathological relayouts, ~20 ms of the 256^3
+    schedule)."""
+    L = box.shape[0]
+    out = box.reshape(L, L, L, 1)
+    P = 1
     for _ in range(d):
-        B = out.shape[0]
-        out = out.reshape(B, 2, l // 2, 2, l // 2, 2, l // 2)
-        out = out.transpose(0, 1, 3, 5, 2, 4, 6)
-        out = out.reshape(B * 8, l // 2, l // 2, l // 2)
-        l //= 2
+        h = L // 2
+        v = out.reshape(h, 2, h, 2, h, 2, P)
+        v = v.transpose(0, 2, 4, 1, 3, 5, 6)
+        out = v.reshape(h, h, h, 8 * P)
+        L, P = h, 8 * P
     return out.reshape(-1)
 
 

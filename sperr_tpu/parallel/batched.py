@@ -66,6 +66,11 @@ DEFAULT_WAVE_TIERS_BIG = (
     # exposed pixels — examples output in docs/PALLAS.md)
     (1.0 / 16, 1.0 / 8, 1.0 / 24, 14, 1.0 / 16),
     (1.0 / 4, 1.0 / 4, 1.0 / 16, 22, 1.0 / 4),
+    # noisy/dense regime: full structural caps at a 12-bitplane ladder —
+    # error-bounded compression of noise-like data quantizes to SHALLOW
+    # magnitudes (num_bp ~8-10 at PWE with data/tol ~100), so this tier
+    # absorbs it at ~1/3 the widest tier's emission-matrix cost
+    (1.0, 1.0, 1.0, 12, 1.0),
     (1.0, 1.0, 1.0, 34, 1.0),
 )
 
