@@ -99,6 +99,45 @@ def transpose_bits32(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(M // 32, 32).T
 
 
+def transpose_bits32_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Transpose of the INTERLEAVED virtual cell array v[2i] = a[i],
+    v[2i+1] = b[i] — without ever materializing it (a [M, 2]-minor
+    relayout inflates 64x on TPU; see the module layout rule).
+
+    ``a``, ``b``: u32[M] (M % 16 == 0) per-item pass masks for the even
+    (e.g. decision) and odd (e.g. sign) cell lanes.  Returns
+    u32[32, 2M // 32] == transpose_bits32(interleave(a, b)).
+
+    Derivation: stages j in {16, 8, 4, 2} of the 32-lane transpose pair
+    SAME-parity virtual positions, i.e. act on a and b independently at
+    HALF the positional distance (bit-shift distance unchanged); the
+    final j = 1 stage pairs (a_i, b_i) in place.  The virtual reshape
+    interleaves transposed ROWS, a cheap major-axis stack."""
+    M = a.shape[0]
+    assert M % 16 == 0
+    a = a.astype(_U32)
+    b = b.astype(_U32)
+    lane = jnp.arange(M, dtype=jnp.int32) & 15
+    for j, mval in _TR_MASKS[:-1]:
+        h = j >> 1
+        m = jnp.uint32(mval)
+        sel = (lane & h) == 0
+        outs = []
+        for x in (a, b):
+            fwd = jnp.roll(x, -h)
+            t = ((x >> jnp.uint32(j)) ^ fwd) & m
+            tb = jnp.roll(t, h)
+            outs.append(jnp.where(sel, x ^ (t << jnp.uint32(j)), x ^ tb))
+        a, b = outs
+    m1 = jnp.uint32(0x55555555)
+    t = ((a >> jnp.uint32(1)) ^ b) & m1
+    a = a ^ (t << jnp.uint32(1))
+    b = b ^ t
+    ar = a.reshape(M // 16, 16).T
+    br = b.reshape(M // 16, 16).T
+    return jnp.stack([ar, br], axis=1).reshape(32, M // 16)
+
+
 def untranspose_bits32(planes: jnp.ndarray) -> jnp.ndarray:
     """Inverse of transpose_bits32: u32[32, W] planes -> flat u32[32 * W]
     per-item words (item i's bit p == planes[p, i // 32] bit (i % 32))."""

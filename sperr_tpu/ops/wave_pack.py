@@ -82,6 +82,23 @@ def _emit_words(masks_fn, P: int):
     return v, b
 
 
+def _emit_words_pair(masks_fn, P: int):
+    """Pair-class variant: ``masks_fn(base)`` returns per-ITEM masks for
+    the even (decision) and odd (sign) cell lanes (mvA, mbA, mvB, mbB);
+    the interleaved cell stream transposes via
+    packemit.transpose_bits32_pair without ever materializing a
+    [M, 2]-minor interleave (the 64x layout trap)."""
+    vws, bws = [], []
+    for base in range(0, P, 32):
+        mvA, mbA, mvB, mbB = masks_fn(base)
+        take = min(32, P - base)
+        vws.append(pe.transpose_bits32_pair(mvA, mvB)[:take])
+        bws.append(pe.transpose_bits32_pair(mbA, mbB)[:take])
+    v = jnp.concatenate(vws) if len(vws) > 1 else vws[0]
+    b = jnp.concatenate(bws) if len(bws) > 1 else bws[0]
+    return v, b
+
+
 def wave_emit_3d(
     mags: jnp.ndarray,
     signs: jnp.ndarray,
@@ -125,31 +142,30 @@ def wave_emit_3d(
     Tp = -(-T // 128) * 128
     pay_p = _pad_cols(pay_s[None, :], Tp, 0)[0]
 
-    # interleaved (decision, sign) cell sequence: each payload twice (a
-    # pure relayout), odd cells are the sign lane
-    pay2 = pe.repeat2(pay_p)
-    odd2 = (jnp.arange(2 * Tp, dtype=jnp.int32) & 1) == 1
-    is_ent = (pay2 & 1) == 1
-    lo = (pay2 >> 1) & 63
-    s6 = (pay2 >> 7) & 63
-    sgn_i = (pay2 >> 13) & 1
-    signow = (pay2 >> 14) & 1
-    hs = (pay2 >> 15) & 1
-    dec = (pay2 >> 16) & 1
-    ok = (pay2 >> 17) & 1
+    # (decision, sign) cell lanes as per-ITEM masks — the interleave
+    # happens inside the paired transpose, never as a [T, 2] array
+    is_ent = (pay_p & 1) == 1
+    lo = (pay_p >> 1) & 63
+    s6 = (pay_p >> 7) & 63
+    sgn_i = (pay_p >> 13) & 1
+    signow = (pay_p >> 14) & 1
+    hs = (pay_p >> 15) & 1
+    dec = (pay_p >> 16) & 1
+    ok = (pay_p >> 17) & 1
     ent_hi = jnp.minimum(s6, num_bp - 1)
 
     def lis_masks(base):
         ent_v = jnp.where(ok == 1, pe.ones_span32(lo, ent_hi, base), U0)
         row_v0 = jnp.where(dec == 1, pe.bit_at32(lo, base), U0)
-        row_v1 = jnp.where(hs == 1, pe.bit_at32(lo, base), U0)
-        even_v = jnp.where(is_ent, ent_v, row_v0)
-        mv = jnp.where(odd2, jnp.where(is_ent, U0, row_v1), even_v)
-        even_b = jnp.where(
+        mvA = jnp.where(is_ent, ent_v, row_v0)
+        mbA = jnp.where(
             is_ent, pe.bit_at32(s6, base), jnp.where(signow == 1, U1, U0)
         )
-        mb = jnp.where(odd2, jnp.where(sgn_i == 1, U1, U0), even_b)
-        return mv, mb
+        mvB = jnp.where(
+            is_ent, U0, jnp.where(hs == 1, pe.bit_at32(lo, base), U0)
+        )
+        mbB = jnp.where(sgn_i == 1, U1, U0)
+        return mvA, mbA, mvB, mbB
 
     # --- exposed-pixel compaction (optional) ------------------------------
     exp_over = jnp.zeros((), bool)
@@ -260,21 +276,16 @@ def wave_emit_3d(
         g_p = _pad_cols(signs[None, :].astype(jnp.uint8), npad, 0)[0]
         m_p = _pad_cols(mags.astype(jnp.int32)[None, :], npad, 0)[0]
 
-    # --- LIP masks (interleaved decision, sign cells over 2*npad) --------
-    s2 = pe.repeat2(s_p)
-    e2 = pe.repeat2(e_p)
-    g2 = pe.repeat2(g_p.astype(jnp.int32))
-    oddp = (jnp.arange(2 * npad, dtype=jnp.int32) & 1) == 1
-    lip_hi = jnp.minimum(s2, num_bp - 1)
+    # --- LIP masks (decision, sign cell lanes over npad items) -----------
+    g_i = g_p.astype(jnp.int32)
+    lip_hi = jnp.minimum(s_p, num_bp - 1)
 
     def lip_masks(base):
-        dv = pe.ones_span32(e2 + 1, lip_hi, base)
-        sv = jnp.where(e2 < s2, pe.bit_at32(s2, base), U0)
-        mv = jnp.where(oddp, sv, dv)
-        db = pe.bit_at32(s2, base)
-        sb = jnp.where(g2 == 1, U1, U0)
-        mb = jnp.where(oddp, sb, db)
-        return mv, mb
+        mvA = pe.ones_span32(e_p + 1, lip_hi, base)
+        mbA = pe.bit_at32(s_p, base)
+        mvB = jnp.where(e_p < s_p, pe.bit_at32(s_p, base), U0)
+        mbB = jnp.where(g_i == 1, U1, U0)
+        return mvA, mbA, mvB, mbB
 
     # --- refinement masks (npad cells): bit p of the mask is magnitude
     # bit (num_bp-1-p), i.e. a bit reversal of m shifted to the ladder --
@@ -292,8 +303,8 @@ def wave_emit_3d(
         return mv, mb
 
     parts = [
-        _emit_words(lip_masks, P),
-        _emit_words(lis_masks, P),
+        _emit_words_pair(lip_masks, P),
+        _emit_words_pair(lis_masks, P),
         _emit_words(ref_masks, P),
     ]
     res = pe.masked_pack(parts, evb_cap, out_cap_bytes)

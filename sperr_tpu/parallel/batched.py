@@ -1561,6 +1561,9 @@ class TpuDecompressor3D:
             if orig_hyb:
                 Bh = len(orig_hyb)
                 evw_cap = max(1 << 16, n // 64)
+                # bucket the pass-window width: most production streams
+                # run <= 16 bitplanes, which halves the member-word arrays
+                p_cap = 16 if max(hyb[k][3] for k in orig_hyb) <= 16 else 32
                 spb = np.stack([hyb[k][0] for k in orig_hyb])
                 rof = np.zeros((Bh, 32), np.int32)
                 rav = np.zeros((Bh, 32), np.int32)
@@ -1585,7 +1588,7 @@ class TpuDecompressor3D:
                     self._shard(jnp.asarray(rof)),
                     self._shard(jnp.asarray(rav)),
                     self._shard(jnp.asarray(nbps)),
-                    32, evw_cap,
+                    p_cap, evw_cap,
                 )
                 ovf_np = np.asarray(jax.device_get(ovf))
                 for j, k in enumerate(orig_hyb):

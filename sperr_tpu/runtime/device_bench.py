@@ -276,8 +276,10 @@ def container_decode_stages(n: int = 256, tol: float = 1e-2,
             ctrls = [
                 eng.decode3d_control(bo, (n, n, n), width) for bo in bodies
             ]
-            if max(c[4] for c in ctrls) > 32:
+            nbp_max = max(c[4] for c in ctrls)
+            if nbp_max > 32:
                 raise RuntimeError("hybrid decode covers <= 32 bitplanes")
+            p_cap = 16 if nbp_max <= 16 else 32
             nelems = n * n * n
             evw_cap = max(1 << 16, nelems // 64)
             Wmax = max((len(bo) - 9 + 11) // 4 for bo in bodies)
@@ -307,7 +309,7 @@ def container_decode_stages(n: int = 256, tol: float = 1e-2,
             def dec_hybrid(sp):
                 m, _ovf = _hybrid_mags_batched(
                     sp, dev["words"], dev["roff"], dev["ravail"],
-                    dev["nbps"], 32, evw_cap,
+                    dev["nbps"], p_cap, evw_cap,
                 )
                 rec = qzj.midtread_inv_quantize_batched(m, dev["sgn"], qf)
                 rec = cdfj.idwt3d(rec.reshape(B, n, n, n))

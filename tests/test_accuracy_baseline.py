@@ -12,6 +12,9 @@ import pytest
 from sperr_tpu.codec.speck_flt import SpeckFloatCodec
 from sperr_tpu.utils.stats import calc_stats
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 LENA = "/root/reference/test_data/lena512.float"
 
 GOLDEN = [  # (bpp, psnr_lo, psnr_hi)

@@ -1,11 +1,15 @@
 """Cross-API consistency (mirrors examples/C_API/test.sh): the CLI tools and
 the flat API must produce byte-identical streams for the same inputs."""
 
+import pytest
 import numpy as np
 
 from sperr_tpu import capi
 from sperr_tpu.cli import sperr2d, sperr3d
 
+
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
 
 def test_cli_vs_capi_2d(tmp_path):
     nx, ny = 48, 36

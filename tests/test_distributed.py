@@ -1,11 +1,15 @@
 """Multi-host gather logic: single-process equivalence + assembly unit tests."""
 
+import pytest
 import numpy as np
 
 from sperr_tpu.parallel import distributed as dist
 from sperr_tpu.parallel.chunked3d import Sperr3DCompressor
 from sperr_tpu.utils.dims import chunk_volume
 
+
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
 
 def _vol(nx, ny, nz, seed=31):
     rng = np.random.default_rng(seed)

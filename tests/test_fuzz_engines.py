@@ -9,6 +9,9 @@ import pytest
 from sperr_tpu.codec.speck_flt import SpeckFloatCodec
 from sperr_tpu.runtime.engine import NumpyEngine, WaveEngine, default_engine
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 ENG = default_engine()
 NPY = NumpyEngine()
 WAV = WaveEngine()

@@ -9,6 +9,9 @@ from sperr_tpu.runtime.engine import NumpyEngine
 native = pytest.importorskip("sperr_tpu.runtime.native")
 
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 @pytest.fixture(scope="module")
 def eng():
     return native.NativeEngine()

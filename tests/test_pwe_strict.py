@@ -16,6 +16,9 @@ import oracle
 from sperr_tpu.parallel.batched import TpuCompressor3D, TpuDecompressor3D
 
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 def _field(nx, ny, nz, seed=11):
     rng = np.random.default_rng(seed)
     z, y, x = np.mgrid[0:nz, 0:ny, 0:nx]

@@ -11,6 +11,9 @@ from sperr_tpu.codec import speck_wave as sw
 from sperr_tpu.ops import speck_jax as sj
 from sperr_tpu.runtime.engine import default_engine
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 ENG = default_engine()
 
 

@@ -10,6 +10,9 @@ from sperr_tpu.codec import speck_wave as sw
 from sperr_tpu.codec.speck_sorted import lis_segments_sorted_2d
 from sperr_tpu.ops import speck_lis2_jax as sl2
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 _NEVER = 0x7FFF
 
 

@@ -12,6 +12,9 @@ from sperr_tpu.codec import speck_sorted as ss
 from sperr_tpu.codec import speck_wave as sw
 from sperr_tpu.ops import speck_lis_jax as sl
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 SHAPES = [(8, 8, 8), (16, 16, 16), (7, 5, 3), (18, 18, 18), (12, 20, 8),
           (17, 19, 23), (64, 64, 21)]
 

@@ -10,6 +10,9 @@ import pytest
 from sperr_tpu.codec import speck_sorted as ss
 from sperr_tpu.codec import speck_wave as sw
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 SHAPES = [(8, 8, 8), (16, 16, 16), (7, 5, 3), (18, 18, 18), (64, 64, 21),
           (2, 2, 2), (1, 1, 8), (17, 19, 23)]
 

@@ -11,6 +11,9 @@ from sperr_tpu.ops import speck_jax as sj
 from sperr_tpu.ops import speck_lis_jax as sl
 from sperr_tpu.ops import speck_virtual as sv
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 _NEVER = 0x7FFF
 
 

@@ -13,6 +13,9 @@ import pytest
 from sperr_tpu.codec import speck_wave as sw
 from sperr_tpu.runtime.engine import NumpyEngine, WaveEngine, default_engine
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 ENG = default_engine()
 
 SHAPES = [

@@ -7,6 +7,9 @@ import oracle
 from sperr_tpu.parallel.batched2d import TpuCompressor2D, TpuDecompressor2D
 
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 def _field(nx, ny, seed=3):
     rng = np.random.default_rng(seed)
     y, x = np.mgrid[0:ny, 0:nx]

@@ -10,6 +10,9 @@ from sperr_tpu.parallel.chunked3d import Sperr3DDecompressor
 import oracle
 
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 def _vol(nx, ny, nz, seed=21):
     rng = np.random.default_rng(seed)
     z, y, x = np.mgrid[0:nz, 0:ny, 0:nx]

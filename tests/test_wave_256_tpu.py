@@ -15,6 +15,9 @@ import sys
 
 import pytest
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 _PROBE = "import jax; d = jax.devices(); print(d[0].platform)"
 
 _SCRIPT = r"""

@@ -13,6 +13,9 @@ import pytest
 from sperr_tpu.parallel.batched import TpuCompressor3D, TpuDecompressor3D
 
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 def _vol(shape=(32, 32, 32), seed=0):
     rng = np.random.default_rng(seed)
     nz, ny, nx = shape

@@ -12,6 +12,9 @@ from sperr_tpu.ops import wave_unpack as wu
 from sperr_tpu.runtime.engine import default_engine
 
 
+
+pytestmark = pytest.mark.slow  # JAX-compile-heavy (see pytest.ini)
+
 def _np_pdep(x, m):
     out = 0
     k = 0
