@@ -494,21 +494,36 @@ def masked_pack(
     Nw = off_w.shape[0]
     pdest = jax.lax.slice(off_w, (0,), (Nw,), (piece_words,))  # [Np]
 
-    # --- compact non-empty pieces: ONE fused flat sort moving the piece
-    # payload (measured cheaper than per-word gathers at every scale) ----
-    Np = pcnt.shape[0]
-    key = jnp.where(pcnt > 0, jnp.arange(Np, dtype=jnp.int32), Np)
+    # --- compact non-empty pieces ----------------------------------------
+    # Two forms, chosen statically by occupancy regime:
+    #   * sparse caps (take << padded piece count — the smooth production
+    #     tiers): two-level index compaction + payload gathers; cost
+    #     scales with the CAP (~55K pieces -> ~6 ms at 256^3), not the
+    #     padded count;
+    #   * dense caps (the widest/noisy tiers, take ~ Np): ONE fused flat
+    #     sort carrying the piece payload — per-element sorting beats
+    #     take-scale gathers once most pieces are live.
     # pdest <= the actual stream bit count (< 2^31 for any real chunk):
     # S accumulates VALID bits, not cells, so i32 offsets never overflow
-    srt = jax.lax.sort(
-        (key, pdest.astype(jnp.int32)) + tuple(cur_w),
-        num_keys=1, is_stable=False,
-    )
+    Np = pcnt.shape[0]
     take = min(evb_cap, Np)
-    pok = srt[0][:take] < Np
-    dest_c = jnp.where(pok, srt[1][:take], 0)
-    pw_c = [w[:take] for w in srt[2:]]
-    n_nz = jnp.sum(pcnt > 0)
+    if take * 4 < Np:
+        idx_r, n_nz_r = compact_flags_rows((pcnt > 0).reshape(1, Np), take)
+        pok = idx_r[0] < Np
+        idxc = jnp.minimum(idx_r[0], Np - 1)
+        dest_c = jnp.where(pok, pdest.astype(jnp.int32)[idxc], 0)
+        pw_c = [w[idxc] for w in cur_w]
+        n_nz = n_nz_r[0]
+    else:
+        key = jnp.where(pcnt > 0, jnp.arange(Np, dtype=jnp.int32), Np)
+        srt = jax.lax.sort(
+            (key, pdest.astype(jnp.int32)) + tuple(cur_w),
+            num_keys=1, is_stable=False,
+        )
+        pok = srt[0][:take] < Np
+        dest_c = jnp.where(pok, srt[1][:take], 0)
+        pw_c = [w[:take] for w in srt[2:]]
+        n_nz = jnp.sum(pcnt > 0)
     overflow = (n_nz > take) | (total_bytes > out_cap_bytes)
 
     # --- align + scatter-add ---------------------------------------------

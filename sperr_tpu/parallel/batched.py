@@ -357,13 +357,14 @@ def _encode_core_wave(batch, mode: str, quality: float, out_cap: int,
     static_argnames=(
         "mode", "quality", "out_cap", "num_bp_cap", "dims3", "residual",
         "node_frac", "evb_frac", "out_frac", "bp_cap", "wexp_frac",
+        "sparse_view",
     ),
 )
 def _dense_encode_wave(
     batch, mode: str, quality: float, out_cap: int, num_bp_cap: int,
     dims3: Tuple[int, int, int], residual: str = "f32",
     node_frac: float = 1.0, evb_frac: float = 1.0, out_frac: float = 1.0,
-    bp_cap: int = 0, wexp_frac: float = 1.0,
+    bp_cap: int = 0, wexp_frac: float = 1.0, sparse_view: bool = True,
 ):
     """Device stages + the complete prefix-pack entropy stage
     (ops/wave_pack.py): dense [pass, position] emission matrices for
@@ -408,15 +409,31 @@ def _dense_encode_wave(
     nn = int(li.nn)
     node_cap = nn if node_frac >= 1.0 else max(2048, min(nn, int(nn * node_frac)))
     P = bp_cap if bp_cap else num_bp_cap
+    # sparse_view=False (transfer="dense", the PCIe deployment shape):
+    # skip the exposure compaction entirely — the emission matrices run
+    # full-width (the piece stage absorbs the sparsity) and the host
+    # fetches the dense quantized array instead of a device-compacted
+    # coefficient view.  The compaction is tunnel-era work: its box
+    # relayouts + take-scale gathers cost more than the width they save.
     wexp_cap = (
-        0 if wexp_frac >= 1.0 else max(8192, min(n, int(n * wexp_frac)))
+        0
+        if (not sparse_view or wexp_frac >= 1.0)
+        else max(8192, min(n, int(n * wexp_frac)))
     )
+    if not sparse_view:
+        out["ll"] = ll
     # static emission-matrix geometry (mirrors ops/wave_pack.wave_emit_3d)
     T = sl.lis_item_count(li, node_cap)
     Tp = -(-T // 128) * 128
     npad = -(-(wexp_cap or n) // 256) * 256
     cells = P * (2 * npad + 2 * Tp + npad)
     np_pieces = cells // 256
+    # tier evb fractions were calibrated against the COMPACTED matrix
+    # geometry (pixel width n/16); keep that base regardless of the
+    # actual width so a full-width (sparse_view=False) run doesn't
+    # inflate the cap — every cost past the merge scales with the CAP,
+    # not the padded piece count
+    np_cal = P * (3 * -(-n // 16) + 2 * Tp) // 256
     # widest tier: generous realistic bounds, not the astronomically padded
     # exact cell bound — truly pathological chunks (beyond ~8 n output
     # bytes or ~n/2 non-empty pieces) fall back to the host engine
@@ -425,7 +442,7 @@ def _dense_encode_wave(
     evb_cap = (
         evb_wide
         if evb_frac >= 1.0
-        else max(8192, min(evb_wide, int(np_pieces * evb_frac)))
+        else max(8192, min(evb_wide, int(np_cal * evb_frac)))
     )
     out_cap_bytes = (
         out_wide
@@ -879,6 +896,12 @@ class TpuCompressor3D:
             cap = max(1024, int(n * self.sparse_cap_frac))
             out_cap = max(256, n // 64)
             force_dense = self.transfer == "dense" and self.entropy != "wave"
+            # dense-transfer wave: no device-side sparse coefficient view
+            # (sparse_view=False — full-width emission, host fetches the
+            # dense quantized array at memcpy/PCIe speed)
+            dense_wave = (
+                self.transfer == "dense" and self.entropy == "wave"
+            )
             wave = None
             wave_alt: Dict[int, Tuple[dict, int]] = {}
             fb_sparse: Dict[int, dict] = {}
@@ -916,6 +939,8 @@ class TpuCompressor3D:
                     # must mirror _dense_encode_wave/wave_emit_3d exactly:
                     # the compaction (and its coefficient view) is active
                     # only when the cap actually bites (wexp_cap < n)
+                    if dense_wave:
+                        return 0
                     wf = tier[4]
                     w = 0 if wf >= 1.0 else max(8192, min(n, int(n * wf)))
                     return w if w < n else 0
@@ -959,6 +984,7 @@ class TpuCompressor3D:
                 res = _dense_encode_wave(
                     dev, mode, float(quality), wave_out_cap,
                     self.num_bp_cap, (lx, ly, lz), resid_mode, *tiers[0],
+                    sparse_view=not dense_wave,
                 )
                 wave = fetch_wave(
                     res.pop("wave"), tiers[0][3], _wexp_for(tiers[0])
@@ -994,7 +1020,7 @@ class TpuCompressor3D:
                         res_r = _dense_encode_wave(
                             dev[jnp.asarray(sel)], mode, float(quality),
                             wave_out_cap, self.num_bp_cap, (lx, ly, lz),
-                            resid_mode, *tier,
+                            resid_mode, *tier, sparse_view=not dense_wave,
                         )
                         wv = fetch_wave(
                             res_r.pop("wave"), tier[3], _wexp_for(tier)
@@ -1027,8 +1053,47 @@ class TpuCompressor3D:
             dense = None
             sparse = None
             nnz = None
+            dense_ll = None
             wout_idx = wout_vals = None
-            if wave is not None:
+            if wave is not None and dense_wave:
+                # dense-transfer wave: bodies/fallbacks and the PWE f64
+                # scan all read the dense quantized array (fetched once,
+                # lazily); only outlier-cap overflow re-runs anything
+                if mode == "pwe" and dev_resid:
+                    wout_idx = _trim_rows(
+                        res["out_idx"], np.minimum(n_out, wave_out_cap),
+                        wave_out_cap,
+                    )
+                    wout_vals = _trim_rows(
+                        res["out_vals"], np.minimum(n_out, wave_out_cap),
+                        wave_out_cap,
+                    )
+                need_ll = mode == "pwe" or any(
+                    not self._wave_fits(*wave_alt.get(k, (wave, k)))
+                    for k in range(len(idxs))
+                )
+                if need_ll:
+                    dense_ll = np.asarray(jax.device_get(res["ll"]))
+                fbd = [
+                    k for k in range(len(idxs))
+                    if mode == "pwe"
+                    and dev_resid
+                    and n_out is not None
+                    and int(n_out[k]) > wave_out_cap
+                ]
+                for s0 in range(0, len(fbd), 8):
+                    grp = fbd[s0 : s0 + 8]
+                    res_d = jax.device_get(
+                        _dense_encode(
+                            dev[jnp.asarray(grp)], mode, float(quality),
+                            resid_mode,
+                        )
+                    )
+                    for j, k in enumerate(grp):
+                        fb_dense[k] = {
+                            key: res_d[key][j] for key in res_d
+                        }
+            elif wave is not None:
                 # Wave branch: the exposure compaction doubles as the
                 # sparse coefficient view (PWE f64 scan) and the outlier
                 # arrays come from the wave program's two-level
@@ -1184,6 +1249,9 @@ class TpuCompressor3D:
                     elif k in fb_dense:
                         mags = fb_dense[k]["mags"]
                         signs = fb_dense[k]["signs"]
+                    elif dense_ll is not None:
+                        mags = np.abs(dense_ll[k])
+                        signs = dense_ll[k] >= 0
                     else:
                         mags = np.zeros(n, dtype=np.int32)
                         signs = np.ones(n, dtype=bool)
@@ -1206,6 +1274,8 @@ class TpuCompressor3D:
                         if dense is not None:
                             mg = dense["mags"][k].astype(np.int64)
                             return np.where(dense["signs"][k], mg, -mg)
+                        if dense_ll is not None:
+                            return dense_ll[k].astype(np.int64)
                         if k in fb_dense:
                             mg = fb_dense[k]["mags"].astype(np.int64)
                             return np.where(fb_dense[k]["signs"], mg, -mg)

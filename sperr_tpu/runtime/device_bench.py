@@ -626,7 +626,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
         def wave(y):
             return _dense_encode_wave(
                 y, "pwe", float(tol), out_cap, num_bp_cap, (n, n, n),
-                "dual", *tier,
+                "dual", *tier, sparse_view=False,
             )
         return wave
 
@@ -636,7 +636,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
         for ti_ in range(len(tiers)):
             w = _dense_encode_wave(
                 x, "pwe", float(tol), out_cap, num_bp_cap, (n, n, n),
-                "dual", *tiers[ti_],
+                "dual", *tiers[ti_], sparse_view=False,
             )["wave"]
             if bool(np.asarray(jax.device_get(w["fits"])).all()):
                 tier_idx = ti_
@@ -655,6 +655,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     return {
         "n": n, "batch": batch,
         "regime": f"{regime}(tier {tier_idx})",
+        "transfer": "dense (full-width emission, no device sparse view)",
         "fits": fits,
         "dense_core_s": round(ts, 5),
         "wave_total_s": round(tw, 5),

@@ -141,3 +141,28 @@ def test_wave_retry_ladder_covers_noise():
     out = TpuDecompressor3D().decompress(bytes(wave))
     arr = np.asarray(out[0] if isinstance(out, tuple) else out, np.float64)
     assert np.abs(arr.reshape(vol.shape) - vol).max() <= tol
+
+
+def test_wave_dense_transfer_matches_host():
+    """transfer="dense" wave (sparse_view off — the PCIe deployment
+    shape: full-width emission, host reads the dense quantized array)
+    must stay byte-identical across modes and survive outlier/fallback
+    paths on noisy data."""
+    vol = _vol()
+    for mode, q in [("pwe", 1e-2), ("psnr", 60.0), ("rate", 1.0)]:
+        host = TpuCompressor3D(
+            (32, 32, 32), (16, 16, 16), entropy="host"
+        ).compress(vol, mode, q)
+        dw = TpuCompressor3D(
+            (32, 32, 32), (16, 16, 16), entropy="wave", transfer="dense"
+        )
+        assert bytes(dw.compress(vol, mode, q)) == bytes(host)
+    rng = np.random.default_rng(3)
+    nv = rng.normal(size=(32, 32, 32)).astype(np.float32)
+    host = TpuCompressor3D(
+        (32, 32, 32), (16, 16, 16), entropy="host"
+    ).compress(nv, "pwe", 1e-2)
+    dw = TpuCompressor3D(
+        (32, 32, 32), (16, 16, 16), entropy="wave", transfer="dense"
+    )
+    assert bytes(dw.compress(nv, "pwe", 1e-2)) == bytes(host)
