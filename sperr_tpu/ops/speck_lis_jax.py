@@ -172,7 +172,8 @@ def _tiny_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _lis_items_virtual(node_s, s_lin, signs, num_bp, vf, node_cap):
+def _lis_items_virtual(node_s, s_lin, signs, num_bp, vf, node_cap,
+                       vtab=None):
     """Walk-ordered emission items for the virtual (pow-2 cube) forest —
     the round-5 streamlined path behind return_events="items".
 
@@ -207,11 +208,21 @@ def _lis_items_virtual(node_s, s_lin, signs, num_bp, vf, node_cap):
     q = jnp.minimum(sid, nn - 1)
     slot = jnp.arange(MC, dtype=jnp.int32)
 
-    vtab = vf.build_vtab(s_lin | (signs.astype(jnp.int32) << 15), node_s)
+    # pixel table values pack clip(s, 0, 127) | sign << 7 [| extra bits
+    # above — e.g. the emitter's magnitudes ride bits 8.. so ONE
+    # box-major relayout serves both the walk and the exposure
+    # compaction]; node sections hold raw node_s
+    if vtab is None:
+        vtab = vf.build_vtab(
+            jnp.clip(s_lin, 0, 127) | (signs.astype(jnp.int32) << 7),
+            node_s,
+        )
     cnt, rvalid, ispx, isnd, vidx, v = vf.children_rows(q, svalid, slot, vtab)
     rowpass = jnp.where(svalid, node_s[q], _NEVER)
-    row_s = jnp.where(rvalid, v & _NEVER, _NEVER)
-    row_sign = ((v >> 15) & 1) == 1
+    row_s = jnp.where(
+        rvalid, jnp.where(ispx, v & 127, v & _NEVER), _NEVER
+    )
+    row_sign = ((v >> 7) & 1) == 1
 
     sig_now = (row_s == rowpass[:, None]) & rvalid
     prev_any = jnp.cumsum(sig_now, axis=1) - sig_now
@@ -372,6 +383,7 @@ def lis_segments_device(
     ev_cap: int,
     cap_total: int,
     return_events: bool = False,
+    vtab=None,
 ):
     """All LIS bit segments on the device, event-form.
 
@@ -396,7 +408,7 @@ def lis_segments_device(
 
     if return_events == "items" and getattr(li, "uniform_children", False):
         return _lis_items_virtual(
-            node_s, s_lin, signs, num_bp, li, node_cap
+            node_s, s_lin, signs, num_bp, li, node_cap, vtab=vtab
         )
 
     nn = li.nn

@@ -296,18 +296,22 @@ class VirtualLisIndex:
         return 3 * (self.K - self.slog_of_roots(r) + d)
 
     # -- streamlined walk support (ops/speck_lis_jax._lis_items_virtual) ----
-    def build_vtab(self, pixel_vals, node_s):
-        """Combined 8-aligned child value table: pixel section (2x2x2 boxes
-        in box-major order) ++ per-depth node_s sections.  One relayout
-        pass over n plus nn of slice copies."""
+    def box_major_pixels(self, pixel_vals):
+        """Linear pixel array -> 2x2x2-box-major order (boxes by
+        (zb, yb, xb), slots dz dy dx — children_rows' slot order)."""
         N = self.dims[0]
         Nh = N // 2
-        pix = (
+        return (
             pixel_vals.reshape(Nh, 2, Nh, 2, Nh, 2)
             .transpose(0, 2, 4, 1, 3, 5)
             .reshape(-1)
         )
-        parts = [pix]
+
+    def vtab_from(self, pix_bm, node_s):
+        """Combined 8-aligned child value table from an ALREADY box-major
+        pixel section (shared with the exposure compaction) ++ per-depth
+        node_s sections."""
+        parts = [pix_bm]
         db = self.h_depth_base
         for d in range(self.depth_max + 1):
             lo, hi = int(db[d]), int(db[d + 1])
@@ -319,6 +323,12 @@ class VirtualLisIndex:
                 )
             parts.append(seg)
         return jnp.concatenate(parts)
+
+    def build_vtab(self, pixel_vals, node_s):
+        """Combined 8-aligned child value table: pixel section (2x2x2 boxes
+        in box-major order) ++ per-depth node_s sections.  One relayout
+        pass over n plus nn of slice copies."""
+        return self.vtab_from(self.box_major_pixels(pixel_vals), node_s)
 
     def children_rows(self, q, svalid, slot, vtab):
         """Child resolution with the values fetched as ROW gathers from the
@@ -605,6 +615,25 @@ def virtual_lis_index(dims) -> VirtualLisIndex:
     return vi
 
 
+def box_reduce_max(vol: jnp.ndarray) -> jnp.ndarray:
+    """(N, N, N) -> (N/2, N/2, N/2) max over aligned 2x2x2 boxes, as three
+    single-axis reductions (each keeps a large contiguous minor)."""
+    N = vol.shape[0]
+    h = N // 2
+    v = vol.reshape(N, N, h, 2).max(axis=3)
+    v = v.reshape(N, h, 2, h).max(axis=2)
+    return v.reshape(h, 2, h, h).max(axis=1)
+
+
+def box_reduce_min(vol: jnp.ndarray) -> jnp.ndarray:
+    """(N, N, N) -> (N/2, N/2, N/2) min over aligned 2x2x2 boxes."""
+    N = vol.shape[0]
+    h = N // 2
+    v = vol.reshape(N, N, h, 2).min(axis=3)
+    v = v.reshape(N, h, 2, h).min(axis=2)
+    return v.reshape(h, 2, h, h).min(axis=1)
+
+
 def _morton_flatten(box: jnp.ndarray, d: int) -> jnp.ndarray:
     """(L, L, L) cells, L = 2^d -> flat [L^3] in morton order (x fastest).
 
@@ -647,9 +676,11 @@ def pixel_schedule_virtual(mags: jnp.ndarray, vf: VirtualLisIndex, num_bp):
     vol = pm.reshape(N, N, N)
     # half-grid box maxima: feeds both the e schedule and the morton
     # pyramid root (nodes never live below grid K-1 — side-2 nodes are
-    # its cells)
+    # its cells).  STAGED single-axis reductions: the one-shot
+    # [h,2,h,2,h,2].max(1,3,5) form pays a pathological small-minor
+    # relayout (~11 ms at 256^3)
     h = N // 2
-    pmax = vol.reshape(h, 2, h, 2, h, 2).max(axis=(1, 3, 5))
+    pmax = box_reduce_max(vol)
 
     M = [None] * K  # M[g] = morton-ordered grid-g maxima (g <= K-1)
     M[K - 1] = _morton_flatten(pmax, K - 1)

@@ -132,11 +132,31 @@ def wave_emit_3d(
     P = num_bp_cap
     U0 = jnp.uint32(0)
     U1 = jnp.uint32(0xFFFFFFFF)
+    uniform = getattr(li, "uniform_children", False)
+
+    # Shared box-major pixel table: ONE relayout feeds the walk's child
+    # value table AND the exposure compaction's value fetch.  Pixels pack
+    # clip(s) | sign << 7 | mag << 8 (mag fits below bit 31 for bitplane
+    # caps <= 23 — deeper tiers carry mags in a second relayout).
+    pack_mag = P <= 23
+    vtab = None
+    pv_bm = mg_bm = None
+    if uniform:
+        s7 = jnp.clip(s, 0, 127)
+        pv = s7 | (signs.astype(jnp.int32) << 7)
+        if pack_mag:
+            pv = pv | (
+                jnp.minimum(mags.astype(jnp.int32), (1 << 23) - 1) << 8
+            )
+        pv_bm = li.box_major_pixels(pv)
+        vtab = li.vtab_from(pv_bm, node_s)
+        if not pack_mag and wexp_cap and wexp_cap < n:
+            mg_bm = li.box_major_pixels(mags.astype(jnp.int32))
 
     # --- LIS items: the set walk, stopping at the walk-ordered payloads --
     pay_s, n_sig = lis_segments_device(
         node_s, s, signs, num_bp, li, num_bp_cap, node_cap,
-        ev_cap=0, cap_total=0, return_events="items",
+        ev_cap=0, cap_total=0, return_events="items", vtab=vtab,
     )
     T = pay_s.shape[0]
     Tp = -(-T // 128) * 128
@@ -172,26 +192,22 @@ def wave_emit_3d(
     exp_idx = jnp.zeros(0, jnp.int32)
     exp_ll = jnp.zeros(0, jnp.int32)
     n_exp = jnp.zeros((), jnp.int32)
-    if wexp_cap and wexp_cap < n and getattr(li, "uniform_children", False):
+    if wexp_cap and wexp_cap < n and uniform:
         # Exposure is a 2x2x2-BOX property in the uniform forest (every
-        # pixel's parent is its aligned box, so e is box-constant): compact
-        # exposed BOXES with the two-level form at n/8 scale, row-gather
-        # the 8 pixels of each from box-major relayouts, and restore
-        # ascending-pixel emission order with one wexp-scale sort — ~6x
-        # cheaper than the n-scale 3-operand sort it replaces.
+        # pixel's parent is its aligned box, so e is box-constant):
+        # compact exposed BOXES with the two-level form at n/8 scale,
+        # row-gather their pixels from the SHARED box-major table (one
+        # array when mags pack — bitplane caps <= 23), and restore
+        # ascending-pixel emission order with one wexp-scale sort.
         N = li.dims[0]
-        Nh = N // 2
         nbox = n // 8
+        # e_cell = per-box exposure pass = box-min of s (NEVER boxes stay
+        # NEVER): derived from s directly so the schedule's full-width e
+        # broadcast is DEAD CODE in this program (XLA removes it)
+        from .speck_virtual import box_reduce_min
 
-        def box_major(x):
-            return (
-                x.reshape(Nh, 2, Nh, 2, Nh, 2)
-                .transpose(0, 2, 4, 1, 3, 5)
-                .reshape(-1)
-            )
-
-        e_cell = jax.lax.slice(
-            e.reshape(N, N, N), (0, 0, 0), (N, N, N), (2, 2, 2)
+        e_cell = box_reduce_min(
+            jnp.where(s < _NEVER, s, _NEVER).reshape(N, N, N)
         ).reshape(-1)
         take_b = max(1, wexp_cap // 8)
         idx_box, n_box = pe.compact_flags_rows(
@@ -200,21 +216,16 @@ def wave_emit_3d(
         idx_box = idx_box[0]
         n_exp = (8 * n_box[0]).astype(jnp.int32)
         exp_over = n_box[0] > take_b
-        sv_bm = box_major(
-            jnp.clip(s, 0, 127)
-            | (jnp.clip(e, 0, 127) << 7)
-            | (signs.astype(jnp.int32) << 14)
-        )
-        mg_bm = box_major(mags.astype(jnp.int32))
         bok = idx_box < nbox
         bc = jnp.minimum(idx_box, nbox - 1)
-        rows_p = sv_bm.reshape(-1, 8)[bc]     # [take_b, 8] row gathers
-        rows_m = mg_bm.reshape(-1, 8)[bc]
+        rows_p = pv_bm.reshape(-1, 8)[bc]     # [take_b, 8] row gathers
+        eb = jnp.clip(jnp.where(bok, e_cell[bc], _NEVER), 0, 127)
         # linear pixel index per (box, slot): box (zb, yb, xb), slot dz dy dx
-        bz = bc >> (2 * (N.bit_length() - 2))
-        rem = bc & ((1 << (2 * (N.bit_length() - 2))) - 1)
-        by = rem >> (N.bit_length() - 2)
-        bx = rem & ((1 << (N.bit_length() - 2)) - 1)
+        lb = N.bit_length() - 2
+        bz = bc >> (2 * lb)
+        rem = bc & ((1 << (2 * lb)) - 1)
+        by = rem >> lb
+        bx = rem & ((1 << lb) - 1)
         slot8 = jnp.arange(8, dtype=jnp.int32)
         pz = (bz[:, None] << 1) + (slot8[None, :] >> 2)
         py = (by[:, None] << 1) + ((slot8[None, :] >> 1) & 1)
@@ -224,23 +235,32 @@ def wave_emit_3d(
         key = jnp.where(
             jnp.broadcast_to(bok[:, None], (take_b, 8)), lin, n
         ).reshape(W8)
-        key_s, pay_c, mag_c = jax.lax.sort(
-            (key, rows_p.reshape(W8), rows_m.reshape(W8)),
-            num_keys=1, is_stable=False,
-        )
+        e8 = jnp.broadcast_to(eb[:, None], (take_b, 8)).reshape(W8)
+        if pack_mag:
+            key_s, pv_c, e_c = jax.lax.sort(
+                (key, rows_p.reshape(W8), e8), num_keys=1, is_stable=False
+            )
+            mag_c = pv_c >> 8
+        else:
+            rows_m = mg_bm.reshape(-1, 8)[bc]
+            key_s, pv_c, mag_c, e_c = jax.lax.sort(
+                (key, rows_p.reshape(W8), rows_m.reshape(W8), e8),
+                num_keys=1, is_stable=False,
+            )
         npad = -(-wexp_cap // 256) * 256
         okm = jnp.arange(npad, dtype=jnp.int32) < n_exp
-        pc = _pad_cols(pay_c[None, :wexp_cap], npad, 0)[0]
-        s_p = jnp.where(okm, pc & 127, _NEVER)
-        e_p = jnp.where(okm, (pc >> 7) & 127, _NEVER)
-        g_p = jnp.where(okm, (pc >> 14) & 1, 0).astype(jnp.uint8)
+        pvp = _pad_cols(pv_c[None, :wexp_cap], npad, 0)[0]
+        s_p = jnp.where(okm, pvp & 127, _NEVER)
+        e_p = jnp.where(okm, _pad_cols(e_c[None, :wexp_cap], npad, 0)[0],
+                        _NEVER)
+        g_p = jnp.where(okm, (pvp >> 7) & 1, 0).astype(jnp.uint8)
         m_p = jnp.where(
             okm, _pad_cols(mag_c[None, :wexp_cap], npad, 0)[0], 0
         )
         # sparse coefficient view for the host (f64 residual scan): the
         # nonzero coefficients are a subset of the exposed pixels
         exp_idx = key_s[:wexp_cap]
-        sgn_c = ((pc >> 14) & 1) == 1
+        sgn_c = ((pvp >> 7) & 1) == 1
         exp_ll = jnp.where(okm, jnp.where(sgn_c, m_p, -m_p), 0)[:wexp_cap]
     elif wexp_cap and wexp_cap < n:
         exposed = e < num_bp

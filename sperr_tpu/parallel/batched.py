@@ -64,7 +64,7 @@ DEFAULT_WAVE_TIERS_BIG = (
     # calibrated on the 256^3 production regime (PWE 1e-2 smooth field:
     # num_bp 14, n_sig 84K of 2.4M nodes, 38K non-empty pieces, 517K
     # exposed pixels — examples output in docs/PALLAS.md)
-    (1.0 / 16, 1.0 / 8, 1.0 / 24, 14, 1.0 / 16),
+    (1.0 / 20, 1.0 / 8, 1.0 / 24, 14, 1.0 / 20),
     (1.0 / 4, 1.0 / 4, 1.0 / 16, 22, 1.0 / 4),
     # noisy/dense regime: full structural caps at a 12-bitplane ladder —
     # error-bounded compression of noise-like data quantizes to SHALLOW
