@@ -410,15 +410,13 @@ def _dense_encode_wave(
     node_cap = nn if node_frac >= 1.0 else max(2048, min(nn, int(nn * node_frac)))
     P = bp_cap if bp_cap else num_bp_cap
     # sparse_view=False (transfer="dense", the PCIe deployment shape):
-    # skip the exposure compaction entirely — the emission matrices run
-    # full-width (the piece stage absorbs the sparsity) and the host
-    # fetches the dense quantized array instead of a device-compacted
-    # coefficient view.  The compaction is tunnel-era work: its box
-    # relayouts + take-scale gathers cost more than the width they save.
+    # the host fetches the dense quantized array instead of the
+    # compacted coefficient view.  The exposure compaction itself always
+    # runs per the tier (it is what keeps the emission matrices AND the
+    # non-empty piece count at the exposed-neighborhood scale — a
+    # full-width run was measured to blow the piece caps).
     wexp_cap = (
-        0
-        if (not sparse_view or wexp_frac >= 1.0)
-        else max(8192, min(n, int(n * wexp_frac)))
+        0 if wexp_frac >= 1.0 else max(8192, min(n, int(n * wexp_frac)))
     )
     if not sparse_view:
         out["ll"] = ll
@@ -937,8 +935,9 @@ class TpuCompressor3D:
 
                 def _wexp_for(tier):
                     # must mirror _dense_encode_wave/wave_emit_3d exactly:
-                    # the compaction (and its coefficient view) is active
-                    # only when the cap actually bites (wexp_cap < n)
+                    # the coefficient view exists only when the compaction
+                    # is active (wexp_cap < n); dense_wave never fetches
+                    # it (the host reads the dense quantized array)
                     if dense_wave:
                         return 0
                     wf = tier[4]
