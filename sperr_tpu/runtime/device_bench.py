@@ -655,7 +655,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     return {
         "n": n, "batch": batch,
         "regime": f"{regime}(tier {tier_idx})",
-        "transfer": "dense (full-width emission, no device sparse view)",
+        "transfer": "dense (coefficient-view outputs skipped)",
         "fits": fits,
         "dense_core_s": round(ts, 5),
         "wave_total_s": round(tw, 5),
