@@ -295,6 +295,18 @@ def main():
         "max_err": err,
         "host_cores": os.cpu_count(),
     }
+    if os.environ.get("BENCH_HOST_SCALING", "1") != "0":
+        # chunk-parallel scaling evidence for the 1-core box: per-chunk
+        # balance, pool overhead, GIL release (the properties multi-core
+        # parse scaling follows from; see runtime/host_scaling.py)
+        try:
+            from sperr_tpu.runtime.host_scaling import parse_scaling_evidence
+
+            host["parse_scaling"] = parse_scaling_evidence(
+                n=256, chunks=4, tol=TOL
+            )
+        except Exception as e:  # pragma: no cover
+            host["parse_scaling"] = {"error": f"{type(e).__name__}: {e}"}
 
     want_e2e = os.environ.get("BENCH_TPU", "1") != "0"
     want_stages = os.environ.get("BENCH_DEVICE_STAGES", "1") != "0"

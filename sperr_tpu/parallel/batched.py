@@ -66,11 +66,13 @@ DEFAULT_WAVE_TIERS_BIG = (
     # exposed pixels — examples output in docs/PALLAS.md)
     (1.0 / 20, 1.0 / 8, 1.0 / 24, 14, 1.0 / 20),
     (1.0 / 4, 1.0 / 4, 1.0 / 16, 22, 1.0 / 4),
-    # noisy/dense regime: full structural caps at a 12-bitplane ladder —
-    # error-bounded compression of noise-like data quantizes to SHALLOW
-    # magnitudes (num_bp ~8-10 at PWE with data/tol ~100), so this tier
-    # absorbs it at ~1/3 the widest tier's emission-matrix cost
-    (1.0, 1.0, 1.0, 12, 1.0),
+    # dense/noisy regimes quantize to SHALLOW ladders (num_bp ~9-14 at
+    # PWE with data/tol ~100-300) but expose most of the volume: a
+    # half-caps then a full-caps 16-bitplane tier absorb them at ~1/2
+    # the widest tier's emission-matrix cost; only genuinely deep data
+    # (rate mode, tiny tolerances) reaches the 34 ladder
+    (1.0 / 2, 1.0 / 2, 1.0 / 2, 16, 1.0),
+    (1.0, 1.0, 1.0, 16, 1.0),
     (1.0, 1.0, 1.0, 34, 1.0),
 )
 
@@ -254,11 +256,31 @@ def _encode_core(batch, mode: str, quality: float, cap: int, out_cap: int,
     return out, ll
 
 
+def _seq_rows(fn, batch):
+    """Run a per-chunk program over a batch as lax.scan (chunk-sequential,
+    one chunk's working set, and — decisively — IDENTICAL per-chunk f32
+    arithmetic no matter how chunks are grouped into batches: XLA's
+    shape-dependent fusion/FMA choices otherwise make a [8, n] front
+    disagree with a [1, n] front in the last ulp, which breaks the
+    cross-driver byte-equality contract)."""
+    B = batch.shape[0]
+    if B == 1:
+        return fn(batch)
+
+    def body(carry, row):
+        o = fn(row[None])
+        return carry, jax.tree_util.tree_map(lambda x: x[0], o)
+
+    _, st = jax.lax.scan(body, jnp.int32(0), batch)
+    return st
+
+
 @partial(
-    jax.jit, static_argnames=("mode", "quality", "cap", "out_cap", "residual")
+    jax.jit,
+    static_argnames=("mode", "quality", "cap", "out_cap", "residual", "seq"),
 )
 def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: int,
-                         residual: str = "f32"):
+                         residual: str = "f32", seq: bool = False):
     """Device stages + on-device compaction of significant coefficients.
 
     Returns per chunk: indices (i32) and *signed* quantized values (i32) of
@@ -267,7 +289,16 @@ def _dense_encode_sparse(batch, mode: str, quality: float, cap: int, out_cap: in
     transfer proportional to the information content instead of the volume —
     the decisive factor both over PCIe in real deployments and over this
     environment's device tunnel.
+
+    ``seq``: per-chunk scan form (meshless drivers) — chunk-grouping-
+    invariant arithmetic; False keeps the batched front (meshed drivers,
+    SPMD over the chunk axis).
     """
+    if seq:
+        return _seq_rows(
+            lambda b: _encode_core(b, mode, quality, cap, out_cap, residual)[0],
+            batch,
+        )
     out, _ = _encode_core(batch, mode, quality, cap, out_cap, residual)
     return out
 
@@ -357,7 +388,7 @@ def _encode_core_wave(batch, mode: str, quality: float, out_cap: int,
     static_argnames=(
         "mode", "quality", "out_cap", "num_bp_cap", "dims3", "residual",
         "node_frac", "evb_frac", "out_frac", "bp_cap", "wexp_frac",
-        "sparse_view",
+        "sparse_view", "seq",
     ),
 )
 def _dense_encode_wave(
@@ -365,6 +396,7 @@ def _dense_encode_wave(
     dims3: Tuple[int, int, int], residual: str = "f32",
     node_frac: float = 1.0, evb_frac: float = 1.0, out_frac: float = 1.0,
     bp_cap: int = 0, wexp_frac: float = 1.0, sparse_view: bool = True,
+    seq: bool = False,
 ):
     """Device stages + the complete prefix-pack entropy stage
     (ops/wave_pack.py): dense [pass, position] emission matrices for
@@ -386,8 +418,8 @@ def _dense_encode_wave(
     from ..ops import speck_virtual as svirt
     from ..ops import wave_pack as wp
 
-    out, ll = _encode_core_wave(batch, mode, quality, out_cap, residual)
-    B, n = ll.shape
+    B = batch.shape[0]
+    n = dims3[0] * dims3[1] * dims3[2]
     # index tiers: table-free virtual forest for power-of-two cubes (the
     # production chunk shape), pyramid-form schedule + table walk for other
     # dyadic dims, child-table segment reductions otherwise
@@ -418,20 +450,17 @@ def _dense_encode_wave(
     wexp_cap = (
         0 if wexp_frac >= 1.0 else max(8192, min(n, int(n * wexp_frac)))
     )
-    if not sparse_view:
-        out["ll"] = ll
     # static emission-matrix geometry (mirrors ops/wave_pack.wave_emit_3d)
     T = sl.lis_item_count(li, node_cap)
     Tp = -(-T // 128) * 128
     npad = -(-(wexp_cap or n) // 256) * 256
     cells = P * (2 * npad + 2 * Tp + npad)
     np_pieces = cells // 256
-    # tier evb fractions were calibrated against the COMPACTED matrix
-    # geometry (pixel width n/16); keep that base regardless of the
-    # actual width so a full-width (sparse_view=False) run doesn't
-    # inflate the cap — every cost past the merge scales with the CAP,
-    # not the padded piece count
-    np_cal = P * (3 * -(-n // 16) + 2 * Tp) // 256
+    # evb fractions are calibrated against the COMPACTED matrix geometry:
+    # use the real compacted width when the compaction is active, and the
+    # n/16 calibration surrogate for full-width tiers (so a wide-width
+    # run doesn't inflate every cap-scaled cost downstream of the merge)
+    np_cal = P * (3 * (npad if wexp_cap else -(-n // 16)) + 2 * Tp) // 256
     # widest tier: generous realistic bounds, not the astronomically padded
     # exact cell bound — truly pathological chunks (beyond ~8 n output
     # bytes or ~n/2 non-empty pieces) fall back to the host engine
@@ -469,16 +498,42 @@ def _dense_encode_wave(
             em.n_nz, em.exp_idx, em.exp_ll, em.n_exp,
         )
 
-    signs = ll >= 0
+    def chunk_all(vol1):
+        o, ll_c = _encode_core_wave(vol1, mode, quality, out_cap, residual)
+        em = one(ll_c[0], (ll_c >= 0)[0])
+        return o, ll_c, em
+
     if B == 1:
-        res1 = one(ll[0], signs[0])
+        out, ll, res1 = chunk_all(batch)
         res = tuple(x[None] for x in res1)
+        if not sparse_view:
+            out["ll"] = ll
+    elif seq:
+        # Fully per-chunk scan — the WHOLE pipeline (dense front included)
+        # lives in the scan body: flat (unbatched) sorts (a batched sort
+        # over [B, m] rows runs ~6x slower; docs/PALLAS.md), a one-chunk
+        # working set (no [B, n] temporary for the layout assigner to pad
+        # 16x by placing B minor — the observed 25 GB OOM on a batched
+        # 8 x 256^3 front), and chunk-grouping-invariant f32 arithmetic
+        # (see _seq_rows).  A 512^3 volume is ONE jitted program.
+        def body(carry, vol_row):
+            o, ll_c, em = chunk_all(vol_row[None])
+            o1 = {k: v[0] for k, v in o.items()}
+            if not sparse_view:
+                o1["ll"] = ll_c[0]
+            return carry, (o1, em)
+
+        _, (o_st, res) = jax.lax.scan(body, jnp.int32(0), batch)
+        out = o_st
     else:
-        # scan over chunks, NOT vmap: each iteration traces the flat
-        # (unbatched) sorts — a batched sort over [B, m] rows runs ~6x
-        # slower than B flat sorts at these row lengths (measured;
-        # docs/PALLAS.md) — and the working set stays one chunk's, so a
-        # 512^3 volume (8 x 256^3 chunks) runs as ONE jitted program.
+        # meshed drivers: BATCHED dense front (SPMD over the chunk axis —
+        # and the same front the host-entropy driver runs, so the two
+        # containers stay byte-identical under a mesh), entropy per chunk
+        out, ll = _encode_core_wave(batch, mode, quality, out_cap, residual)
+        if not sparse_view:
+            out["ll"] = ll
+        signs = ll >= 0
+
         def body(carry, xs):
             row, sgn_row = xs
             return carry, one(row, sgn_row)
@@ -492,9 +547,15 @@ def _dense_encode_wave(
     return out
 
 
-@partial(jax.jit, static_argnames=("mode", "quality", "residual"))
-def _dense_encode(batch, mode: str, quality: float, residual: str = "f32"):
-    """batch: (B, lz, ly, lx) device dtype. Returns per-chunk dense results."""
+@partial(jax.jit, static_argnames=("mode", "quality", "residual", "seq"))
+def _dense_encode(batch, mode: str, quality: float, residual: str = "f32",
+                  seq: bool = False):
+    """batch: (B, lz, ly, lx) device dtype. Returns per-chunk dense results.
+    ``seq``: per-chunk scan form (see _dense_encode_sparse)."""
+    if seq and batch.shape[0] > 1:
+        return _seq_rows(
+            lambda b: _dense_encode(b, mode, quality, residual), batch
+        )
     B = batch.shape[0]
     n = batch.shape[1] * batch.shape[2] * batch.shape[3]
     flat = batch.reshape(B, n)
@@ -900,6 +961,11 @@ class TpuCompressor3D:
             dense_wave = (
                 self.transfer == "dense" and self.entropy == "wave"
             )
+            # meshless drivers run every device program in the per-chunk
+            # scan form: chunk-grouping-invariant f32 arithmetic (the
+            # cross-driver byte-equality contract) + one-chunk working
+            # sets; meshed drivers keep batched fronts (SPMD over chunks)
+            seq = self.mesh is None
             wave = None
             wave_alt: Dict[int, Tuple[dict, int]] = {}
             fb_sparse: Dict[int, dict] = {}
@@ -983,7 +1049,7 @@ class TpuCompressor3D:
                 res = _dense_encode_wave(
                     dev, mode, float(quality), wave_out_cap,
                     self.num_bp_cap, (lx, ly, lz), resid_mode, *tiers[0],
-                    sparse_view=not dense_wave,
+                    sparse_view=not dense_wave, seq=seq,
                 )
                 wave = fetch_wave(
                     res.pop("wave"), tiers[0][3], _wexp_for(tiers[0])
@@ -1020,6 +1086,7 @@ class TpuCompressor3D:
                             dev[jnp.asarray(sel)], mode, float(quality),
                             wave_out_cap, self.num_bp_cap, (lx, ly, lz),
                             resid_mode, *tier, sparse_view=not dense_wave,
+                            seq=seq,
                         )
                         wv = fetch_wave(
                             res_r.pop("wave"), tier[3], _wexp_for(tier)
@@ -1027,10 +1094,13 @@ class TpuCompressor3D:
                         for j, k in enumerate(grp):
                             wave_alt[k] = (wv, j)
             elif force_dense:
-                res = _dense_encode(dev, mode, float(quality), resid_mode)
+                res = _dense_encode(
+                    dev, mode, float(quality), resid_mode, seq=seq
+                )
             else:
                 res = _dense_encode_sparse(
-                    dev, mode, float(quality), cap, out_cap, resid_mode
+                    dev, mode, float(quality), cap, out_cap, resid_mode,
+                    seq=seq,
                 )
             # Pull small per-chunk scalars first.
             small_keys = ["is_const", "v0", "mean", "q", "maxmag"]
@@ -1085,7 +1155,7 @@ class TpuCompressor3D:
                     res_d = jax.device_get(
                         _dense_encode(
                             dev[jnp.asarray(grp)], mode, float(quality),
-                            resid_mode,
+                            resid_mode, seq=seq,
                         )
                     )
                     for j, k in enumerate(grp):
@@ -1142,7 +1212,7 @@ class TpuCompressor3D:
                         sel = jnp.asarray(grp)
                         res_s = _dense_encode_sparse(
                             dev[sel], mode, float(quality), cap,
-                            out_cap_sp, resid_mode,
+                            out_cap_sp, resid_mode, seq=seq,
                         )
                         nnz_s = np.asarray(jax.device_get(res_s["nnz"]))
                         no_s = (
@@ -1156,7 +1226,7 @@ class TpuCompressor3D:
                             res_d = jax.device_get(
                                 _dense_encode(
                                     dev[sel], mode, float(quality),
-                                    resid_mode,
+                                    resid_mode, seq=seq,
                                 )
                             )
                             for j, k in enumerate(grp):
@@ -1431,15 +1501,30 @@ class TpuCompressor3D:
 @partial(jax.jit, static_argnames=("p_cap", "evw_cap"))
 def _hybrid_mags_batched(spass, words, roff, ravail, nbp, p_cap: int,
                          evw_cap: int):
-    """Vmapped device half of the hybrid SPECK decode (ops/wave_unpack):
-    per-chunk magnitude reconstruction from the control parse's outputs.
+    """Device half of the hybrid SPECK decode (ops/wave_unpack) over a
+    chunk batch: lax.scan over chunks, NOT vmap — each iteration traces
+    the flat per-chunk compactions/gathers (batched forms measured ~10x
+    slower at these shapes) and the working set stays one chunk's.
     Returns (mags i32[B, n], overflow bool[B])."""
     from ..ops import wave_unpack as wup
+
+    B = spass.shape[0]
 
     def one(sp, w, ro, ra, nb):
         return wup.reconstruct_mags(sp, w, ro, ra, nb, p_cap, evw_cap)
 
-    return jax.vmap(one)(spass, words, roff, ravail, nbp)
+    if B == 1:
+        m, ovf = one(spass[0], words[0], roff[0], ravail[0], nbp[0])
+        return m[None], ovf[None]
+
+    def body(carry, xs):
+        sp, w, ro, ra, nb = xs
+        return carry, one(sp, w, ro, ra, nb)
+
+    _, (m, ovf) = jax.lax.scan(
+        body, jnp.int32(0), (spass, words, roff, ravail, nbp)
+    )
+    return m, ovf
 
 
 class TpuDecompressor3D:
