@@ -59,7 +59,7 @@ _WAVE_NEVER = 0x7FFF  # matches codec.speck_wave._NEVER
 # The 5th element caps the exposed-pixel compaction (fraction of n);
 # only exposed pixels (e < num_bp) emit LIP/refinement bits, so the
 # emission matrices shrink to the exposed neighborhood.
-DEFAULT_WAVE_TIERS = ((0.5, 0.25, 0.25, 16, 0.75), (1.0, 1.0, 1.0, 34, 1.0))
+DEFAULT_WAVE_TIERS = ((0.5, 0.5, 0.5, 16, 0.75), (1.0, 1.0, 1.0, 34, 1.0))
 DEFAULT_WAVE_TIERS_BIG = (
     # calibrated on the 256^3 production regime (PWE 1e-2 smooth field:
     # num_bp 14, n_sig 84K of 2.4M nodes, 38K non-empty pieces, 517K

@@ -599,7 +599,7 @@ def wave_entropy_stage(n: int = 64, batch: int = 1, tol: float = 1e-2,
     out_cap = max(1024, nelems // 1024)
     num_bp_cap = 34
     tiers = wave_tiers_for(nelems)
-    tier_idx = 0 if regime == "smooth" else None
+    tier_idx = None  # land on the first fitting tier, like the driver
     # pre-build the walk index outside any jit trace (tracer safety)
     from ..ops import speck_jax as sj
     from ..ops import speck_lis_jax as sl
