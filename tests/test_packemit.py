@@ -158,3 +158,95 @@ def test_masked_pack_under_vmap_jit():
         np.testing.assert_array_equal(np.asarray(res.counts[k]), ref_counts)
         got = np.asarray(pe.words_to_bytes(res.out_words[k]))
         np.testing.assert_array_equal(got[: ref_bytes.size], ref_bytes)
+
+
+def test_transpose_bits32_roundtrip_oracle():
+    """transpose_bits32 against a bit-level numpy oracle + inverse."""
+    import jax
+
+    from sperr_tpu.ops.packemit import transpose_bits32, untranspose_bits32
+
+    rng = np.random.default_rng(0)
+    M = 32 * 17
+    x = rng.integers(0, 2 ** 32, M, dtype=np.uint32)
+    y = np.asarray(jax.jit(transpose_bits32)(jnp.asarray(x)))
+    bits = ((x[:, None] >> np.arange(32)[None, :]) & 1).astype(np.uint8)
+    oracle = np.zeros((32, M // 32), np.uint32)
+    for p in range(32):
+        for w in range(M // 32):
+            v = 0
+            for l in range(32):
+                v |= int(bits[32 * w + l, p]) << l
+            oracle[p, w] = v
+    assert (y == oracle).all()
+    x2 = np.asarray(jax.jit(untranspose_bits32)(jnp.asarray(y)))
+    assert (x2 == x).all()
+
+
+def test_transpose_bits32_pair_matches_interleave():
+    import jax
+
+    from sperr_tpu.ops.packemit import transpose_bits32, transpose_bits32_pair
+
+    rng = np.random.default_rng(3)
+    M = 16 * 13
+    a = rng.integers(0, 2 ** 32, M, dtype=np.uint32)
+    b = rng.integers(0, 2 ** 32, M, dtype=np.uint32)
+    mv = np.empty(2 * M, np.uint32)
+    mv[0::2] = a
+    mv[1::2] = b
+    want = np.asarray(jax.jit(transpose_bits32)(jnp.asarray(mv)))
+    got = np.asarray(
+        jax.jit(transpose_bits32_pair)(jnp.asarray(a), jnp.asarray(b))
+    )
+    assert (want == got).all()
+
+
+@pytest.mark.parametrize(
+    "B,n,dens,take",
+    [(1, 4096, 0.02, 256), (3, 2048, 0.3, 1024), (2, 8192, 0.0, 64),
+     (1, 1024, 1.0, 1024), (2, 4100, 0.05, 64)],
+)
+def test_compact_flags_rows(B, n, dens, take):
+    """Two-level flag compaction: ascending indices, exact counts,
+    sentinel fill, overflow truncation, non-multiple-of-block widths."""
+    import jax
+
+    from sperr_tpu.ops.packemit import compact_flags_rows
+
+    rng = np.random.default_rng(B * 1000 + n)
+    flags = rng.random((B, n)) < dens
+    idx, cnt = jax.jit(
+        lambda f: compact_flags_rows(f, take)
+    )(jnp.asarray(flags))
+    idx = np.asarray(idx)
+    cnt = np.asarray(cnt)
+    for b in range(B):
+        truth = np.flatnonzero(flags[b])
+        assert cnt[b] == truth.size
+        m = min(take, truth.size)
+        assert (idx[b][:m] == truth[:m]).all()
+        assert (idx[b][m:] == n).all()
+
+
+def test_bit_helpers():
+    from sperr_tpu.ops.packemit import (
+        bit_at32, bitrev32, ones_low32, ones_span32,
+    )
+
+    k = jnp.arange(34, dtype=jnp.int32)
+    ol = np.asarray(ones_low32(k))
+    for i in range(34):
+        assert ol[i] == (0xFFFFFFFF if i >= 32 else (1 << i) - 1)
+    lo = jnp.asarray([0, 3, 10, 31, 40, -2])
+    hi = jnp.asarray([0, 5, 9, 31, 50, 4])
+    sp = np.asarray(ones_span32(lo, hi))
+    assert sp[0] == 1 and sp[1] == 0b111000 and sp[2] == 0
+    assert sp[3] == 0x80000000 and sp[4] == 0 and sp[5] == 0b11111
+    p = jnp.asarray([0, 31, 32, -1, 5])
+    ba = np.asarray(bit_at32(p))
+    assert list(ba) == [1, 0x80000000, 0, 0, 32]
+    x = jnp.asarray([0x1, 0x80000000, 0xDEADBEEF], dtype=jnp.uint32)
+    rv = np.asarray(bitrev32(x))
+    assert rv[0] == 0x80000000 and rv[1] == 1
+    assert rv[2] == int(f"{0xDEADBEEF:032b}"[::-1], 2)
