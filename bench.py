@@ -151,13 +151,53 @@ def run_tpu(vol, entropy="host"):
     return t1 - t0, t2 - t1, len(stream), err, comp.last_wave_chunks
 
 
+class _StageTimeout(Exception):
+    pass
+
+
+class _watchdog:
+    """SIGALRM guard around a device-stage measurement: if the tunnel dies
+    MID-RUN, a device fetch blocks forever (no exception) — without this
+    the whole benchmark wedges.  After the first timeout fires, remaining
+    device sections are skipped fast (the backend is assumed gone)."""
+
+    tripped = False
+
+    def __init__(self, seconds):
+        self.seconds = int(seconds)
+
+    def __enter__(self):
+        import signal
+
+        if _watchdog.tripped:
+            raise _StageTimeout("device backend previously timed out")
+
+        def handler(signum, frame):
+            raise _StageTimeout(f"stage exceeded {self.seconds}s")
+
+        self._old = signal.signal(signal.SIGALRM, handler)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, et, ev, tb):
+        import signal
+
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        if et is _StageTimeout:
+            _watchdog.tripped = True
+        return False
+
+
 def run_device_stages():
     """On-device stage timings (tunnel/dispatch excluded): the chip number.
     See sperr_tpu/runtime/device_bench.py."""
     from sperr_tpu.runtime.device_bench import pipeline_stages, wave_entropy_stage
 
+    budget = int(os.environ.get("BENCH_STAGE_TIMEOUT", "1500"))
     n = int(os.environ.get("BENCH_STAGE_N", "256"))
-    out = pipeline_stages(n=n, batch=1, tol=TOL, iters=4)
+    with _watchdog(budget):
+        out = pipeline_stages(n=n, batch=1, tol=TOL, iters=4)
     nch = int(os.environ.get("BENCH_DECODE_CHUNKS", "8"))
     if os.environ.get("BENCH_DECODE_TOTAL", "1") != "0":
         # honest container decode at the 512^3 flagship shape (8 x 256^3
@@ -167,14 +207,16 @@ def run_device_stages():
         from sperr_tpu.runtime.device_bench import container_decode_stages
 
         try:
-            cd = container_decode_stages(n=n, tol=TOL, chunks=nch)
+            with _watchdog(budget):
+                cd = container_decode_stages(n=n, tol=TOL, chunks=nch)
             out["container_decode"] = cd
             out["decode_total_s"] = cd["decode_total_s"]
         except Exception as e:  # pragma: no cover
             out["container_decode"] = {"error": f"{type(e).__name__}: {e}"}
     def _wave(key, **kw):
         try:
-            out[key] = wave_entropy_stage(tol=TOL, **kw)
+            with _watchdog(budget):
+                out[key] = wave_entropy_stage(tol=TOL, **kw)
         except Exception as e:  # pragma: no cover
             out[key] = {"error": f"{type(e).__name__}: {e}"}
 
@@ -205,7 +247,8 @@ def run_device_stages():
         from sperr_tpu.runtime.device_bench import wave2d_stage
 
         try:
-            out["wave_2d_1024"] = wave2d_stage(tol=TOL)
+            with _watchdog(budget):
+                out["wave_2d_1024"] = wave2d_stage(tol=TOL)
         except Exception as e:  # pragma: no cover
             out["wave_2d_1024"] = {"error": f"{type(e).__name__}: {e}"}
     if os.environ.get("BENCH_WAVE_BREAKDOWN", "0") != "0":
@@ -213,9 +256,10 @@ def run_device_stages():
         from sperr_tpu.runtime.device_bench import wave_entropy_breakdown
 
         try:
-            out["wave_entropy_breakdown"] = wave_entropy_breakdown(
-                n=wn, tol=TOL
-            )
+            with _watchdog(budget):
+                out["wave_entropy_breakdown"] = wave_entropy_breakdown(
+                    n=wn, tol=TOL
+                )
         except Exception as e:  # pragma: no cover
             out["wave_entropy_breakdown"] = {
                 "error": f"{type(e).__name__}: {e}"
