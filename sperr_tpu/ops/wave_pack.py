@@ -336,4 +336,90 @@ def wave_emit_3d(
     )
 
 
-__all__ = ["wave_emit_3d", "WaveEmit"]
+def wave_emit_2d_pixels(
+    mags: jnp.ndarray,
+    signs: jnp.ndarray,
+    s: jnp.ndarray,
+    e: jnp.ndarray,
+    num_bp: jnp.ndarray,
+    px_bp_cap: int,
+    evb_cap: int,
+    out_cap_bytes: int,
+    wexp_cap: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LIP + refinement emission for the 2D path, prefix-pack form.
+
+    The pixel-level classes are DIMENSION-INDEPENDENT (a pixel emits a
+    membership bit per pass in (e, s], its sign at s, and magnitude bits
+    below s — reference SPECK_INT.cpp:111-163/311-357 regardless of the
+    set geometry), so this reuses the 3D machinery: per-item pass masks
+    pivoted by the 32x32 bit transpose, packed by masked_pack.  Replaces
+    the event-form pass_segments_events for the 2D driver.
+
+    Returns (seg u8[out_cap_bytes], counts i32[2 * px_bp_cap] class-major
+    LIP rows then refinement rows, total_bytes, overflow)."""
+    n = mags.shape[0]
+    P = px_bp_cap
+    U0 = jnp.uint32(0)
+    U1 = jnp.uint32(0xFFFFFFFF)
+
+    exp_over = jnp.zeros((), bool)
+    if wexp_cap and wexp_cap < n:
+        exposed = e < num_bp
+        key = jnp.where(exposed, jnp.arange(n, dtype=jnp.int32), n)
+        pay = (
+            jnp.clip(s, 0, 127)
+            | (jnp.clip(e, 0, 127) << 7)
+            | (signs.astype(jnp.int32) << 14)
+        )
+        key_s, pay_c, mag_c = jax.lax.sort(
+            (key, pay, mags.astype(jnp.int32)), num_keys=1, is_stable=False
+        )
+        n_exp = jnp.sum(exposed).astype(jnp.int32)
+        exp_over = n_exp > wexp_cap
+        npad = -(-wexp_cap // 256) * 256
+        okm = jnp.arange(npad, dtype=jnp.int32) < n_exp
+        pc = _pad_cols(pay_c[None, :wexp_cap], npad, 0)[0]
+        s_p = jnp.where(okm, pc & 127, _NEVER)
+        e_p = jnp.where(okm, (pc >> 7) & 127, _NEVER)
+        g_p = jnp.where(okm, (pc >> 14) & 1, 0)
+        m_p = jnp.where(
+            okm, _pad_cols(mag_c[None, :wexp_cap], npad, 0)[0], 0
+        )
+    else:
+        npad = -(-n // 256) * 256
+        s_p = _pad_cols(s[None, :], npad, _NEVER)[0]
+        e_p = _pad_cols(e[None, :], npad, _NEVER)[0]
+        g_p = _pad_cols(signs[None, :].astype(jnp.int32), npad, 0)[0]
+        m_p = _pad_cols(mags.astype(jnp.int32)[None, :], npad, 0)[0]
+
+    lip_hi = jnp.minimum(s_p, num_bp - 1)
+
+    def lip_masks(base):
+        mvA = pe.ones_span32(e_p + 1, lip_hi, base)
+        mbA = pe.bit_at32(s_p, base)
+        mvB = jnp.where(e_p < s_p, pe.bit_at32(s_p, base), U0)
+        mbB = jnp.where(g_p == 1, U1, U0)
+        return mvA, mbA, mvB, mbB
+
+    mrev = pe.bitrev32(m_p.astype(jnp.uint32))
+    nb_sh = (jnp.int32(32) - num_bp).astype(jnp.uint32)
+    ref_bits = pe._safe_rsh(mrev, nb_sh)
+
+    def ref_masks(base):
+        mv = pe.ones_span32(s_p + 1, num_bp - 1, base)
+        mb = (
+            pe._safe_rsh(ref_bits, jnp.uint32(base)) if base else ref_bits
+        )
+        return mv, mb
+
+    parts = [
+        _emit_words_pair(lip_masks, P),
+        _emit_words(ref_masks, P),
+    ]
+    res = pe.masked_pack(parts, evb_cap, out_cap_bytes)
+    seg = pe.words_to_bytes(res.out_words)
+    return seg, res.counts, res.total_bytes, res.overflow | exp_over
+
+
+__all__ = ["wave_emit_3d", "wave_emit_2d_pixels", "WaveEmit"]

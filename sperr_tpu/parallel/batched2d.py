@@ -154,6 +154,8 @@ def _dense_encode2_wave(batch, mode: str, quality: float, cap: int, out_cap: int
     from ..ops import speck_lis2_jax as sl2
     from ..codec.speck_wave import build_tree2
 
+    from ..ops import wave_pack as wp
+
     out, ll = _encode_core2(batch, mode, quality, cap, out_cap, residual)
     B, n = ll.shape
     nx, ny = dims2
@@ -162,22 +164,26 @@ def _dense_encode2_wave(batch, mode: str, quality: float, cap: int, out_cap: int
     tree2 = build_tree2(dims2)
     wave_cap = n if wave_cap <= 0 else min(wave_cap, n)
     cap_total = min(n, (2 * wave_cap * (num_bp_cap + 4)) // 8 + 8)
+    # pixel classes (LIP + refinement) run the 3D path's prefix-pack form
+    # (ops/wave_pack.wave_emit_2d_pixels); only the quad/I-set walk stays
+    # event-form.  PX_BP bounds their bitplane axis — deeper fields fall
+    # back to the host engine via the fits check.
+    px_bp = min(num_bp_cap, 18)
+    wexp_px = wave_cap if wave_cap < n else 0
+    npad_px = -(-(wexp_px or n) // 256) * 256
+    px_cells = px_bp * 3 * npad_px
+    px_evb = px_cells // 256
+    px_out = min(((px_cells // 8 + 2 * px_bp) // 4 + 1) * 4, 4 * n)
 
     def one(row, sgn_row):
         mags = jnp.abs(row).astype(jnp.uint32)
         pm = sj.msbp1_device(mags)
         num_bp = jnp.max(pm)
         s, e, nm = sj.pixel_schedule(mags, ti, num_bp)
-        exposed = e < num_bp
-        s_c, e_c, m_c, g_c, n_exp = sj.compact_schedule_by_sort(
-            exposed, s, e, mags, sgn_row, wave_cap
+        pxseg, px_c, px_total, px_over = wp.wave_emit_2d_pixels(
+            mags, sgn_row, s, e, num_bp, px_bp, px_evb, px_out, wexp_px
         )
-        (
-            lip_buf, lip_c, lip_total, ref_buf, ref_c, ref_total, pr_over
-        ) = sj.pass_segments_events(
-            m_c, g_c, s_c, e_c, num_bp, num_bp_cap, ev_cap, cap_total
-        )
-        lip_total = jnp.where(pr_over, jnp.int32(2**30), lip_total)
+        px_over = px_over | (num_bp > px_bp)
         node_s = jnp.where(nm > 0, num_bp - nm, _WAVE_NEVER).astype(jnp.int32)
         iset_s = sl2.iset_significance_device(
             pm.reshape(ny, nx), tree2, num_bp
@@ -187,17 +193,24 @@ def _dense_encode2_wave(batch, mode: str, quality: float, cap: int, out_cap: int
             ev_cap, cap_total,
         )
         return (
-            num_bp.astype(jnp.int32), lip_buf, lip_c, lip_total, ref_buf,
-            ref_c, ref_total, lis_buf, lis_c, lis_total, n_sig, n_exp,
+            num_bp.astype(jnp.int32), pxseg, px_c, px_total,
+            px_over, lis_buf, lis_c, lis_total, n_sig,
         )
 
     signs = ll >= 0
-    res = jax.vmap(one)(ll, signs)
+    if B == 1:
+        res = tuple(x[None] for x in one(ll[0], signs[0]))
+    else:
+        # scan, not vmap: flat per-field sorts (see batched.py)
+        def body(carry, xs):
+            row, sgn_row = xs
+            return carry, one(row, sgn_row)
+
+        _, res = jax.lax.scan(body, jnp.int32(0), (ll, signs))
     out["wave"] = dict(
-        num_bp=res[0], lip=res[1], lip_c=res[2], lip_total=res[3],
-        ref=res[4], ref_c=res[5], ref_total=res[6],
-        lis=res[7], lis_c=res[8], lis_total=res[9],
-        n_sig=res[10], n_exposed=res[11],
+        num_bp=res[0], px=res[1], px_c=res[2], px_total=res[3],
+        px_over=res[4],
+        lis=res[5], lis_c=res[6], lis_total=res[7], n_sig=res[8],
     )
     return out
 
@@ -265,10 +278,8 @@ class TpuCompressor2D:
         cap_total = min(n, (2 * wc * (self.num_bp_cap + 4)) // 8 + 8)
         return (
             int(wave["n_sig"][k]) <= nc
-            and int(wave["n_exposed"][k]) <= wc
-            and int(wave["num_bp"][k]) <= self.num_bp_cap
-            and int(wave["lip_total"][k]) <= cap_total
-            and int(wave["ref_total"][k]) <= cap_total
+            and not bool(wave["px_over"][k])
+            and int(wave["num_bp"][k]) <= min(self.num_bp_cap, 18)
             and int(wave["lis_total"][k]) <= cap_total
         )
 
@@ -336,17 +347,21 @@ class TpuCompressor2D:
                 # traffic is stream-sized
                 w = {
                     k: np.asarray(jax.device_get(wdev[k]))
-                    for k in ("num_bp", "lip_c", "ref_c", "lis_c",
-                              "lip_total", "ref_total", "lis_total",
-                              "n_sig", "n_exposed")
+                    for k in ("num_bp", "px_c", "px_total", "px_over",
+                              "lis_c", "lis_total", "n_sig")
                 }
                 w["caps"] = caps
                 ctot = min(n, (2 * caps[2] * (self.num_bp_cap + 4)) // 8 + 8)
-                for name, tot in (("lip", "lip_total"),
-                                  ("ref", "ref_total"),
-                                  ("lis", "lis_total")):
-                    b = min(int(w[tot].max()) if w[tot].size else 0, ctot)
-                    w[name] = np.asarray(jax.device_get(wdev[name][:, :b]))
+                b = min(
+                    int(w["px_total"].max()) if w["px_total"].size else 0,
+                    int(wdev["px"].shape[1]),
+                )
+                w["px"] = np.asarray(jax.device_get(wdev["px"][:, :b]))
+                b = min(
+                    int(w["lis_total"].max()) if w["lis_total"].size else 0,
+                    ctot,
+                )
+                w["lis"] = np.asarray(jax.device_get(wdev["lis"][:, :b]))
                 return w
 
             # event-cap ladder: the first tier runs the whole batch; fields
@@ -502,8 +517,22 @@ class TpuCompressor2D:
                 for p in range(num_bp)
             ]
 
-        lip_segments = unconcat(wave["lip"][k], wave["lip_c"][k])
-        ref_segments = unconcat(wave["ref"][k], wave["ref_c"][k])
+        # pixel classes come packed class-major (LIP rows then refinement
+        # rows, P = the px bitplane cap) from wave_emit_2d_pixels
+        P = min(self.num_bp_cap, 18)
+        px_c = wave["px_c"][k].astype(np.int64)
+        pbc = (px_c + 7) // 8
+        poffs = np.cumsum(pbc) - pbc
+        pbuf = wave["px"][k]
+
+        def pseg(p, cls):
+            b = cls * P + p
+            return np.unpackbits(
+                pbuf[poffs[b] : poffs[b] + pbc[b]], bitorder="little"
+            )[: int(px_c[b])]
+
+        lip_segments = [pseg(p, 0) for p in range(num_bp)]
+        ref_segments = [pseg(p, 1) for p in range(num_bp)]
         lis_segments = unconcat(wave["lis"][k], wave["lis_c"][k])
         return sw.stitch_2d(
             None, None, None, (nx, ny), num_bp,
