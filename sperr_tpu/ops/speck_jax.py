@@ -227,37 +227,6 @@ def cap_total_bytes(
     return min(worst, ev_bound)
 
 
-def compact_schedule_by_sort(exposed, s, e, mags, signs, cap: int):
-    """Compact the exposed-pixel schedule with ONE payload-carrying sort.
-
-    Replaces nonzero + 4 index gathers (cumsum+scatter plus ~0.5 GB/s
-    gathers at n scale on TPU; docs/PALLAS.md) with a single 3-operand
-    sort: key = index for exposed pixels, n past the end otherwise, so the
-    sorted prefix is the compaction in ascending-index (emission) order.
-    s/e are clipped to 7 bits — consumers only compare them against
-    num_bp <= 64, so any clipped NEVER stays larger than every real pass.
-
-    Returns (s_c, e_c, m_c i32, g_c bool, n_exp) of length cap."""
-    n = s.shape[0]
-    key = jnp.where(exposed, jnp.arange(n, dtype=jnp.int32), n)
-    w1 = (
-        jnp.clip(s, 0, 127)
-        | (jnp.clip(e, 0, 127) << 7)
-        | (signs.astype(jnp.int32) << 14)
-    )
-    _, w1_s, m_s = jax.lax.sort(
-        (key, w1, mags.astype(jnp.int32)), num_keys=1, is_stable=False
-    )
-    n_exp = jnp.sum(exposed).astype(jnp.int32)
-    ok = jnp.arange(cap, dtype=jnp.int32) < n_exp
-    w1_c = w1_s[:cap]
-    s_c = jnp.where(ok, w1_c & 127, _NEVER)
-    e_c = jnp.where(ok, (w1_c >> 7) & 127, _NEVER)
-    g_c = jnp.where(ok, ((w1_c >> 14) & 1) == 1, False)
-    m_c = jnp.where(ok, m_s[:cap], 0)
-    return s_c, e_c, m_c, g_c, n_exp
-
-
 def events_to_segments(p_key, sec_key, bits, num_bp_cap: int, cap_total: int):
     """Sort emission events by (pass, secondary order) into a byte-aligned
     concatenation of per-pass segments — scatter-free.
@@ -477,41 +446,6 @@ def ref_events(
     rbit = ((m_f.astype(jnp.uint32) >> shift) & jnp.uint32(1)).astype(bool)
     rp_key = jnp.where(rok, rp, num_bp_cap)
     return rp_key, rbit, rtotal > ev_cap
-
-
-def pass_segments_events(
-    mag_c: jnp.ndarray,
-    sign_c: jnp.ndarray,
-    s_c: jnp.ndarray,
-    e_c: jnp.ndarray,
-    num_bp: jnp.ndarray,
-    num_bp_cap: int,
-    ev_cap: int,
-    cap_total: int,
-):
-    """Event-form LIP + refinement emission (replaces the per-pass scan of
-    pass_segments_packed_sparse; bit-identical output).
-
-    Returns (lip_buf, lip_counts, lip_total, ref_buf, ref_counts,
-    ref_total, overflow) — buffers are byte-aligned per-pass
-    concatenations; `overflow` flags a truncated event expansion (the
-    driver must fall back to host entropy)."""
-    p_key, bit_ev, lip_over = lip_events(
-        sign_c, s_c, e_c, num_bp, num_bp_cap, ev_cap
-    )
-    lip_buf, lip_c, lip_total = events_to_segments(
-        p_key, None, bit_ev, num_bp_cap, cap_total
-    )
-    rp_key, rbit, ref_over = ref_events(
-        mag_c, s_c, num_bp, num_bp_cap, ev_cap
-    )
-    ref_buf, ref_c, ref_total = events_to_segments(
-        rp_key, None, rbit, num_bp_cap, cap_total
-    )
-    overflow = lip_over | ref_over | (lip_total > cap_total) | (
-        ref_total > cap_total
-    )
-    return lip_buf, lip_c, lip_total, ref_buf, ref_c, ref_total, overflow
 
 
 def events_to_segments_merged(p_keys, bits_list, num_bp_cap: int,
