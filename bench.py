@@ -357,7 +357,39 @@ def main():
     tpu_up = (want_e2e or want_stages) and _tpu_reachable(
         float(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", "180"))
     )
-    down = {"error": "device backend unreachable (init probe timed out)"}
+    down = {
+        "error": "device backend unreachable (init probe timed out)",
+        # Chip numbers measured EARLIER in round 5 on the attached v5e
+        # (runtime/device_bench.py harness, fori-loop synchronized),
+        # recorded here ONLY because the tunnel was down during this
+        # run — they are prior measurements, not this run's:
+        "prior_round5_device_measurements": {
+            "wave_entropy_256_smooth": {
+                "wave_total_s": 0.13423, "entropy_stage_s": 0.11347,
+                "wave_encode_gbps": 0.50, "fits": True,
+                "note": "final round-5 code (2026-08-21 ~02:00)",
+            },
+            "container_decode_8x256": {
+                "parse_s": 0.49716, "decode_core_s": 0.04898,
+                "decode_total_gbps": 0.983,
+                "hybrid_control_parse_s": 0.2095,
+                "note": "hybrid device half measured pre-scan-fix "
+                "(0.447 s); the shipped scan form was not re-measured "
+                "before the tunnel died",
+            },
+            "pipeline_stages_256": {
+                "dwt3d_s": 0.0029, "idwt3d_s": 0.00232,
+                "quantize_s": 0.00068, "encode_core_dense_s": 0.00636,
+                "decode_core_s": 0.00309,
+            },
+            "regimes_pre_retune": {
+                "dense_2bpp_256_s": 1.959, "noisy_256_s": 1.135,
+                "wave_2d_1024_per_field_ms": 274.3,
+                "note": "measured before the round-5 tier retune and the "
+                "2D prefix-pack port landed",
+            },
+        },
+    }
 
     tpu = {}
     if want_e2e and not tpu_up:
