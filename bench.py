@@ -59,6 +59,40 @@ def make_volume(n=512):
 
 TOL = 1e-2
 
+_T0 = time.time()
+
+
+def _progress(msg):
+    """Timestamped progress marker on stderr (-> /tmp/sperr_bench_stderr.log):
+    lets a human (or a post-mortem) see where a wedged run spent its time."""
+    try:
+        sys.stderr.write(f"[bench +{time.time() - _T0:7.1f}s] {msg}\n")
+        sys.stderr.flush()
+    except Exception:
+        pass
+
+
+# Wall-clock deadline for the whole benchmark: on a slow-tunnel day each
+# device stage costs minutes of transfer wait (observed 2026-08-21: 8 min
+# for the 64^3 stage that normally takes seconds), and an unbounded run can
+# exceed the driver's patience and record NOTHING.  Stages are ordered by
+# headline value; once the deadline passes, remaining device sections are
+# skipped with a note.
+_DEADLINE = _T0 + float(os.environ.get("BENCH_DEADLINE", "2100"))
+
+
+def _remaining():
+    return _DEADLINE - time.time()
+
+
+def _dump_partial(obj):
+    """Best-effort partial detail dump: survives a later kill."""
+    try:
+        with open("/tmp/sperr_bench_detail_partial.json", "w") as f:
+            json.dump(obj, f, indent=1, default=str)
+    except Exception:
+        pass
+
 # SDRBench configurations from BASELINE.json: loaded from $SDRBENCH_DIR
 # when the datasets are present, synthetic stand-ins at the exact dims
 # otherwise (so the configs are always runnable).
@@ -196,8 +230,16 @@ def run_device_stages():
 
     budget = int(os.environ.get("BENCH_STAGE_TIMEOUT", "1500"))
     n = int(os.environ.get("BENCH_STAGE_N", "256"))
-    with _watchdog(budget):
+
+    def _budget():
+        # per-stage watchdog, capped by the global deadline (min 60s so an
+        # almost-expired deadline still lets a cached stage finish)
+        return int(max(60, min(budget, _remaining())))
+
+    _progress("stages: pipeline_stages")
+    with _watchdog(_budget()):
         out = pipeline_stages(n=n, batch=1, tol=TOL, iters=4)
+    _dump_partial(out)
     nch = int(os.environ.get("BENCH_DECODE_CHUNKS", "8"))
     if os.environ.get("BENCH_DECODE_TOTAL", "1") != "0":
         # honest container decode at the 512^3 flagship shape (8 x 256^3
@@ -206,32 +248,42 @@ def run_device_stages():
         # hybrid sub-result is the production decoder's split
         from sperr_tpu.runtime.device_bench import container_decode_stages
 
+        _progress("stages: container_decode")
         try:
-            with _watchdog(budget):
+            with _watchdog(_budget()):
                 cd = container_decode_stages(n=n, tol=TOL, chunks=nch)
             out["container_decode"] = cd
             out["decode_total_s"] = cd["decode_total_s"]
         except Exception as e:  # pragma: no cover
             out["container_decode"] = {"error": f"{type(e).__name__}: {e}"}
+        _dump_partial(out)
+
     def _wave(key, **kw):
+        if _remaining() <= 45:
+            out[key] = {"skipped": "bench deadline passed (slow tunnel)"}
+            _progress(f"stages: {key} SKIPPED (deadline)")
+            return
+        _progress(f"stages: {key}")
         try:
-            with _watchdog(budget):
+            with _watchdog(_budget()):
                 out[key] = wave_entropy_stage(tol=TOL, **kw)
         except Exception as e:  # pragma: no cover
             out[key] = {"error": f"{type(e).__name__}: {e}"}
+        _dump_partial(out)
 
-    wn = int(os.environ.get("BENCH_WAVE_N", "64"))
-    _wave("wave_entropy", n=wn, batch=1)
+    # Stage order = headline value: the 512^3 flagship (scan over 8 chunks,
+    # BASELINE.json's actual config) and its 256^3 fallback come before the
+    # small/regime rows, so a deadline-truncated run still has a headline.
     wpn = int(os.environ.get("BENCH_WAVE_PROD_N", "256"))
+    if os.environ.get("BENCH_WAVE_512", "1") != "0":
+        _wave("wave_entropy_512", n=256, batch=nch)
     if wpn:
         # the production-chunk-dims wave number: the whole SPECK bit
         # computation on device at the reference's default chunk size
         # (sperr3d.cpp:174)
         _wave("wave_entropy_256", n=wpn, batch=1)
-    if os.environ.get("BENCH_WAVE_512", "1") != "0":
-        # the FLAGSHIP number: 512^3 = 8 x 256^3 distinct chunks as ONE
-        # scan-form device program (BASELINE.json's actual config)
-        _wave("wave_entropy_512", n=256, batch=nch)
+    wn = int(os.environ.get("BENCH_WAVE_N", "64"))
+    _wave("wave_entropy", n=wn, batch=1)
     if os.environ.get("BENCH_WAVE_DENSE", "1") != "0":
         # reference-comparable rate band (~2 bpp: noise at 2.5x tol): the
         # regime every BASELINE.md timing row ran at
@@ -241,22 +293,24 @@ def run_device_stages():
         # the adversarial regime: white noise, every cap saturated, at
         # the tier the retry ladder lands on
         _wave("wave_entropy_noisy", n=wpn or 256, batch=1, regime="noisy")
-    if os.environ.get("BENCH_WAVE_2D", "1") != "0":
+    if os.environ.get("BENCH_WAVE_2D", "1") != "0" and _remaining() > 45:
         # the 2D device pipeline (Turbulence1024-like batch; BASELINE.md
         # 2D rows are the reference comparison)
         from sperr_tpu.runtime.device_bench import wave2d_stage
 
+        _progress("stages: wave_2d_1024")
         try:
-            with _watchdog(budget):
+            with _watchdog(_budget()):
                 out["wave_2d_1024"] = wave2d_stage(tol=TOL)
         except Exception as e:  # pragma: no cover
             out["wave_2d_1024"] = {"error": f"{type(e).__name__}: {e}"}
+        _dump_partial(out)
     if os.environ.get("BENCH_WAVE_BREAKDOWN", "0") != "0":
         # substage deltas: ~10 extra compiles through the tunnel, opt-in
         from sperr_tpu.runtime.device_bench import wave_entropy_breakdown
 
         try:
-            with _watchdog(budget):
+            with _watchdog(_budget()):
                 out["wave_entropy_breakdown"] = wave_entropy_breakdown(
                     n=wn, tol=TOL
                 )
@@ -331,7 +385,9 @@ def main():
         metric_name = f"{n}^3"
     nbytes = vol.nbytes
 
+    _progress(f"host engine: start ({metric_name})")
     enc_s, dec_s, stream_len, err = run_host(vol)
+    _progress("host engine: done")
     host = {
         "encode_gbps": round(nbytes / enc_s / 1e9, 4),
         "decode_gbps": round(nbytes / dec_s / 1e9, 4),
@@ -346,6 +402,7 @@ def main():
         try:
             from sperr_tpu.runtime.host_scaling import parse_scaling_evidence
 
+            _progress("host parse-scaling evidence")
             host["parse_scaling"] = parse_scaling_evidence(
                 n=256, chunks=4, tol=TOL
             )
@@ -354,9 +411,11 @@ def main():
 
     want_e2e = os.environ.get("BENCH_TPU", "1") != "0"
     want_stages = os.environ.get("BENCH_DEVICE_STAGES", "1") != "0"
+    _progress("probing device backend reachability")
     tpu_up = (want_e2e or want_stages) and _tpu_reachable(
         float(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", "180"))
     )
+    _progress(f"device backend reachable: {tpu_up}")
     down = {
         "error": "device backend unreachable (init probe timed out)",
         # Chip numbers measured EARLIER in round 5 on the attached v5e
@@ -391,10 +450,36 @@ def main():
         },
     }
 
+    # Device STAGES run before the e2e tunnel path: they are the headline
+    # source, and on a slow tunnel day the e2e path alone can eat the whole
+    # wall budget (round 5: a 25-min run died with zero output this way).
+    stages = {}
+    if want_stages and not tpu_up:
+        stages = down
+    if tpu_up and want_stages:
+        _progress("device stages: start")
+        try:
+            stages = run_device_stages()
+        except Exception as e:  # pragma: no cover
+            stages = {"error": f"{type(e).__name__}: {e}"}
+        _progress("device stages: done")
+        try:  # partial dump: survives a later kill / tunnel death
+            with open("/tmp/sperr_bench_detail_partial.json", "w") as f:
+                json.dump(
+                    {"host_native": host, "tpu_device_stages": stages}, f,
+                    indent=1,
+                )
+        except Exception:
+            pass
+
     tpu = {}
     if want_e2e and not tpu_up:
         tpu = down
-    if tpu_up and want_e2e:
+    if tpu_up and want_e2e and _remaining() <= 120:
+        tpu = {"skipped": "bench deadline passed (slow tunnel)"}
+        _progress("e2e tunnel path SKIPPED (deadline)")
+    elif tpu_up and want_e2e:
+        _progress("e2e tunnel path: start")
         try:
             tn = int(os.environ.get("BENCH_TPU_N", "256"))
             tvol = (
@@ -403,9 +488,13 @@ def main():
                 else make_volume(tn)
             )
             entropy = os.environ.get("BENCH_TPU_ENTROPY", "wave")
-            te, td, tl, terr, wchunks = run_tpu(
-                np.ascontiguousarray(tvol), entropy=entropy
-            )
+            # the e2e number measures the tunnel, not the chip: never let
+            # it run unbounded (watchdog covers a mid-transfer tunnel death
+            # AND a merely-slow tunnel day)
+            with _watchdog(int(os.environ.get("BENCH_E2E_TIMEOUT", "600"))):
+                te, td, tl, terr, wchunks = run_tpu(
+                    np.ascontiguousarray(tvol), entropy=entropy
+                )
             tb = tvol.nbytes
             tpu = {
                 "n": tn,
@@ -420,15 +509,7 @@ def main():
             }
         except Exception as e:  # pragma: no cover
             tpu = {"error": f"{type(e).__name__}: {e}"}
-
-    stages = {}
-    if want_stages and not tpu_up:
-        stages = down
-    if tpu_up and want_stages:
-        try:
-            stages = run_device_stages()
-        except Exception as e:  # pragma: no cover
-            stages = {"error": f"{type(e).__name__}: {e}"}
+        _progress("e2e tunnel path: done")
 
     # Headline: the device-resident number at production chunk dims when
     # the chip was measured (stage-timed, tunnel excluded — the chip's
